@@ -1,0 +1,244 @@
+"""Posting-list block codec: delta docIDs + tfs in 128-entry byte-aligned
+FOR blocks, per-block skip + block-max metadata, varint-encoded positions.
+
+Shape follows the reference postings format (semantics, not bytes):
+  - BLOCK_SIZE=128 delta-encoded doc blocks
+    (lucene/core/src/java/org/apache/lucene/codecs/lucene41/Lucene41PostingsFormat.java:388,
+     Lucene41PostingsWriter.java:250-320)
+  - per-block bit(-> byte)-width chosen from the max delta, all-equal blocks
+    degenerate to width 1 (codecs/lucene41/ForUtil.java:157-168,237-244)
+  - a skip entry per block carrying last docID + byte offsets
+    (codecs/lucene41/Lucene41SkipWriter.java:46,134-149); flat rather than
+    multi-level since we decode block-at-a-time
+  - block-max metadata (max tf + max norm byte per block) is our addition in
+    the same per-block slot — the WAND/BMW upper-bound source (absent in the
+    5.x-era reference, which the north star asks us to add)
+  - positions are per-occurrence deltas, varint (LEB128) encoded, with a
+    per-block byte offset so phrase checks decode only candidate blocks
+    (analog of .pos/.pay files, Lucene41PostingsWriter.java:340-392)
+
+Byte-aligned widths {1,2,4} instead of packed bit widths keep every
+encode/decode step a pure numpy vector op (the Arrow/pandas-UDF hot path);
+at rest the buffers additionally get Parquet compression.
+
+Block layout inside the ``blocks`` buffer, per block:
+  [u8 doc_width][u8 tf_width][n*doc_width doc deltas LE][n*tf_width tfs LE]
+where n = 128 for full blocks, df % 128 for the tail block.
+Delta base chains across blocks: first delta of block b is relative to the
+last docID of block b-1 (block 0 is relative to -1, so all deltas >= 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_WIDTH_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
+
+def _width_for(maxval: int) -> int:
+    if maxval < 1 << 8:
+        return 1
+    if maxval < 1 << 16:
+        return 2
+    return 4
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128), vectorized
+# ---------------------------------------------------------------------------
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint array."""
+    v = np.asarray(vals, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    nbytes = np.ones(len(v), dtype=np.int64)
+    t = v >> np.uint64(7)
+    while t.any():
+        nbytes += (t > 0).astype(np.int64)
+        t >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    rem = v.copy()
+    # byte j of each value (at most 10 rounds for uint64)
+    j = 0
+    active = np.arange(len(v))
+    while len(active):
+        byte = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = nbytes[active] > (j + 1)
+        out[starts[active] + j] = byte | (more.astype(np.uint8) << 7)
+        rem[active] >>= np.uint64(7)
+        active = active[more]
+        j += 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray, count: int | None = None, offset: int = 0) -> np.ndarray:
+    """Vectorized LEB128 decode. Decodes ``count`` values (or all)."""
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.int64)
+    term_mask = b < 128  # terminating bytes
+    if count is not None:
+        # cut the buffer after `count` terminators
+        idx = np.flatnonzero(term_mask)
+        b = b[: idx[count - 1] + 1]
+        term_mask = term_mask[: len(b)]
+    n = int(term_mask.sum())
+    # value id per byte = number of terminators before this byte
+    val_id = np.concatenate([[0], np.cumsum(term_mask)[:-1]]).astype(np.int64)
+    first_byte_idx = np.concatenate([[0], np.flatnonzero(term_mask)[:-1] + 1])
+    shift = ((np.arange(len(b)) - first_byte_idx[val_id]) * 7).astype(np.uint64)
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << shift
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(out, val_id, contrib)
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# per-term postings encode/decode
+# ---------------------------------------------------------------------------
+
+
+def encode_term_postings(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes_by_doc: np.ndarray | None = None,
+    positions: np.ndarray | None = None,
+) -> dict:
+    """Encode one term's postings.
+
+    docids: sorted local int64; tfs: int32 aligned; positions: flat int32
+    (concatenated per-doc position lists, each doc's sorted asc);
+    norm_bytes_by_doc: uint8 array indexed by local docid (for block-max).
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    df = len(docids)
+    prev = np.empty(df, dtype=np.int64)
+    prev[0] = -1
+    prev[1:] = docids[:-1]
+    deltas = docids - prev
+
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    parts: list[bytes] = []
+    skip_last = np.empty(nblocks, dtype=np.int64)
+    skip_off = np.empty(nblocks, dtype=np.int64)
+    skip_pos_off = np.zeros(nblocks, dtype=np.int64)
+    skip_max_tf = np.empty(nblocks, dtype=np.int32)
+    skip_max_norm = np.zeros(nblocks, dtype=np.int32)
+
+    # positions: varint of per-doc delta streams; per-block byte offsets
+    pos_buf = b""
+    pos_ends_per_doc = None
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        tf_ends = np.cumsum(tfs)
+        tf_starts = tf_ends - tfs
+        pdelta = positions.copy()
+        pdelta[1:] -= positions[:-1]
+        pdelta[tf_starts] = positions[tf_starts]  # reset per doc
+        pos_buf = varint_encode(pdelta)
+        # byte length of each encoded value -> per-doc byte ends
+        vlens = np.ones(len(pdelta), dtype=np.int64)
+        t = pdelta.astype(np.uint64) >> np.uint64(7)
+        while t.any():
+            vlens += (t > 0).astype(np.int64)
+            t >>= np.uint64(7)
+        byte_ends = np.cumsum(vlens)
+        pos_ends_per_doc = byte_ends[tf_ends - 1] if df else np.zeros(0, np.int64)
+
+    off = 0
+    for bi in range(nblocks):
+        lo = bi * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, df)
+        d = deltas[lo:hi]
+        t = tfs[lo:hi]
+        wd = _width_for(int(d.max()))
+        wt = _width_for(int(t.max()))
+        blob = (
+            bytes([wd, wt])
+            + d.astype(_WIDTH_DTYPES[wd]).tobytes()
+            + t.astype(_WIDTH_DTYPES[wt]).tobytes()
+        )
+        parts.append(blob)
+        skip_last[bi] = docids[hi - 1]
+        skip_off[bi] = off
+        skip_max_tf[bi] = int(t.max())
+        if norm_bytes_by_doc is not None:
+            skip_max_norm[bi] = int(norm_bytes_by_doc[docids[lo:hi]].max())
+        if pos_ends_per_doc is not None:
+            skip_pos_off[bi] = 0 if lo == 0 else pos_ends_per_doc[lo - 1]
+        off += len(blob)
+
+    return {
+        "df": df,
+        "ttf": int(tfs.sum()),
+        "blocks": b"".join(parts),
+        "positions": pos_buf,
+        "skip_last": skip_last,
+        "skip_off": skip_off,
+        "skip_pos_off": skip_pos_off,
+        "skip_max_tf": skip_max_tf,
+        "skip_max_norm": skip_max_norm,
+    }
+
+
+def decode_blocks(
+    blocks: bytes,
+    df: int,
+    skip_off: np.ndarray,
+    skip_last: np.ndarray,
+    block_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode (docids, tfs) for the given blocks (default: all).
+
+    Selective decode is the skip-list path: callers pick ``block_ids`` via
+    searchsorted on ``skip_last`` and only those blocks are touched.
+    """
+    buf = np.frombuffer(blocks, dtype=np.uint8)
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    if block_ids is None:
+        block_ids = np.arange(nblocks)
+    out_d: list[np.ndarray] = []
+    out_t: list[np.ndarray] = []
+    for bi in block_ids:
+        bi = int(bi)
+        lo = bi * BLOCK_SIZE
+        n = min(BLOCK_SIZE, df - lo)
+        o = int(skip_off[bi])
+        wd = int(buf[o])
+        wt = int(buf[o + 1])
+        o += 2
+        d = buf[o : o + n * wd].view(_WIDTH_DTYPES[wd]).astype(np.int64)
+        o += n * wd
+        t = buf[o : o + n * wt].view(_WIDTH_DTYPES[wt]).astype(np.int64)
+        base = np.int64(-1) if bi == 0 else skip_last[bi - 1]
+        out_d.append(np.cumsum(d) + base)
+        out_t.append(t)
+    if not out_d:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(out_d), np.concatenate(out_t)
+
+
+def decode_positions_for_block(
+    pos_buf: bytes,
+    tfs_in_block: np.ndarray,
+    pos_offset: int,
+) -> list[np.ndarray]:
+    """Decode per-doc position arrays for one block's docs."""
+    total = int(np.sum(tfs_in_block))
+    if total == 0:
+        return []
+    deltas = varint_decode(pos_buf, count=total, offset=int(pos_offset))
+    ends = np.cumsum(tfs_in_block)
+    starts = ends - tfs_in_block
+    out = []
+    for s, e in zip(starts, ends):
+        out.append(np.cumsum(deltas[s:e]))
+    return out
