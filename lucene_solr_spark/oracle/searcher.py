@@ -1,0 +1,182 @@
+"""Pure-pandas/numpy brute-force reference searcher.
+
+Plays the role of the reference implementation in tests (SURVEY.md §5): the
+sandbox can't run the Java fork, so rank-identity is asserted against this
+oracle, which reproduces the reference semantics directly:
+
+  - same analyzer chain as the engine (shared kernels, analysis/text.py)
+  - BM25 float32 math per BM25Similarity.java:65-67,95-97,204-237 with lossy
+    SmallFloat norms (util/SmallFloat.java:78-99)
+  - BooleanQuery score = plain sum of clause scores, coord/queryNorm = 1
+    (search/BooleanQuery.java:213-218, similarities/Similarity.java:121,138),
+    accumulated in clause order in float32
+  - phrase scoring: freq = exact phrase occurrence count, weight = sum of
+    clause idfs (search/ExactPhraseScorer.java:26-33, PhraseQuery)
+  - top-k tie-break: score desc, then docID asc (search/HitQueue.java:76-81)
+
+It is deliberately a different *execution* strategy (dict + dense scan vs
+codec + block-max pruning) sharing only the math kernels — the reference's
+own equivalence-testing pattern (e.g. TestBoolean2 cross-checking scorers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..analysis import tokenize_series, analyze_one
+from ..search import bm25
+from ..search.query import parse_query, Clause
+
+
+class OracleSearcher:
+    def __init__(self, pages: pd.DataFrame, url_col: str = "url", text_col: str = "text"):
+        pages = pages.sort_values(url_col, kind="mergesort").reset_index(drop=True)
+        self.urls = pages[url_col].to_numpy()
+        flat = tokenize_series(pages[text_col])
+        self.lengths = flat.attrs["doc_lengths"]
+        self.norm_bytes = bm25.encode_norm(self.lengths)
+        self.max_doc = len(pages)
+        self.sum_len = int(self.lengths.sum())
+
+        term_codes, self.term_vocab = pd.factorize(flat["term"], sort=True)
+        doc_idx = flat["doc_idx"].to_numpy().astype(np.int64)
+        pos = flat["pos"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc_idx, term_codes))
+        ts, ds, ps = term_codes[order], doc_idx[order], pos[order]
+
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray, list[np.ndarray]]] = {}
+        if len(ts):
+            new_grp = np.empty(len(ts), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (ts[1:] != ts[:-1]) | (ds[1:] != ds[:-1])
+            gs = np.flatnonzero(new_grp)
+            ge = np.append(gs[1:], len(ts))
+            tfs = ge - gs
+            g_term, g_doc = ts[gs], ds[gs]
+            new_term = np.empty(len(gs), dtype=bool)
+            new_term[0] = True
+            new_term[1:] = g_term[1:] != g_term[:-1]
+            t_starts = np.flatnonzero(new_term)
+            t_ends = np.append(t_starts[1:], len(gs))
+            for a, b in zip(t_starts, t_ends):
+                term = self.term_vocab[g_term[a]]
+                doc_list = g_doc[a:b]
+                tf_list = tfs[a:b].astype(np.int64)
+                pos_lists = [
+                    ps[gs[j] : ge[j]] for j in range(a, b)
+                ]
+                self.postings[term] = (doc_list, tf_list, pos_lists)
+
+    # -- stats ---------------------------------------------------------------
+    def df(self, term: str) -> int:
+        p = self.postings.get(term)
+        return 0 if p is None else len(p[0])
+
+    def _cache(self):
+        avgdl = bm25.avg_field_length(self.sum_len, self.max_doc)
+        return bm25.norm_cache(avgdl)
+
+    # -- search --------------------------------------------------------------
+    def search(self, query: str, k: int = 10, mode: str = "OR") -> pd.DataFrame:
+        q = parse_query(query, mode)
+        return self.search_parsed(q, k)
+
+    def search_parsed(self, q, k: int = 10) -> pd.DataFrame:
+        cache = self._cache()
+        scores = np.zeros(self.max_doc, dtype=np.float32)
+        matched = np.zeros(self.max_doc, dtype=bool)
+        required_count = np.zeros(self.max_doc, dtype=np.int32)
+        n_required = 0
+
+        for clause in q.clauses:
+            if clause.kind == "term":
+                p = self.postings.get(clause.terms[0])
+                if p is None:
+                    if clause.required:
+                        return self._empty()
+                    continue
+                doc_list, tf_list, _ = p
+                wv = bm25.weight_value(bm25.idf(len(doc_list), self.max_doc))
+                s = bm25.score_freqs(tf_list, self.norm_bytes[doc_list], cache, wv)
+            elif clause.kind == "phrase":
+                doc_list, freqs = self._phrase_freqs(clause)
+                if len(doc_list) == 0:
+                    if clause.required:
+                        return self._empty()
+                    continue
+                idf_sum = np.float32(0.0)
+                for t in clause.terms:
+                    idf_sum = np.float32(
+                        idf_sum + bm25.idf(self.df(t), self.max_doc)
+                    )
+                wv = bm25.weight_value(idf_sum)
+                s = bm25.score_freqs(freqs, self.norm_bytes[doc_list], cache, wv)
+            else:
+                raise ValueError(clause.kind)
+            # clause-order float32 accumulation
+            acc = scores[doc_list]
+            scores[doc_list] = (acc + s).astype(np.float32)
+            matched[doc_list] = True
+            if clause.required:
+                n_required += 1
+                required_count[doc_list] += 1
+
+        for term in q.must_not:
+            p = self.postings.get(term)
+            if p is not None:
+                matched[p[0]] = False
+
+        if n_required:
+            matched &= required_count == n_required
+        ids = np.flatnonzero(matched)
+        if len(ids) == 0:
+            return self._empty()
+        s = scores[ids]
+        order = np.lexsort((ids, -s))[:k]
+        ids, s = ids[order], s[order]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(ids) + 1),
+                "docid": ids,
+                "url": self.urls[ids],
+                "score": s.astype(np.float32),
+            }
+        )
+
+    def _phrase_freqs(self, clause: Clause) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase: doc -> number of alignment positions."""
+        plists = []
+        for t in clause.terms:
+            p = self.postings.get(t)
+            if p is None:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            plists.append(p)
+        # intersect doc lists
+        ids = plists[0][0]
+        for p in plists[1:]:
+            ids = ids[np.isin(ids, p[0], assume_unique=True)]
+        out_ids, out_freqs = [], []
+        offsets = clause.offsets
+        for d in ids:
+            base = None
+            for (doc_list, _tf, pos_lists), off in zip(plists, offsets):
+                j = int(np.searchsorted(doc_list, d))
+                cur = pos_lists[j] - off
+                base = cur if base is None else base[np.isin(base, cur, assume_unique=True)]
+                if len(base) == 0:
+                    break
+            if base is not None and len(base) > 0:
+                out_ids.append(d)
+                out_freqs.append(len(base))
+        return np.array(out_ids, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
+
+    def _empty(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rank": np.zeros(0, np.int64),
+                "docid": np.zeros(0, np.int64),
+                "url": np.zeros(0, dtype=object),
+                "score": np.zeros(0, np.float32),
+            }
+        )

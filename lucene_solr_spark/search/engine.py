@@ -1,0 +1,413 @@
+"""Distributed top-k BM25 search over the segment index.
+
+Execution restates the reference's per-segment search lifecycle in Spark
+(search/IndexSearcher.java:507-522 + the fork's ParallelSearchStrategy,
+search/ParallelSearchStrategy.java:38-137):
+
+  1. rewrite/parse the query (query.py)
+  2. pull *global* statistics before per-segment execution: one tiny
+     aggregation over the postings rows of the query terms
+     (IndexSearcher.collectionStatistics/termStatistics, :597-625) — the
+     rows are term-predicate-pushed into the Parquet scan, so row-group
+     min/max on the term-sorted postings files plays BlockTree's role
+  3. per-segment scoring: groupBy(segment file).applyInPandas — one leaf,
+     one task, mergeable per-leaf top-k state exactly like the fork's
+     CollectionState (TopScoreDocCollector.java:331-379). Inside the UDF
+     everything is numpy over decoded posting blocks:
+       - conjunctions: rarest-first leapfrog via skip-list selective block
+         decode (ConjunctionScorer.java:57-100 + Lucene41SkipReader)
+       - disjunctions: exact MaxScore/block-max pruning — clauses whose
+         summed upper bound cannot reach the running kth score are demoted
+         to lookup-only mode (candidate-driven selective decode). Upper
+         bounds come from per-block (max tf, max norm byte) metadata; the
+         result is bit-identical to exhaustive evaluation.
+       - float32 score accumulation in clause order (rank-identity with the
+         oracle; BM25Similarity.java:222-237)
+  4. global merge: per-segment top-k rows -> orderBy(score desc, docid asc)
+     LIMIT k (Spark TakeOrderedAndProject — Solr's mergeIds,
+     solr/core/.../handler/component/QueryComponent.java:887-923)
+  5. two-phase field fetch: only the winning docids join back to the docmap
+     (GET_FIELDS stage, QueryComponent.java:626-655) via a broadcast join,
+     so document bodies never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index import codec
+from ..index import manifest as manifest_mod
+from . import bm25
+from .query import Query, parse_query
+
+RESULT_SCHEMA = "docid long, score float"
+
+
+def _read_norms(seg_dir: str) -> tuple[np.ndarray, int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(seg_dir, "norms.parquet"))
+    norms = np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
+    return norms, int(t["doc_base"][0].as_py())
+
+
+class _Row:
+    """Decoded-on-demand postings row for one (segment, term)."""
+
+    __slots__ = ("df", "blocks", "positions", "skip_last", "skip_off",
+                 "skip_pos_off", "skip_max_tf", "skip_max_norm", "_full")
+
+    def __init__(self, r: pd.Series):
+        self.df = int(r["df"])
+        self.blocks = r["blocks"]
+        self.positions = r["positions"]
+        self.skip_last = np.asarray(r["skip_last"], dtype=np.int64)
+        self.skip_off = np.asarray(r["skip_off"], dtype=np.int64)
+        self.skip_pos_off = np.asarray(r["skip_pos_off"], dtype=np.int64)
+        self.skip_max_tf = np.asarray(r["skip_max_tf"], dtype=np.int64)
+        self.skip_max_norm = np.asarray(r["skip_max_norm"], dtype=np.int64)
+        self._full = None
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._full is None:
+            self._full = codec.decode_blocks(
+                self.blocks, self.df, self.skip_off, self.skip_last
+            )
+        return self._full
+
+    def lookup(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """tfs for sorted candidate ids; absent ids get tf=0.
+
+        Skip-list path: only blocks that can contain a candidate are decoded
+        (the DocIdSetIterator.advance analog, Lucene41PostingsReader.java:474-510).
+        """
+        if len(ids) == 0:
+            return ids, np.zeros(0, np.int64)
+        if self._full is not None:
+            d, t = self._full
+        else:
+            nblocks = len(self.skip_last)
+            bids = np.searchsorted(self.skip_last, ids, side="left")
+            bids = np.unique(bids[bids < nblocks])
+            d, t = codec.decode_blocks(
+                self.blocks, self.df, self.skip_off, self.skip_last, bids
+            )
+        pos = np.searchsorted(d, ids)
+        pos_c = np.minimum(pos, max(len(d) - 1, 0))
+        present = np.zeros(len(ids), dtype=bool)
+        if len(d):
+            present = d[pos_c] == ids
+        tfs = np.zeros(len(ids), dtype=np.int64)
+        tfs[present] = t[pos_c[present]]
+        return ids, tfs
+
+    def ub(self, cache: np.ndarray, wv: np.float32) -> np.float32:
+        """Term-level score upper bound from per-block (max tf, max norm)."""
+        if self.df == 0:
+            return np.float32(0.0)
+        s = bm25.score_freqs(self.skip_max_tf, self.skip_max_norm, cache, wv)
+        return np.float32(s.max())
+
+    def positions_for(self, ids: np.ndarray) -> list[np.ndarray]:
+        """Per-candidate position arrays (ids sorted, all present)."""
+        nblocks = len(self.skip_last)
+        bids = np.searchsorted(self.skip_last, ids, side="left")
+        out: list[np.ndarray] = []
+        for b in np.unique(bids):
+            d, t = codec.decode_blocks(
+                self.blocks, self.df, self.skip_off, self.skip_last, np.array([b])
+            )
+            plists = codec.decode_positions_for_block(
+                self.positions, t, self.skip_pos_off[b]
+            )
+            sel = ids[bids == b]
+            idx = np.searchsorted(d, sel)
+            for j in idx:
+                out.append(plists[j])
+        return out
+
+
+def _score_segment(
+    pdf: pd.DataFrame,
+    q: Query,
+    seg_meta: dict,
+    wv_by_clause: list,
+    idf_by_term: dict,
+    cache: np.ndarray,
+    k: int,
+    prune: bool,
+) -> pd.DataFrame:
+    seg_name = os.path.basename(os.path.dirname(pdf["_file"].iloc[0].replace("file://", "")))
+    meta = seg_meta[seg_name]
+    norms, doc_base = _read_norms(meta["dir"])
+
+    rows = {t: _Row(r) for t, r in ((r["term"], r) for _, r in pdf.iterrows())}
+
+    clauses = q.clauses
+    n_clauses = len(clauses)
+    required_idx = [i for i, c in enumerate(clauses) if c.required]
+
+    # per-clause candidate (ids, tfs-or-None); phrase handled via freqs
+    cand_ids: np.ndarray | None = None  # candidates when required clauses exist
+
+    def clause_row(c):
+        return rows.get(c.terms[0]) if c.kind == "term" else None
+
+    # ---- required-clause intersection (rarest-first leapfrog) ----
+    if required_idx:
+        for i in required_idx:
+            c = clauses[i]
+            if c.kind == "term" and c.terms[0] not in rows:
+                return _empty_pdf()
+            if c.kind == "phrase" and any(t not in rows for t in c.terms):
+                return _empty_pdf()
+        term_req = [i for i in required_idx if clauses[i].kind == "term"]
+        phrase_req = [i for i in required_idx if clauses[i].kind == "phrase"]
+        order = sorted(term_req, key=lambda i: rows[clauses[i].terms[0]].df)
+        if order:
+            lead = rows[clauses[order[0]].terms[0]]
+            ids, _ = lead.decode_all()
+            cand_ids = ids
+            for i in order[1:]:
+                r = rows[clauses[i].terms[0]]
+                _, tfs = r.lookup(cand_ids)
+                cand_ids = cand_ids[tfs > 0]
+                if len(cand_ids) == 0:
+                    return _empty_pdf()
+        for i in phrase_req:
+            ids_p, _f = _phrase_freqs(clauses[i], rows, cand_ids)
+            cand_ids = ids_p
+            if len(cand_ids) == 0:
+                return _empty_pdf()
+
+    # ---- pure-OR candidate generation with exact MaxScore pruning ----
+    lookup_only: set[int] = set()
+    if cand_ids is None:
+        present = [
+            i
+            for i, c in enumerate(clauses)
+            if (c.kind == "term" and c.terms[0] in rows)
+            or (c.kind == "phrase" and all(t in rows for t in c.terms))
+        ]
+        if not present:
+            return _empty_pdf()
+        ubs = {}
+        for i in present:
+            c = clauses[i]
+            if c.kind == "term":
+                ubs[i] = float(rows[c.terms[0]].ub(cache, wv_by_clause[i]))
+            else:
+                # phrase ub: freq bounded by min term tf ub — use min term ub shape
+                r0 = min((rows[t] for t in c.terms), key=lambda r: r.df)
+                ubs[i] = float(r0.ub(cache, wv_by_clause[i]))
+        order = sorted(present, key=lambda i: -ubs[i])
+        acc_ids = np.zeros(0, np.int64)
+        acc_sc = np.zeros(0, np.float32)
+        for pos_i, i in enumerate(order):
+            rest = order[pos_i:]
+            rest_ub = sum(ubs[j] for j in rest)
+            if prune and len(acc_ids) >= k:
+                theta = float(np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k])
+                if rest_ub < theta:
+                    lookup_only.update(rest)
+                    break
+            c = clauses[i]
+            if c.kind == "term":
+                ids, tfs = rows[c.terms[0]].decode_all()
+                s = bm25.score_freqs(tfs, norms[ids], cache, wv_by_clause[i])
+            else:
+                ids, freqs = _phrase_freqs(c, rows, None)
+                s = bm25.score_freqs(freqs, norms[ids], cache, wv_by_clause[i])
+            both = np.concatenate([acc_ids, ids])
+            merged, inv = np.unique(both, return_inverse=True)
+            sc = np.zeros(len(merged), dtype=np.float32)
+            np.add.at(sc, inv[: len(acc_ids)], acc_sc)
+            np.add.at(sc, inv[len(acc_ids):], s)
+            acc_ids, acc_sc = merged, sc
+        cand_ids = acc_ids
+
+    if len(cand_ids) == 0:
+        return _empty_pdf()
+
+    # ---- prohibited clauses (ReqExclScorer semantics) ----
+    for t in q.must_not:
+        r = rows.get(t)
+        if r is not None:
+            _, tfs = r.lookup(cand_ids)
+            cand_ids = cand_ids[tfs == 0]
+            if len(cand_ids) == 0:
+                return _empty_pdf()
+
+    # ---- exact rescore in original clause order (float32 rank identity) ----
+    n = len(cand_ids)
+    total = np.zeros(n, dtype=np.float32)
+    matched_any = np.zeros(n, dtype=bool)
+    for i, c in enumerate(clauses):
+        contrib = np.zeros(n, dtype=np.float32)
+        if c.kind == "term":
+            r = rows.get(c.terms[0])
+            if r is not None:
+                _, tfs = r.lookup(cand_ids)
+                m = tfs > 0
+                if m.any():
+                    contrib[m] = bm25.score_freqs(
+                        tfs[m], norms[cand_ids[m]], cache, wv_by_clause[i]
+                    )
+                matched_any |= m
+        else:
+            if all(t in rows for t in c.terms):
+                ids_p, freqs = _phrase_freqs(c, rows, cand_ids)
+                if len(ids_p):
+                    pos = np.searchsorted(cand_ids, ids_p)
+                    contrib[pos] = bm25.score_freqs(
+                        freqs, norms[ids_p], cache, wv_by_clause[i]
+                    )
+                    matched_any[pos] = True
+        total = (total + contrib).astype(np.float32)
+
+    keep = matched_any
+    cand_ids, total = cand_ids[keep], total[keep]
+    if len(cand_ids) == 0:
+        return _empty_pdf()
+    sel = np.lexsort((cand_ids, -total))[:k]
+    return pd.DataFrame(
+        {"docid": (cand_ids[sel] + doc_base).astype(np.int64),
+         "score": total[sel].astype(np.float32)}
+    )
+
+
+def _phrase_freqs(clause, rows, cand_ids):
+    """Exact phrase match over (candidate) docs: returns (ids, freqs)."""
+    plist = [rows[t] for t in clause.terms]
+    if cand_ids is None:
+        ids, _ = min(plist, key=lambda r: r.df).decode_all()
+    else:
+        ids = cand_ids
+    for r in plist:
+        _, tfs = r.lookup(ids)
+        ids = ids[tfs > 0]
+        if len(ids) == 0:
+            return ids, np.zeros(0, np.int64)
+    pos_arrays = [r.positions_for(ids) for r in plist]
+    offsets = clause.offsets
+    out_ids, out_freqs = [], []
+    for j in range(len(ids)):
+        base = None
+        for arrs, off in zip(pos_arrays, offsets):
+            cur = arrs[j] - off
+            base = cur if base is None else base[np.isin(base, cur, assume_unique=True)]
+            if len(base) == 0:
+                break
+        if base is not None and len(base):
+            out_ids.append(ids[j])
+            out_freqs.append(len(base))
+    return np.array(out_ids, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
+
+
+def _empty_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"docid": np.zeros(0, np.int64), "score": np.zeros(0, np.float32)})
+
+
+class SparkSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.man = manifest_mod.read_current(index_dir)
+        if self.man is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.max_doc = self.man["fieldstats"]["max_doc"]
+        self.sum_ttf = self.man["fieldstats"]["sum_total_term_freq"]
+        self.seg_meta: dict[str, dict] = {}
+        postings_paths, docmap_paths = [], []
+        for s in self.man["segments"]:
+            d = os.path.join(index_dir, s["path"])
+            self.seg_meta[os.path.basename(d.rstrip("/"))] = {
+                "dir": d,
+                "doc_base": s["doc_base"],
+                "max_doc": s["max_doc"],
+            }
+            postings_paths.append(os.path.join(d, "postings.parquet"))
+            docmap_paths.append(os.path.join(d, "docmap.parquet"))
+        self._postings = (
+            spark.read.parquet(*postings_paths).withColumn("_file", F.input_file_name())
+        )
+        self._docmap_paths = docmap_paths
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(*self._docmap_paths)
+
+    def search(
+        self,
+        query: str | Query,
+        k: int = 10,
+        mode: str = "OR",
+        with_url: bool = True,
+        prune: bool = True,
+    ) -> DataFrame:
+        q = parse_query(query, mode) if isinstance(query, str) else query
+        spark = self.spark
+        empty = spark.createDataFrame(
+            [], "rank int, docid long" + (", url string" if with_url else "") + ", score float"
+        )
+        if not q.clauses:
+            return empty
+
+        terms = sorted(set(q.all_terms))
+        prows = self._postings.where(F.col("term").isin(terms))
+
+        # stage 1: global statistics (collectionStatistics/termStatistics)
+        stats = {
+            r["term"]: int(r["df"])
+            for r in prows.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+        idf_by_term = {
+            t: bm25.idf(stats.get(t, 0), self.max_doc) for t in terms
+        }
+        wv_by_clause = []
+        for c in q.clauses:
+            if c.kind == "term":
+                wv_by_clause.append(bm25.weight_value(idf_by_term[c.terms[0]]))
+            else:
+                s = np.float32(0.0)
+                for t in c.terms:
+                    s = np.float32(s + idf_by_term[t])
+                wv_by_clause.append(bm25.weight_value(s))
+        avgdl = bm25.avg_field_length(self.sum_ttf, self.max_doc)
+        cache = bm25.norm_cache(avgdl)
+
+        # required clause with zero global df -> no results (TermQuery semantics)
+        for c in q.clauses:
+            if c.required:
+                if any(stats.get(t, 0) == 0 for t in c.terms):
+                    return empty
+
+        seg_meta = self.seg_meta
+        qq, wv, idfs, cch, kk, pr = q, wv_by_clause, idf_by_term, cache, k, prune
+
+        def run(key, pdf):
+            return _score_segment(pdf, qq, seg_meta, wv, idfs, cch, kk, pr)
+
+        # stage 2: per-segment partial top-k (parallel leaves, mergeable state)
+        partial = prows.groupBy("_file").applyInPandas(run, RESULT_SCHEMA)
+
+        # stage 3: global merge (TakeOrderedAndProject) + rank
+        topk = partial.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        if with_url:
+            topk = self.docmap().join(F.broadcast(topk), "docid", "inner")
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        cols = ["rank", "docid"] + (["url"] if with_url else []) + ["score"]
+        return (
+            topk.withColumn("rank", F.row_number().over(w))
+            .select(*cols)
+            .orderBy("rank")
+        )
+
+    def search_pdf(self, query, k: int = 10, mode: str = "OR", **kw) -> pd.DataFrame:
+        return self.search(query, k, mode, **kw).toPandas()

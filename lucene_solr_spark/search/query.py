@@ -1,0 +1,91 @@
+"""Minimal Lucene-style boolean query model + parser.
+
+Models the BooleanQuery clause algebra (search/BooleanQuery.java:343-470):
+required (+/AND mode), optional (OR mode, SHOULD), prohibited (-term,
+MUST_NOT) clauses, plus exact quoted phrases (PhraseQuery with
+position-gap-preserving offsets). Scores are plain sums of clause scores —
+coord and queryNorm are 1 for BM25 (similarities/Similarity.java:121,138).
+
+Rewrites applied at parse time (the Query.rewrite fixpoint of
+search/IndexSearcher.java:516-522, here trivially single-pass):
+  - single-term phrase -> term clause
+  - clause analyzed to nothing (stopwords only) -> dropped
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..analysis import analyze_one
+
+
+@dataclass
+class Clause:
+    kind: str  # "term" | "phrase"
+    terms: list[str]
+    offsets: list[int] = field(default_factory=list)  # phrase position offsets
+    required: bool = False
+
+
+@dataclass
+class Query:
+    clauses: list[Clause]
+    must_not: list[str] = field(default_factory=list)
+    min_should_match: int = 0
+
+    @property
+    def all_terms(self) -> list[str]:
+        out = [t for c in self.clauses for t in c.terms]
+        out.extend(self.must_not)
+        return out
+
+
+_SEGMENT_RE = re.compile(r"\"([^\"]*)\"|(\S+)")
+
+
+def parse_query(text: str, mode: str = "OR") -> Query:
+    """Parse free text with optional "quoted phrases", +required, -prohibited.
+
+    mode="AND" makes every non-phrase, non-prefixed clause required
+    (conjunctive); mode="OR" leaves them optional (disjunctive).
+    """
+    required_default = mode.upper() == "AND"
+    clauses: list[Clause] = []
+    must_not: list[str] = []
+    for m in _SEGMENT_RE.finditer(text):
+        phrase, word = m.group(1), m.group(2)
+        if phrase is not None:
+            toks = analyze_one(phrase)
+            if not toks:
+                continue
+            if len(toks) == 1:
+                clauses.append(
+                    Clause("term", [toks[0][0]], required=required_default)
+                )
+            else:
+                base = toks[0][1]
+                clauses.append(
+                    Clause(
+                        "phrase",
+                        [t for t, _ in toks],
+                        offsets=[p - base for _, p in toks],
+                        required=required_default,
+                    )
+                )
+        else:
+            req = required_default
+            neg = False
+            if word.startswith("+"):
+                req, word = True, word[1:]
+            elif word.startswith("-"):
+                neg, word = True, word[1:]
+            toks = analyze_one(word)
+            if not toks:
+                continue
+            for t, _ in toks:
+                if neg:
+                    must_not.append(t)
+                else:
+                    clauses.append(Clause("term", [t], required=req))
+    return Query(clauses, must_not)

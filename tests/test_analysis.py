@@ -1,0 +1,57 @@
+import numpy as np
+import pandas as pd
+
+from lucene_solr_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    analyze_one,
+    html_strip_series,
+    tokenize_series,
+)
+from lucene_solr_spark.corpus import generate_pages
+
+
+def test_stopword_list_is_the_reference_33():
+    # core/StopAnalyzer.java:42-47
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"a", "the", "with", "such", "their"} <= ENGLISH_STOP_WORDS
+
+
+def test_position_gaps():
+    toks = analyze_one("the quick fox is at home")
+    # positions: the=0 quick=1 fox=2 is=3 at=4 home=5; stopwords dropped, gaps kept
+    assert toks == [("quick", 1), ("fox", 2), ("home", 5)]
+
+
+def test_uax29_word_shapes():
+    toks = [t for t, _ in analyze_one("AUDI A4 3.14 example.com can't wi-fi 1,000 x_y")]
+    assert toks == ["audi", "a4", "3.14", "example.com", "can't", "wi", "fi", "1,000", "x_y"]
+
+
+def test_cjk_per_char():
+    toks = [t for t, _ in analyze_one("index 中文网 docs")]
+    assert toks == ["index", "中", "文", "网", "docs"]
+
+
+def test_max_token_length_dropped_but_takes_position():
+    long = "x" * 256
+    toks = analyze_one(f"alpha {long} beta")
+    assert toks == [("alpha", 0), ("beta", 2)]
+
+
+def test_doc_lengths_count_emitted_tokens():
+    flat = tokenize_series(pd.Series(["the quick fox", "", "a an and"]))
+    assert list(flat.attrs["doc_lengths"]) == [2, 0, 0]
+
+
+def test_html_strip_invariant_on_corpus():
+    pdf = generate_pages(300, seed=7)
+    ext = html_strip_series(pdf["html"])
+    assert (ext == pdf["text"]).all()
+
+
+def test_corpus_deterministic():
+    a = generate_pages(100, seed=11)
+    b = generate_pages(100, seed=11)
+    assert a.equals(b)
+    c = generate_pages(100, seed=12)
+    assert not c["text"].equals(a["text"])
