@@ -1,29 +1,31 @@
-"""Distributed index build: one Spark partition = one immutable segment.
+"""Distributed index build: one url-range bucket = one immutable segment.
 
 Mirrors the reference build dataflow, not its thread machinery:
   - one DocumentsWriterPerThread = one private in-RAM segment, no cross-
     thread coordination until flush (index/DocumentsWriterPerThread.java:48,221)
-    -> here: one range partition builds one segment inside a single
-    mapInPandas pass, no shuffle during the build itself
+    -> here: one bucket builds one segment inside a single applyInPandas
+    group; the only shuffle in the whole build is the bucket partitioning
   - in-RAM hash aggregation term -> postings with on-the-fly delta encode
     (index/TermsHashPerField.java:96-121, FreqProxTermsWriterPerField.java:110-147)
     -> numpy lexsort + run-length aggregation + block codec, fully vectorized
   - terms sorted before write (index/FreqProxTermsWriter.java:82-102)
     -> postings.parquet sorted by term (row-group min/max = the term index,
        playing BlockTree/FST's pruning role, codecs/blocktree/BlockTreeTermsWriter.java:163-207)
-  - flush-by-RAM policy (index/FlushByRamOrCountsPolicy.java) -> partition
-    sizing: choose num_segments so a partition's token frame fits an executor
+  - flush-by-RAM policy (index/FlushByRamOrCountsPolicy.java) -> bucket
+    sizing: choose num_segments so a bucket's token frame fits an executor
   - norms: one byte per doc, SmallFloat-encoded field length
     (index/DefaultIndexingChain.java:188-206) -> norms blob per segment
 
-Global docIDs are deterministic: docid = rank of url in lexicographic order
-(range-partition by url + sort within partition + per-partition base offset),
-which fixes the score-tie ordering (search/HitQueue.java:76-81) across any
-cluster size.
+Global docIDs are deterministic: docid = rank of url in lexicographic order.
+Buckets are *explicit url ranges* cut at deterministic (seeded-sample)
+quantile boundaries — unlike repartitionByRange, whose per-job sampling is
+not reproducible — so a resumed build reassigns every row to the same
+bucket and doc_base, and score ties break identically on any cluster size
+(search/HitQueue.java:76-81).
 
 Resumability: each segment directory is finalized with a _COMPLETE.json
 carrying a content fingerprint; a re-run with the same build_id skips
-finished partitions whose fingerprint matches, and the final manifest commit
+finished buckets whose fingerprint matches, and the final manifest commit
 is atomic (manifest.py). This is the Iceberg-snapshot checkpoint model of
 the north star.
 """
@@ -38,6 +40,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from ..analysis import tokenize_series
 from ..search import bm25
@@ -48,6 +51,7 @@ LINEAGE_SCHEMA = (
     "max_doc long, sum_len long, term_count long, postings_bytes long, "
     "first_url string, last_url string, wall_ms long, resumed boolean"
 )
+_LINEAGE_COLS = [c.split(" ")[0] for c in LINEAGE_SCHEMA.split(", ")]
 
 
 def _fingerprint(doc_base: int, n: int, first_url: str, last_url: str) -> str:
@@ -57,14 +61,47 @@ def _fingerprint(doc_base: int, n: int, first_url: str, last_url: str) -> str:
     return h[:16]
 
 
-def _build_segment_pdf(
-    urls: np.ndarray,
-    texts: pd.Series,
-    doc_base: int,
-    with_positions: bool = True,
-) -> dict:
-    """Pure-pandas segment build: returns postings table + norms + stats."""
-    n = len(urls)
+def compute_bucket_bounds(
+    df: DataFrame, url_col: str, num_buckets: int, seed: int = 42
+) -> list[str]:
+    """Deterministic url-range split points from a seeded sample.
+
+    The MapReduceIndexerTool analog of choosing shard ranges up front
+    (solr/contrib/map-reduce/.../SolrCloudPartitioner.java:49-85), except our
+    ranges are lexicographic (docid = url rank) rather than hash slices.
+    """
+    if num_buckets <= 1:
+        return []
+    n = df.count()
+    target = max(num_buckets * 200, 10_000)
+    frac = min(1.0, target / max(n, 1))
+    sample = [r[0] for r in df.select(url_col).sample(frac, seed=seed).collect()]
+    if not sample:
+        return []
+    sample.sort()
+    bounds = []
+    for i in range(1, num_buckets):
+        b = sample[min(len(sample) - 1, (i * len(sample)) // num_buckets)]
+        bounds.append(b)
+    # dedupe (heavy skew could repeat a boundary)
+    return sorted(set(bounds))
+
+
+def _bucket_id_udf(bounds: list[str]):
+    b = np.array(bounds, dtype=object)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_id(urls: pd.Series) -> pd.Series:
+        if len(b) == 0:
+            return pd.Series(np.zeros(len(urls), dtype=np.int32))
+        ids = np.searchsorted(b, urls.to_numpy(), side="left")
+        return pd.Series(ids.astype(np.int32))
+
+    return bucket_id
+
+
+def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
+    """Pure-pandas segment build: postings table + norms + stats (vectorized)."""
     flat = tokenize_series(texts)
     lengths = flat.attrs["doc_lengths"]
     norm_bytes = bm25.encode_norm(lengths)
@@ -78,7 +115,7 @@ def _build_segment_pdf(
     ds = doc_idx[order]
     ps = pos[order]
 
-    # run-length over (term, doc) -> per-posting tf
+    rows = []
     if len(ts):
         new_grp = np.empty(len(ts), dtype=bool)
         new_grp[0] = True
@@ -88,48 +125,36 @@ def _build_segment_pdf(
         tfs_all = (grp_ends - grp_starts).astype(np.int64)
         g_term = ts[grp_starts]
         g_doc = ds[grp_starts]
-        # per-term slices over the (term,doc) groups
         new_term = np.empty(len(grp_starts), dtype=bool)
         new_term[0] = True
         new_term[1:] = g_term[1:] != g_term[:-1]
         t_starts = np.flatnonzero(new_term)
         t_ends = np.append(t_starts[1:], len(grp_starts))
-    else:
-        grp_starts = np.zeros(0, np.int64)
-        tfs_all = np.zeros(0, np.int64)
-        g_term = np.zeros(0, np.int64)
-        g_doc = np.zeros(0, np.int64)
-        t_starts = np.zeros(0, np.int64)
-        t_ends = np.zeros(0, np.int64)
 
-    rows = []
-    for ti in range(len(t_starts)):
-        a, b = t_starts[ti], t_ends[ti]
-        docids_t = g_doc[a:b]
-        tfs_t = tfs_all[a:b]
-        # flat positions for this term: groups a..b are contiguous in ps
-        p0 = grp_starts[a]
-        p1 = grp_starts[b] if b < len(grp_starts) else len(ps)
-        enc = codec.encode_term_postings(
-            docids_t,
-            tfs_t,
-            norm_bytes,
-            ps[p0:p1] if with_positions else None,
-        )
-        rows.append(
-            (
-                term_uniques[g_term[t_starts[ti]]],
-                enc["df"],
-                enc["ttf"],
-                enc["blocks"],
-                enc["positions"],
-                enc["skip_last"].tolist(),
-                enc["skip_off"].tolist(),
-                enc["skip_pos_off"].tolist(),
-                enc["skip_max_tf"].tolist(),
-                enc["skip_max_norm"].tolist(),
+        for ti in range(len(t_starts)):
+            a, b = t_starts[ti], t_ends[ti]
+            p0 = grp_starts[a]
+            p1 = grp_starts[b] if b < len(grp_starts) else len(ps)
+            enc = codec.encode_term_postings(
+                g_doc[a:b],
+                tfs_all[a:b],
+                norm_bytes,
+                ps[p0:p1] if with_positions else None,
             )
-        )
+            rows.append(
+                (
+                    term_uniques[g_term[a]],
+                    enc["df"],
+                    enc["ttf"],
+                    enc["blocks"],
+                    enc["positions"],
+                    enc["skip_last"].tolist(),
+                    enc["skip_off"].tolist(),
+                    enc["skip_pos_off"].tolist(),
+                    enc["skip_max_tf"].tolist(),
+                    enc["skip_max_norm"].tolist(),
+                )
+            )
 
     postings = pd.DataFrame(
         rows,
@@ -155,7 +180,7 @@ def _build_segment_pdf(
     }
 
 
-def _write_segment(seg_dir: str, built: dict, urls: np.ndarray, doc_base: int) -> int:
+def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray, doc_base: int) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -210,110 +235,83 @@ def build_index(
     url_col: str = "url",
     text_col: str = "text",
     build_id: str = "b0",
+    seed: int = 42,
     fail_after_partitions: int | None = None,
 ) -> dict:
     """Build (or resume) an index over ``corpus`` and commit a manifest.
 
-    ``fail_after_partitions`` injects a crash for resume tests: only that
-    many partitions are built, then the driver raises before commit.
+    ``fail_after_partitions`` injects a crash for resume tests: buckets with
+    id >= the value are not built and the driver raises before commit.
     """
     if num_segments is None:
         num_segments = spark.sparkContext.defaultParallelism
 
-    df = (
-        corpus.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
-        .repartitionByRange(num_segments, "url")
-        .sortWithinPartitions("url")
-        .persist()
-    )
-    try:
-        counts = (
-            df.select(F.spark_partition_id().alias("pid"))
-            .groupBy("pid")
-            .count()
-            .collect()
-        )
-        by_pid = {r["pid"]: r["count"] for r in counts}
-        bases: dict[int, int] = {}
-        acc = 0
-        for pid in range(num_segments):
-            bases[pid] = acc
-            acc += by_pid.get(pid, 0)
-        total_docs = acc
+    base_df = corpus.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+    bounds = compute_bucket_bounds(base_df, "url", num_segments, seed=seed)
+    n_buckets = len(bounds) + 1
+    df = base_df.withColumn("pid", _bucket_id_udf(bounds)(F.col("url")))
 
-        seg_root = os.path.join(index_dir, "segments")
-        os.makedirs(seg_root, exist_ok=True)
-        bases_bc = spark.sparkContext.broadcast(bases)
+    counts = df.groupBy("pid").count().collect()
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid in range(n_buckets):
+        bases[pid] = acc
+        acc += by_pid.get(pid, 0)
+    total_docs = acc
 
-        def build_partitions(it):
-            chunks = []
-            pid = None
-            for pdf in it:
-                if len(pdf):
-                    pid = int(pdf["pid"].iloc[0])
-                chunks.append(pdf)
-            if pid is None:
-                return
-            t0 = time.time()
-            pdf = pd.concat(chunks, ignore_index=True)
-            doc_base = bases_bc.value[pid]
-            if fail_after_partitions is not None and pid >= fail_after_partitions:
-                return  # simulated crash: this partition never completes
-            urls = pdf["url"].to_numpy()
-            n = len(urls)
-            seg_id = f"{build_id}_{pid:05d}"
-            seg_dir = os.path.join(seg_root, f"seg_{seg_id}")
-            fp = _fingerprint(doc_base, n, urls[0], urls[-1])
-            marker = os.path.join(seg_dir, "_COMPLETE.json")
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    meta = json.load(f)
-                if meta.get("fingerprint") == fp:
-                    meta["resumed"] = True
-                    yield pd.DataFrame([meta])[
-                        [c.split(" ")[0] for c in LINEAGE_SCHEMA.split(", ")]
-                    ]
-                    return
-            built = _build_segment_pdf(urls, pdf["text"], doc_base)
-            postings_bytes = _write_segment(seg_dir, built, urls, doc_base)
-            meta = {
-                "segment_id": seg_id,
-                "path": os.path.relpath(seg_dir, index_dir),
-                "partition_id": pid,
-                "doc_base": doc_base,
-                "max_doc": n,
-                "sum_len": built["sum_len"],
-                "term_count": built["term_count"],
-                "postings_bytes": postings_bytes,
-                "first_url": urls[0],
-                "last_url": urls[-1],
-                "wall_ms": int((time.time() - t0) * 1000),
-                "resumed": False,
-                "fingerprint": fp,
-            }
-            with open(marker + ".tmp", "w") as f:
-                json.dump(meta, f)
-            os.rename(marker + ".tmp", marker)
-            out = dict(meta)
-            out.pop("fingerprint")
-            yield pd.DataFrame([out])
+    seg_root = os.path.join(index_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    bases_bc = spark.sparkContext.broadcast(bases)
 
-        lineage = (
-            df.withColumn("pid", F.spark_partition_id())
-            .mapInPandas(build_partitions, schema=LINEAGE_SCHEMA)
-            .collect()
-        )
-    finally:
-        df.unpersist()
+    def build_bucket(key, pdf):
+        pid = int(key[0])
+        if fail_after_partitions is not None and pid >= fail_after_partitions:
+            return pd.DataFrame(columns=_LINEAGE_COLS)  # simulated crash
+        t0 = time.time()
+        pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+        urls = pdf["url"].to_numpy()
+        n = len(urls)
+        doc_base = bases_bc.value[pid]
+        seg_id = f"{build_id}_{pid:05d}"
+        seg_dir = os.path.join(seg_root, f"seg_{seg_id}")
+        fp = _fingerprint(doc_base, n, urls[0], urls[-1])
+        marker = os.path.join(seg_dir, "_COMPLETE.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == fp:
+                meta["resumed"] = True
+                return pd.DataFrame([meta])[_LINEAGE_COLS]
+        built = _build_segment_pdf(pdf["text"])
+        postings_bytes = write_segment_files(seg_dir, built, urls, doc_base)
+        meta = {
+            "segment_id": seg_id,
+            "path": os.path.relpath(seg_dir, index_dir),
+            "partition_id": pid,
+            "doc_base": doc_base,
+            "max_doc": n,
+            "sum_len": built["sum_len"],
+            "term_count": built["term_count"],
+            "postings_bytes": postings_bytes,
+            "first_url": str(urls[0]),
+            "last_url": str(urls[-1]),
+            "wall_ms": int((time.time() - t0) * 1000),
+            "resumed": False,
+            "fingerprint": fp,
+        }
+        with open(marker + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.rename(marker + ".tmp", marker)
+        return pd.DataFrame([meta])[_LINEAGE_COLS]
 
-    if fail_after_partitions is not None:
+    lineage = df.groupBy("pid").applyInPandas(build_bucket, LINEAGE_SCHEMA).collect()
+
+    expected = len([p for p in range(n_buckets) if by_pid.get(p, 0) > 0])
+    if fail_after_partitions is not None or len(lineage) != expected:
         raise RuntimeError(
-            f"injected failure after {len(lineage)} partitions (resume test)"
-        )
-    if len(lineage) != len([p for p in range(num_segments) if by_pid.get(p, 0) > 0]):
-        raise RuntimeError(
-            f"segment build incomplete: {len(lineage)} lineage rows for "
-            f"{num_segments} partitions"
+            f"injected failure / incomplete build: {len(lineage)}/{expected} "
+            f"segments completed (resume by re-running with the same build_id)"
         )
 
     segments = []
