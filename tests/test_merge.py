@@ -1,0 +1,85 @@
+"""Tiered merge: plan scoring, execution, and post-merge rank identity."""
+
+import os
+import shutil
+
+import numpy as np
+
+from tests.conftest import CACHE
+
+
+def _build(spark, pages, idx, nseg):
+    from lucene_solr_spark.index.build import build_index
+
+    shutil.rmtree(idx, ignore_errors=True)
+    sdf = spark.createDataFrame(pages[["url", "text"]])
+    return build_index(spark, sdf, idx, num_segments=nseg, build_id="m0")
+
+
+def test_plan_respects_budget_and_adjacency():
+    from lucene_solr_spark.index.merge import plan_merges
+
+    segs = [
+        {"segment_id": f"s{i}", "doc_base": i * 100, "max_doc": 100,
+         "postings_bytes": 50_000}
+        for i in range(12)
+    ]
+    groups = plan_merges(segs, max_merge_at_once=4, segs_per_tier=2.0,
+                         floor_bytes=4096)
+    assert groups and 2 <= len(groups[0]) <= 4
+    ids = [int(s[1:]) for s in groups[0]]
+    assert ids == list(range(ids[0], ids[0] + len(ids)))  # adjacent
+
+    # few segments -> no merge needed
+    assert plan_merges(segs[:2], segs_per_tier=10.0) == []
+
+
+def test_merge_preserves_results(spark, pages_small, oracle_small):
+    from lucene_solr_spark.index import manifest as mf
+    from lucene_solr_spark.index.merge import maybe_merge
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx = os.path.join(CACHE, "idx_merge")
+    man0 = _build(spark, pages_small, idx, 12)
+    assert len(man0["segments"]) == 12
+
+    man1 = maybe_merge(
+        spark, idx, max_merge_at_once=4, segs_per_tier=2.0, floor_bytes=4096
+    )
+    assert len(man1["segments"]) < 12
+    assert man1["generation"] > man0["generation"]
+    assert man1["fieldstats"] == man0["fieldstats"]
+    # doc ranges stay a contiguous partition of [0, total)
+    segs = sorted(man1["segments"], key=lambda s: s["doc_base"])
+    acc = 0
+    for s in segs:
+        assert s["doc_base"] == acc
+        acc += s["max_doc"]
+    assert acc == man0["fieldstats"]["max_doc"]
+    # merged lineage recorded
+    assert any("merged_from" in s["lineage"] for s in man1["segments"])
+
+    s = SparkSearcher(spark, idx)
+    for q, mode in [("babe kala", "OR"), ("babe kala", "AND"), ("babe", "OR")]:
+        res = s.search_pdf(q, k=10, mode=mode)
+        exp = oracle_small.search(q, 10, mode)
+        np.testing.assert_array_equal(res["docid"].to_numpy(), exp["docid"].to_numpy())
+        np.testing.assert_array_equal(
+            res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+        )
+
+
+def test_force_merge_single_segment(spark, pages_small, oracle_small):
+    from lucene_solr_spark.index.merge import force_merge
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx = os.path.join(CACHE, "idx_force_merge")
+    _build(spark, pages_small, idx, 7)
+    man = force_merge(spark, idx, max_segments=1)
+    assert len(man["segments"]) == 1
+    res = SparkSearcher(spark, idx).search_pdf("babe kala roro", k=10)
+    exp = oracle_small.search("babe kala roro", 10, "OR")
+    np.testing.assert_array_equal(res["docid"].to_numpy(), exp["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+    )
