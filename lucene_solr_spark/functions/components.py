@@ -1,0 +1,190 @@
+"""Solr search-component analogs as native Spark DataFrame plans.
+
+Each function maps one reference component to the idiomatic Catalyst plan
+(SURVEY.md §2.9): the facet/stats/grouping layer of Solr becomes
+filter + groupBy + window, with broadcast joins for doc-set intersection.
+References per function docstring. Everything is built-in F.* expressions —
+JVM-side, codegen'd, shuffle only on the grouping keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sqltext import tokens
+
+
+def _matching_docs(docs: DataFrame, term: str) -> DataFrame:
+    """DocSet of a term filter: semi-join docs against the token relation
+    (SimpleFacets computes facets over the filtered DocSet,
+    solr/core/src/java/org/apache/solr/request/SimpleFacets.java:256-369)."""
+    hits = tokens(docs).where(F.col("term") == term).select("doc_id").distinct()
+    return docs.join(F.broadcast(hits), "doc_id", "inner")
+
+
+def facet_field(docs: DataFrame, term: str, facet_col: str, limit: int = 20) -> DataFrame:
+    """facet.field: term counts over the result DocSet (SimpleFacets.java:331)."""
+    return (
+        _matching_docs(docs, term)
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("facet"))
+        .limit(limit)
+    )
+
+
+def facet_range(docs: DataFrame, term: str, num_col: str, gap: int) -> DataFrame:
+    """facet.range: bucketed counts (SimpleFacets.getFacetRangeCounts, :243)."""
+    return (
+        _matching_docs(docs, term)
+        .groupBy((F.floor(F.col(num_col) / gap) * gap).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def facet_query(docs: DataFrame, preds: dict[str, str]) -> DataFrame:
+    """facet.query: conditional counts per named predicate (SimpleFacets.java:276)."""
+    aggs = [
+        F.sum(F.when(F.expr(p), 1).otherwise(0)).alias(name)
+        for name, p in preds.items()
+    ]
+    return docs.agg(*aggs)
+
+
+def pivot_facet(docs: DataFrame, col1: str, col2: str, limit: int = 50) -> DataFrame:
+    """pivot facet: nested field1->field2 counts
+    (solr/core/.../handler/component/PivotFacetProcessor.java)."""
+    return (
+        docs.groupBy(F.col(col1).alias("f1"), F.col(col2).alias("f2"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "f1", "f2")
+        .limit(limit)
+    )
+
+
+def stats_component(docs: DataFrame, num_col: str, by: str) -> DataFrame:
+    """StatsComponent: min/max/sum/count/mean/stddev per facet value
+    (solr/core/.../handler/component/StatsValuesFactory.java:110-246)."""
+    return (
+        docs.groupBy(F.col(by).alias("facet"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(num_col).alias("min_v"),
+            F.max(num_col).alias("max_v"),
+            F.sum(num_col).cast("long").alias("sum_v"),
+            F.round(F.avg(num_col) * 1000).cast("long").alias("mean_milli"),
+            F.round(F.stddev_samp(num_col) * 1000).cast("long").alias("stddev_milli"),
+            F.countDistinct(num_col).alias("distinct_v"),
+        )
+        .orderBy("facet")
+    )
+
+
+def grouping_topk(docs: DataFrame, term: str, group_col: str, k: int = 2) -> DataFrame:
+    """Grouping module two-pass top-k-per-group, as one window
+    (lucene/grouping/.../AbstractSecondPassGroupingCollector.java); ranked by
+    the term's tf in the doc, tie-break doc_id asc."""
+    tf = (
+        tokens(docs)
+        .where(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    j = docs.join(F.broadcast(tf), "doc_id", "inner")
+    w = Window.partitionBy(group_col).orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col(group_col).alias("grp"), "doc_id", "tf", "rn")
+        .orderBy("grp", "rn")
+    )
+
+
+def collapse_top1(docs: DataFrame, group_col: str, sort_col: str) -> DataFrame:
+    """CollapsingQParserPlugin: field-collapse keeping the max-sort doc
+    (solr/core/.../search/CollapsingQParserPlugin.java)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(sort_col), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(group_col).alias("grp"), "doc_id", F.col(sort_col).alias("sort_v"))
+        .orderBy("grp")
+    )
+
+
+def terms_component(docs: DataFrame, prefix: str, limit: int = 30) -> DataFrame:
+    """TermsComponent: dictionary scan by prefix -> (term, df, ttf)
+    (solr/core/.../handler/component/TermsComponent.java). On the segment
+    index this is a postings-metadata scan; here over the token relation."""
+    return (
+        tokens(docs)
+        .where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("ttf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def fuzzy_terms(docs: DataFrame, target: str, max_edits: int = 1) -> DataFrame:
+    """FuzzyQuery term expansion: dictionary terms within edit distance
+    (search/FuzzyQuery.java:54-56, FuzzyTermsEnum) -> (term, df)."""
+    return (
+        tokens(docs)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.levenshtein(F.col("term"), F.lit(target)) <= max_edits)
+        .orderBy("term")
+    )
+
+
+def dismax_topk(docs: DataFrame, term_a: str, term_b: str, k: int = 10,
+                tie_milli: int = 100) -> DataFrame:
+    """DisjunctionMaxQuery: max clause score + tieBreaker * others
+    (search/DisjunctionMaxQuery.java:45-54), on integer tf*1000 impacts so
+    the result is exactly reproducible in any engine."""
+    t = (
+        tokens(docs)
+        .where(F.col("term").isin([term_a, term_b]))
+        .groupBy("doc_id")
+        .pivot("term", [term_a, term_b])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+        .withColumnRenamed(term_a, "tf_a")
+        .withColumnRenamed(term_b, "tf_b")
+    )
+    mx = F.greatest(F.col("tf_a"), F.col("tf_b")) * 1000
+    mn = F.least(F.col("tf_a"), F.col("tf_b")) * tie_milli
+    return (
+        t.withColumn("dismax_milli", (mx + mn).cast("long"))
+        .where(F.col("dismax_milli") > 0)
+        .select("doc_id", "tf_a", "tf_b", "dismax_milli")
+        .orderBy(F.desc("dismax_milli"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boolean_not_count(docs: DataFrame, must: str, must_not: str) -> DataFrame:
+    """ReqExclScorer (AND NOT) as semi-join + anti-join (search/ReqExclScorer.java)."""
+    toks = tokens(docs)
+    pos = toks.where(F.col("term") == must).select("doc_id").distinct()
+    neg = toks.where(F.col("term") == must_not).select("doc_id").distinct()
+    return (
+        pos.join(neg, "doc_id", "left_anti")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def join_query(docs: DataFrame, term: str, join_col: str) -> DataFrame:
+    """JoinUtil query-time join: docs whose ``join_col`` value appears in the
+    docs matching ``term`` (lucene/join/.../JoinUtil.java) -> count per value."""
+    hit_vals = (
+        _matching_docs(docs, term).select(join_col).distinct()
+    )
+    return (
+        docs.join(F.broadcast(hit_vals), join_col, "left_semi")
+        .groupBy(F.col(join_col).alias("join_val"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("join_val")
+    )

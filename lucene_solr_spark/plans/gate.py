@@ -1,0 +1,561 @@
+"""Correctness-gate query registry: every operator claimed in SURVEY.md §2
+exposed as (Spark plan, equivalent ANSI-SQL oracle) pairs over the shared
+testdata tables (documents / embeddings / lineitem / orders).
+
+Design rules that make cross-engine equality *exact*:
+  - outputs are integers/strings only; floats leave as round(x*1000)::bigint
+  - the token relation is the SQL-expressible analyzer profile
+    (functions/sqltext.py) — identical in Spark and DuckDB
+  - BM25 queries run the REAL segment-index engine (index built over the
+    documents table, docid == doc_id by construction); the oracle recomputes
+    BM25 in pure SQL including the lossy SmallFloat length quantization,
+    via an inline (lo, hi, qlen) range table generated from the same
+    minifloat code (util/SmallFloat.java:78-99 semantics)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import components as C
+from ..functions import dedup as D
+from ..functions import textstats as X
+from ..functions import similarity as S
+from ..functions.sqltext import sql_stoplist, sql_tokens_cte
+from ..search import bm25
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CACHE = os.path.join(_REPO, ".cache")
+
+K1, B = 1.2, 0.75
+
+
+# ---------------------------------------------------------------------------
+# shared inputs
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def gate_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once, resumable) the segment index over documents; docid==doc_id
+    because url = zero-padded doc_id and doc ids are dense from 0."""
+    import hashlib
+
+    from ..index import manifest as mf
+    from ..index.build import build_index
+    from ..search.engine import SparkSearcher
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join(_CACHE, f"gate_index_{key}")
+    if mf.read_current(idx) is None:
+        corpus = _docs(spark, sf_dir).select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(spark, corpus, idx, num_segments=4, build_id="gate")
+    return SparkSearcher(spark, idx)
+
+
+def _engine_topk(spark, sf_dir, query, mode, k) -> DataFrame:
+    s = gate_searcher(spark, sf_dir)
+    res = s.search(query, k=k, mode=mode, with_url=False)
+    return res.select(
+        F.col("docid").alias("doc_id"),
+        F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+    ).orderBy("doc_id")
+
+
+def _norm_range_values(max_len: int = 2_000_000) -> str:
+    """Inline (lo, hi, qlen) rows: SmallFloat-quantized length per raw length."""
+    lens = np.arange(1, max_len + 1, dtype=np.int64)
+    bts = bm25.encode_norm(lens)
+    qlen = bm25.NORM_TABLE[bts].astype(np.float64)
+    change = np.flatnonzero(np.diff(bts)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(lens)]])
+    rows = [
+        f"({int(lens[s])},{int(lens[e-1])},{qlen[s]!r})" for s, e in zip(starts, ends)
+    ]
+    # lengths beyond max_len saturate to the last bucket (not hit in testdata)
+    rows[-1] = f"({int(lens[starts[-1]])},{1 << 60},{qlen[starts[-1]]!r})"
+    return ", ".join(rows)
+
+
+def _bm25_sql(terms: list[str], k: int, conjunctive: bool) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    need = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+    return f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+dfr AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({tlist}) GROUP BY term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+              * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) ) AS score
+  FROM tf
+  JOIN dfr USING (term)
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+  {need}
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT {k})
+ORDER BY doc_id
+"""
+
+
+def _phrase_sql(t1: str, t2: str, k: int) -> str:
+    """Engine phrase scoring: freq = adjacency count, weight = sum of idfs."""
+    return f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+ph AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
+  GROUP BY a.doc_id
+),
+dfr AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('{t1}', '{t2}') GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5))) AS widf
+  FROM dfr
+),
+scores AS (
+  SELECT ph.doc_id,
+         i.widf * {K1 + 1} * ph.freq
+           / (ph.freq + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) AS score
+  FROM ph JOIN qdl q ON ph.doc_id = q.doc_id
+  CROSS JOIN consts c CROSS JOIN idfsum i
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT {k})
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+TOKS = f"WITH {sql_tokens_cte('documents')}"
+
+
+def _registry():
+    R = {}
+
+    # ---- BM25 top-k through the real engine --------------------------------
+    R["bm25_term_topk"] = (
+        lambda spark, sf: _engine_topk(spark, sf, "dup", "OR", 10),
+        _bm25_sql(["dup"], 10, False),
+    )
+    R["bm25_and_topk"] = (
+        lambda spark, sf: _engine_topk(spark, sf, "dup merge", "AND", 10),
+        _bm25_sql(["dup", "merge"], 10, True),
+    )
+    R["bm25_or_topk"] = (
+        lambda spark, sf: _engine_topk(spark, sf, "dup merge window", "OR", 10),
+        _bm25_sql(["dup", "merge", "window"], 10, False),
+    )
+    R["bm25_phrase_topk"] = (
+        lambda spark, sf: _engine_topk(spark, sf, '"table hash"', "OR", 10),
+        _phrase_sql("table", "hash", 10),
+    )
+
+    # ---- dictionary / term-level ------------------------------------------
+    R["terms_component_prefix"] = (
+        lambda spark, sf: C.terms_component(_docs(spark, sf), "s", 30),
+        f"""{TOKS},
+agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+        FROM toks WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df, ttf FROM agg ORDER BY df DESC, term LIMIT 30""",
+    )
+    R["fuzzy_terms"] = (
+        lambda spark, sf: C.fuzzy_terms(_docs(spark, sf), "part", 1),
+        f"""{TOKS},
+agg AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM agg WHERE levenshtein(term, 'part') <= 1 ORDER BY term""",
+    )
+
+    # ---- facets / stats / grouping ----------------------------------------
+    R["facet_field_lang"] = (
+        lambda spark, sf: C.facet_field(_docs(spark, sf), "dup", "lang"),
+        f"""{TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')
+SELECT d.lang AS facet, count(*) AS cnt
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, facet LIMIT 20""",
+    )
+    R["facet_range_nchars"] = (
+        lambda spark, sf: C.facet_range(_docs(spark, sf), "merge", "n_chars", 100),
+        f"""{TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket, count(*) AS cnt
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY bucket""",
+    )
+    R["facet_query_counts"] = (
+        lambda spark, sf: C.facet_query(
+            _docs(spark, sf),
+            {
+                "short_docs": "n_chars < 200",
+                "long_docs": "n_chars >= 400",
+                "en_docs": "lang = 'en'",
+            },
+        ),
+        """SELECT sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs,
+       sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS long_docs,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs
+FROM documents""",
+    )
+    R["pivot_facet_lang_source"] = (
+        lambda spark, sf: C.pivot_facet(_docs(spark, sf), "lang", "source", 50),
+        """SELECT lang AS f1, source AS f2, count(*) AS cnt FROM documents
+GROUP BY 1, 2 ORDER BY cnt DESC, f1, f2 LIMIT 50""",
+    )
+    R["stats_component_nchars"] = (
+        lambda spark, sf: C.stats_component(_docs(spark, sf), "n_chars", "lang"),
+        """SELECT lang AS facet, count(*) AS cnt,
+       min(n_chars) AS min_v, max(n_chars) AS max_v,
+       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       CAST(ROUND(avg(n_chars) * 1000) AS BIGINT) AS mean_milli,
+       CAST(ROUND(stddev_samp(n_chars) * 1000) AS BIGINT) AS stddev_milli,
+       count(DISTINCT n_chars) AS distinct_v
+FROM documents GROUP BY lang ORDER BY facet""",
+    )
+    R["grouping_top2_per_source"] = (
+        lambda spark, sf: C.grouping_topk(_docs(spark, sf), "dup", "source", 2),
+        f"""{TOKS},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'dup' GROUP BY doc_id),
+j AS (SELECT d.source, d.doc_id, tf.tf,
+      row_number() OVER (PARTITION BY d.source ORDER BY tf.tf DESC, d.doc_id) AS rn
+      FROM documents d JOIN tf USING (doc_id))
+SELECT source AS grp, doc_id, tf, CAST(rn AS INT) AS rn FROM j WHERE rn <= 2
+ORDER BY grp, rn""",
+    )
+    R["collapse_top1_per_source"] = (
+        lambda spark, sf: C.collapse_top1(_docs(spark, sf), "source", "n_chars"),
+        """SELECT source AS grp, doc_id, n_chars AS sort_v
+FROM (SELECT source, doc_id, n_chars,
+      row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+WHERE rn = 1 ORDER BY grp""",
+    )
+    R["dismax_topk"] = (
+        lambda spark, sf: C.dismax_topk(_docs(spark, sf), "dup", "window", 10),
+        f"""{TOKS},
+tfp AS (SELECT doc_id,
+        sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS tf_a,
+        sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS tf_b
+        FROM toks WHERE term IN ('dup','window') GROUP BY doc_id)
+SELECT doc_id, tf_a, tf_b,
+       CAST(greatest(tf_a, tf_b) * 1000 + least(tf_a, tf_b) * 100 AS BIGINT) AS dismax_milli
+FROM tfp WHERE greatest(tf_a, tf_b) > 0
+ORDER BY dismax_milli DESC, doc_id LIMIT 10""",
+    )
+    R["boolean_not_count"] = (
+        lambda spark, sf: C.boolean_not_count(_docs(spark, sf), "dup", "window"),
+        f"""{TOKS},
+pos AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT count(*) AS cnt FROM pos WHERE doc_id NOT IN (SELECT doc_id FROM neg)""",
+    )
+    R["join_query_source"] = (
+        lambda spark, sf: C.join_query(_docs(spark, sf), "dup", "source"),
+        f"""{TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+vals AS (SELECT DISTINCT d.source FROM documents d JOIN hits USING (doc_id))
+SELECT d.source AS join_val, count(*) AS cnt
+FROM documents d JOIN vals v ON d.source = v.source
+GROUP BY d.source ORDER BY join_val""",
+    )
+
+    # ---- numeric range (NumericRangeQuery -> native predicates) ------------
+    R["numeric_range_events"] = (
+        lambda spark, sf: (
+            spark.read.parquet(os.path.join(sf, "events.parquet"))
+            .where((F.col("value") >= 10) & (F.col("value") < 50))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("value") * 1000).cast("long").alias("sum_milli"),
+            )
+            .orderBy("event_type")
+        ),
+        """SELECT event_type, count(*) AS cnt,
+       CAST(ROUND(sum(value) * 1000) AS BIGINT) AS sum_milli
+FROM events WHERE value >= 10 AND value < 50
+GROUP BY event_type ORDER BY event_type""",
+    )
+    R["range_join_stats_tpch"] = (
+        lambda spark, sf: (
+            spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+            .join(
+                F.broadcast(
+                    spark.read.parquet(os.path.join(sf, "orders.parquet")).where(
+                        F.col("o_orderstatus") == "F"
+                    )
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                )
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .orderBy("l_returnflag")
+        ),
+        """SELECT l_returnflag, count(*) AS cnt,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    )
+
+    # ---- dedup -------------------------------------------------------------
+    R["dedup_exact"] = (
+        lambda spark, sf: D.exact_duplicate_groups(_docs(spark, sf)),
+        """SELECT md5(text) AS sig, count(*) AS cnt, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY sig""",
+    )
+    R["dedup_prefix"] = (
+        lambda spark, sf: D.prefix_duplicate_groups(_docs(spark, sf), 80),
+        """SELECT md5(substr(text, 1, 80)) AS sig, count(*) AS cnt, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY sig""",
+    )
+    _SHINGLES = """
+sh0 AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)"""
+    _MINHASH = """
+mh AS (SELECT doc_id,
+       min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+       min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+       min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+       min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+       FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh UNION ALL
+  SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh UNION ALL
+  SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh UNION ALL
+  SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh)"""
+    R["minhash_lsh_pairs"] = (
+        lambda spark, sf: D.lsh_candidate_pairs_md5(_docs(spark, sf), 8, 4, 3),
+        f"""{TOKS},{_SHINGLES},{_MINHASH}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS band_hits
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    )
+    R["ngram_jaccard_near"] = (
+        lambda spark, sf: D.ngram_jaccard_pairs(
+            _docs(spark, sf),
+            _docs(spark, sf)
+            .select(F.col("doc_id").alias("doc_a"))
+            .where(F.col("doc_a") < 20)
+            .crossJoin(
+                _docs(spark, sf).select(F.col("doc_id").alias("doc_b")).where(
+                    (F.col("doc_b") >= 20) & (F.col("doc_b") < 40)
+                )
+            ),
+            3,
+            0,
+        ),
+        f"""{TOKS},{_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM documents a CROSS JOIN documents b
+          WHERE a.doc_id < 20 AND b.doc_id >= 20 AND b.doc_id < 40),
+inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.doc_a
+          JOIN sh sb ON sb.doc_id = p.doc_b AND sa.shingle = sb.shingle
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.inter,
+       CAST(ROUND(1000.0 * i.inter / (za.n_sh + zb.n_sh - i.inter)) AS BIGINT) AS jaccard_milli
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+ORDER BY doc_a, doc_b""",
+    )
+    _SIMHASH_DIG = ",\n".join(
+        f"strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1 AS d{d}" for d in range(4)
+    )
+    _SIMHASH_SUMS = ",\n".join(
+        f"sum(CASE WHEN CAST(floor(d{b // 4} / {2 ** (b % 4)}) AS BIGINT) % 2 = 1 "
+        f"THEN tf ELSE -tf END) AS s{b}"
+        for b in range(16)
+    )
+    _SIMHASH_VAL = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+    )
+    R["simhash16"] = (
+        lambda spark, sf: D.simhash16(_docs(spark, sf)),
+        f"""{TOKS},
+tfr AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+hx AS (SELECT doc_id, tf, md5(term) AS h FROM tfr),
+dg AS (SELECT doc_id, tf, {_SIMHASH_DIG} FROM hx),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM dg GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM sums ORDER BY doc_id""",
+    )
+
+    # ---- text analytics ----------------------------------------------------
+    _STOPLIST = sql_stoplist()
+    R["token_counts"] = (
+        lambda spark, sf: X.token_counts(_docs(spark, sf)),
+        f"""SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       t -> t IN ({_STOPLIST}))) AS n_stop
+FROM documents ORDER BY doc_id""",
+    )
+    R["quality_score"] = (
+        lambda spark, sf: X.quality_score(_docs(spark, sf)),
+        f"""WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_calc,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         x -> x IN ({_STOPLIST}))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(ROUND(1000 * (
+         0.4 * least((n_chars_calc / greatest(n_tokens, 1)) / 8.0, 1.0)
+       + 0.3 * (n_distinct / greatest(n_tokens, 1))
+       + 0.3 * least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0))) AS BIGINT) AS quality_milli
+FROM t ORDER BY doc_id""",
+    )
+    R["lang_id"] = (
+        lambda spark, sf: X.lang_id(_docs(spark, sf)),
+        f"""WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_all,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         x -> x IN ({_STOPLIST}))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       CAST(ROUND(1000.0 * n_stop / greatest(n_all, 1)) AS BIGINT) AS stop_milli,
+       CASE WHEN ROUND(1000.0 * n_stop / greatest(n_all, 1)) >= 80
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM t ORDER BY doc_id""",
+    )
+    R["fingerprint"] = (
+        lambda spark, sf: X.fingerprint(_docs(spark, sf)),
+        f"""{TOKS},
+prof AS (SELECT doc_id, string_agg(DISTINCT term, ' ' ORDER BY term) AS profile
+         FROM toks GROUP BY doc_id)
+SELECT doc_id, substr(md5(profile), 1, 16) AS sig FROM prof ORDER BY doc_id""",
+    )
+
+    # ---- similarity search -------------------------------------------------
+    def _qvec(spark, sf):
+        row = _emb(spark, sf).where(F.col("vec_id") == 7).select("embedding").first()
+        return [float(x) for x in row["embedding"]]
+
+    _COS_SQL = """
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+expand AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS v,
+         unnest((SELECT qv FROM q))::DOUBLE AS qx
+  FROM embeddings e WHERE e.vec_id <> 7
+),
+dots AS (
+  SELECT vec_id, sum(v * qx) AS dot, sqrt(sum(v * v)) AS na
+  FROM expand GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qx * qx)) AS nq
+       FROM (SELECT unnest(qv)::DOUBLE AS qx FROM q))
+"""
+    R["ann_brute_cosine"] = (
+        lambda spark, sf: S.brute_force_topk(_emb(spark, sf), _qvec(spark, sf), 10, 7),
+        f"""WITH {_COS_SQL.strip().lstrip()}
+SELECT vec_id, CAST(ROUND(1000 * dot / (na * (SELECT nq FROM qn))) AS BIGINT) AS cos_milli
+FROM dots
+ORDER BY cos_milli DESC, vec_id LIMIT 10""",
+    )
+    R["ann_ivf_cosine"] = (
+        lambda spark, sf: S.ivf_topk(_emb(spark, sf), _qvec(spark, sf), 10, 2, "label", 7),
+        f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+cent AS (
+  SELECT label, dim, avg(v) AS c FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS v
+    FROM embeddings) GROUP BY label, dim
+),
+qd AS (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv)::DOUBLE AS qx FROM q),
+ccos AS (
+  SELECT c.label, sum(c.c * qd.qx) / (sqrt(sum(c.c * c.c)) * sqrt((SELECT sum(qx * qx) FROM qd))) AS cc
+  FROM cent c JOIN qd USING (dim) GROUP BY c.label
+),
+probed AS (SELECT label FROM ccos ORDER BY cc DESC, label LIMIT 2),
+expand AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS v,
+         unnest((SELECT qv FROM q))::DOUBLE AS qx
+  FROM embeddings e
+  WHERE e.label IN (SELECT label FROM probed) AND e.vec_id <> 7
+),
+dots AS (SELECT vec_id, sum(v * qx) AS dot, sqrt(sum(v * v)) AS na FROM expand GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(qx * qx)) AS nq
+       FROM (SELECT unnest(qv)::DOUBLE AS qx FROM q))
+SELECT vec_id, CAST(ROUND(1000 * dot / (na * (SELECT nq FROM qn))) AS BIGINT) AS cos_milli
+FROM dots ORDER BY cos_milli DESC, vec_id LIMIT 10""",
+    )
+
+    return R
+
+
+_R = None
+
+
+def registry():
+    global _R
+    if _R is None:
+        _R = _registry()
+    return _R
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in registry().items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in registry().items() if sql is not None}
