@@ -1,0 +1,189 @@
+"""Benchmark harness.
+
+Default (driver contract): run the headline suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the same fixed workload at local[8] and local[32] in
+subprocesses and report throughput at both + scaling efficiency
+(BASELINE.md row 4: efficiency = throughput_32 / (4 * throughput_8)).
+
+The suite measures the two north-star metrics:
+  - index-build docs/sec over a deterministic synthetic Common-Crawl-style
+    corpus (the reference ReportTask rec/s analog)
+  - top-k BM25 p50 latency over a reference-style query mix (1-term / AND /
+    OR / phrase / rare+head), plus the analytics operators' wall times
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".cache")
+
+BENCH_QUERIES = [
+    ("q_term_head", "batch", "OR", 10),
+    ("q_term_rare", "dup", "OR", 10),
+    ("q_and2", "merge window", "AND", 10),
+    ("q_and3", "merge window customer", "AND", 10),
+    ("q_or2", "dup window", "OR", 10),
+    ("q_or4", "batch merge window dup", "OR", 10),
+    ("q_phrase", '"table hash"', "OR", 10),
+    ("q_not", "merge -dup", "OR", 10),
+    ("q_top100", "batch merge", "OR", 100),
+]
+
+# reference-style query mix over the synthetic pages corpus
+PAGES_QUERIES = [
+    ("p_or2", None, "OR", 10),
+    ("p_and2", None, "AND", 10),
+    ("p_or4", None, "OR", 10),
+]
+
+
+def _corpus_path(n_docs: int) -> str:
+    os.makedirs(CACHE, exist_ok=True)
+    p = os.path.join(CACHE, f"bench_pages_{n_docs}.parquet")
+    if not os.path.exists(p):
+        from lucene_solr_spark.corpus import write_pages_parquet
+
+        write_pages_parquet(p, n_docs, seed=42)
+    return p
+
+
+def run_suite(cores: int, sf_dir: str, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.search.engine import SparkSearcher
+    from lucene_solr_spark.plans import gate
+
+    spark = get_spark(f"bench{cores}", cores=cores, shuffle_partitions=cores)
+    queries: dict[str, float] = {}
+
+    # ---- index build throughput over the synthetic pages corpus ----
+    corpus = spark.read.parquet(_corpus_path(n_docs))
+    idx = os.path.join(CACHE, f"bench_index_{n_docs}_{cores}")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, idx, num_segments=cores, build_id="bench")
+    build_sec = time.time() - t0
+    queries["build_pages"] = round(build_sec, 3)
+    docs_per_sec = n_docs / build_sec
+
+    # ---- query latency over the pages index ----
+    s = SparkSearcher(spark, idx)
+    # derive query terms from the corpus vocabulary deterministically
+    from lucene_solr_spark.analysis import tokenize_series
+    import pandas as pd
+
+    sample = corpus.select("text").limit(300).toPandas()["text"]
+    counts = tokenize_series(sample).groupby("term").size().sort_values()
+    terms = counts.index.to_numpy()
+    head, mid, mid2, rare = terms[-1], terms[len(terms) // 2], terms[len(terms) // 2 - 1], terms[3]
+    pages_q = [
+        ("p_or2", f"{head} {mid}", "OR", 10),
+        ("p_and2", f"{head} {mid}", "AND", 10),
+        ("p_or4", f"{head} {mid} {mid2} {rare}", "OR", 10),
+        ("p_rare", f"{rare}", "OR", 10),
+        ("p_phrase", f'"{head} {mid}"', "OR", 10),
+    ]
+    lat = []
+    for name, q, mode, k in pages_q:
+        t0 = time.time()
+        s.search(q, k=k, mode=mode, with_url=False).collect()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        lat.append(dt)
+    p50_pages = statistics.median(lat)
+
+    # ---- engine BM25 + analytics over the shared documents table ----
+    searcher = gate.gate_searcher(spark, sf_dir)  # build once (not timed)
+    lat2 = []
+    for name, q, mode, k in BENCH_QUERIES:
+        t0 = time.time()
+        searcher.search(q, k=k, mode=mode, with_url=False).collect()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        lat2.append(dt)
+    p50_docs = statistics.median(lat2)
+
+    G = gate.queries()
+    for name in [
+        "minhash_lsh_pairs",
+        "simhash16",
+        "ann_brute_cosine",
+        "ann_ivf_cosine",
+        "stats_component_nchars",
+        "grouping_top2_per_source",
+        "token_counts",
+        "fingerprint",
+    ]:
+        t0 = time.time()
+        G[name](spark, sf_dir).collect()
+        queries[f"a_{name}"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "index-build docs/sec + BM25 p50 + analytics suite wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cores": cores,
+        "build_docs": n_docs,
+        "build_docs_per_sec": round(docs_per_sec, 1),
+        "bm25_p50_sec_pages": round(p50_pages, 3),
+        "bm25_p50_sec_docs": round(p50_docs, 3),
+    }
+    spark.stop()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--docs", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000")))
+    ap.add_argument("--scaling", action="store_true", help="run at 8 and 32 cores, report efficiency")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for c in (8, 32):
+            r = subprocess.run(
+                [sys.executable, __file__, "--cores", str(c), "--sf-dir", args.sf_dir,
+                 "--docs", str(args.docs)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        tp8 = results[8]["build_docs_per_sec"]
+        tp32 = results[32]["build_docs_per_sec"]
+        eff = tp32 / (4 * tp8)
+        out = {
+            "metric": "scaling efficiency local[8]->local[32] (N->4N proxy)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "queries": {"build_docs_per_sec_8": tp8, "build_docs_per_sec_32": tp32},
+            "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+            "detail": results,
+        }
+        print(json.dumps(out))
+        return
+
+    print(json.dumps(run_suite(args.cores, args.sf_dir, args.docs)))
+
+
+if __name__ == "__main__":
+    main()
