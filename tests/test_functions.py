@@ -1,0 +1,132 @@
+"""Unit tests for the training-data-pipeline operators (numpy profiles +
+Spark plumbing). The md5-profile variants are covered by tools/check_oracle
+and the gate; here we test the production (vectorized) paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                "completely different content about spark engines",
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "spark engines process completely different content",
+                "tiny",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(spark, docs_df):
+    from lucene_solr_spark.functions.dedup import exact_duplicate_groups
+
+    g = exact_duplicate_groups(docs_df).toPandas()
+    assert len(g) == 1
+    assert g["cnt"].iloc[0] == 2 and g["keep_doc"].iloc[0] == 0
+
+
+def test_minhash_np_similarity_ordering(spark, docs_df):
+    from lucene_solr_spark.functions.dedup import minhash_signatures_np
+
+    sig = minhash_signatures_np(docs_df, num_hashes=128, k=3).toPandas()
+    sig = sig.set_index("doc_id")["sig"]
+    est = lambda a, b: np.mean(np.array(sig[a]) == np.array(sig[b]))
+    assert est(0, 3) == 1.0                    # exact dup -> identical signature
+    assert est(0, 1) > est(0, 2)               # near-dup >> unrelated
+    assert est(0, 1) > 0.4
+
+
+def test_simhash64_hamming(spark, docs_df):
+    from lucene_solr_spark.functions.dedup import simhash64
+
+    sh = simhash64(docs_df).toPandas().set_index("doc_id")["simhash"]
+    ham = lambda a, b: bin(int(sh[a]) ^ int(sh[b])).count("1")
+    assert ham(0, 3) == 0
+    assert ham(0, 1) < ham(0, 2)
+
+
+def test_simhash64_deterministic(spark, docs_df):
+    from lucene_solr_spark.functions.dedup import simhash64
+
+    a = simhash64(docs_df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = simhash64(docs_df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lsh_bucket_groups_duplicates(spark):
+    from lucene_solr_spark.functions.similarity import lsh_bucket_np
+
+    rng = np.random.default_rng(1)  # seed with wide sign margins on all planes
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = []
+    for i in range(10):
+        v = base + rng.standard_normal(32).astype(np.float32) * 0.01  # tight cluster
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 20):
+        v = rng.standard_normal(32).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = lsh_bucket_np(emb, n_planes=8).toPandas().set_index("vec_id")["bucket"]
+    assert b.loc[range(10)].nunique() == 1  # the cluster shares a bucket
+
+
+def test_brute_vs_ivf_consistency(spark):
+    from lucene_solr_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)], i % 3))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = rows[5][1]
+    brute = brute_force_topk(emb, q, k=5, exclude_id=5).toPandas()
+    ivf_all = ivf_topk(emb, q, k=5, nprobe=3, exclude_id=5).toPandas()  # probe all cells
+    pd.testing.assert_frame_equal(brute, ivf_all)
+
+
+def test_multimodal_plumbing(spark):
+    from lucene_solr_spark.functions.multimodal import (
+        decode_image,
+        extract_features,
+        metadata_only_projection,
+        sample_frames,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=12)
+    feats = extract_features(assets, dim=64).toPandas()
+    assert len(feats) == 12 and all(len(f) == 64 for f in feats["feature"])
+    # deterministic across runs
+    feats2 = extract_features(assets, dim=64).toPandas()
+    a0 = feats.sort_values("asset_id")["feature"].iloc[0]
+    b0 = feats2.sort_values("asset_id")["feature"].iloc[0]
+    np.testing.assert_array_equal(np.array(a0), np.array(b0))
+
+    frames = sample_frames(assets, every_n_bytes=1024, dim=16).toPandas()
+    assert frames.groupby("asset_id").size().min() >= 1
+
+    meta = metadata_only_projection(assets)
+    assert set(meta.columns) == {"asset_id", "width", "height"}
+    # real decoder is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xxxx")
+
+
+def test_components_facet_and_stats(spark, docs_df):
+    from lucene_solr_spark.functions.components import facet_query, stats_component
+
+    d = docs_df.withColumn("lang", docs_df.doc_id % 2 == 0).withColumn(
+        "n_chars", __import__("pyspark.sql.functions", fromlist=["length"]).length("text")
+    )
+    fq = facet_query(d, {"short": "n_chars < 10", "all_rows": "1=1"}).toPandas()
+    assert fq["short"].iloc[0] == 1 and fq["all_rows"].iloc[0] == 6
+    st = stats_component(d, "n_chars", "lang").toPandas()
+    assert st["cnt"].sum() == 6
