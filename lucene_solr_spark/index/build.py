@@ -115,7 +115,18 @@ def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
     ds = doc_idx[order]
     ps = pos[order]
 
-    rows = []
+    cols = [
+        "term",
+        "df",
+        "ttf",
+        "blocks",
+        "positions",
+        "skip_last",
+        "skip_off",
+        "skip_pos_off",
+        "skip_max_tf",
+        "skip_max_norm",
+    ]
     if len(ts):
         new_grp = np.empty(len(ts), dtype=bool)
         new_grp[0] = True
@@ -131,46 +142,31 @@ def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
         t_starts = np.flatnonzero(new_term)
         t_ends = np.append(t_starts[1:], len(grp_starts))
 
-        for ti in range(len(t_starts)):
-            a, b = t_starts[ti], t_ends[ti]
-            p0 = grp_starts[a]
-            p1 = grp_starts[b] if b < len(grp_starts) else len(ps)
-            enc = codec.encode_term_postings(
-                g_doc[a:b],
-                tfs_all[a:b],
-                norm_bytes,
-                ps[p0:p1] if with_positions else None,
-            )
-            rows.append(
-                (
-                    term_uniques[g_term[a]],
-                    enc["df"],
-                    enc["ttf"],
-                    enc["blocks"],
-                    enc["positions"],
-                    enc["skip_last"].tolist(),
-                    enc["skip_off"].tolist(),
-                    enc["skip_pos_off"].tolist(),
-                    enc["skip_max_tf"].tolist(),
-                    enc["skip_max_norm"].tolist(),
-                )
-            )
-
-    postings = pd.DataFrame(
-        rows,
-        columns=[
-            "term",
-            "df",
-            "ttf",
-            "blocks",
-            "positions",
-            "skip_last",
-            "skip_off",
-            "skip_pos_off",
-            "skip_max_tf",
-            "skip_max_norm",
-        ],
-    )
+        enc = codec.encode_segment_postings(
+            g_doc,
+            tfs_all,
+            t_starts,
+            t_ends,
+            norm_bytes,
+            ps if with_positions else None,
+        )
+        postings = pd.DataFrame(
+            {
+                "term": term_uniques[g_term[t_starts]],
+                "df": enc["df"],
+                "ttf": enc["ttf"],
+                "blocks": enc["blocks"],
+                "positions": enc["positions"],
+                "skip_last": [a.tolist() for a in enc["skip_last"]],
+                "skip_off": [a.tolist() for a in enc["skip_off"]],
+                "skip_pos_off": [a.tolist() for a in enc["skip_pos_off"]],
+                "skip_max_tf": [a.tolist() for a in enc["skip_max_tf"]],
+                "skip_max_norm": [a.tolist() for a in enc["skip_max_norm"]],
+            },
+            columns=cols,
+        )
+    else:
+        postings = pd.DataFrame({c: [] for c in cols})
     return {
         "postings": postings,
         "norm_bytes": norm_bytes,

@@ -242,3 +242,146 @@ def decode_positions_for_block(
     for s, e in zip(starts, ends):
         out.append(np.cumsum(deltas[s:e]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# whole-segment vectorized encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_segment_postings(
+    g_doc: np.ndarray,
+    tfs: np.ndarray,
+    t_starts: np.ndarray,
+    t_ends: np.ndarray,
+    norm_bytes_by_doc: np.ndarray,
+    pos_flat: np.ndarray | None = None,
+):
+    """Encode every term of a segment in one pass (no per-term Python loop).
+
+    Inputs are the flat (term,doc)-sorted posting arrays:
+      g_doc    int64[n_post]  local docids, ascending within each term
+      tfs      int64[n_post]
+      t_starts/t_ends int64[n_terms] term slices into the posting arrays
+      pos_flat int64[sum(tfs)] per-occurrence positions, doc-major
+    Returns a dict of per-term python lists/arrays ready to become the
+    postings table columns (same layout as encode_term_postings).
+
+    This is the TermsHashPerField/FreqProxTermsWriter flush
+    (index/FreqProxTermsWriter.java:82-102) as numpy scatter ops: per-block
+    stats via maximum.reduceat, byte packing via vectorized scatter per
+    width class — the ForUtil-style specialization
+    (codecs/lucene41/ForUtil.java:157-168) without per-element Python.
+    """
+    n_post = len(g_doc)
+    n_terms = len(t_starts)
+    if n_post == 0:
+        return {
+            "df": [], "ttf": [], "blocks": [], "positions": [],
+            "skip_last": [], "skip_off": [], "skip_pos_off": [],
+            "skip_max_tf": [], "skip_max_norm": [],
+        }
+    g_doc = np.asarray(g_doc, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+
+    # deltas with reset at term starts
+    prev = np.empty(n_post, dtype=np.int64)
+    prev[1:] = g_doc[:-1]
+    prev[t_starts] = -1
+    deltas = g_doc - prev
+
+    dfs = t_ends - t_starts
+    nblocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tot_blocks = int(nblocks.sum())
+    first_block = np.concatenate([[0], np.cumsum(nblocks)[:-1]])
+    block_term = np.repeat(np.arange(n_terms), nblocks)
+    block_within = np.arange(tot_blocks) - first_block[block_term]
+    block_start = t_starts[block_term] + block_within * BLOCK_SIZE
+    block_end = np.minimum(block_start + BLOCK_SIZE, t_ends[block_term])
+    block_n = block_end - block_start
+
+    maxd = np.maximum.reduceat(deltas, block_start)
+    maxt = np.maximum.reduceat(tfs, block_start)
+    maxnorm = np.maximum.reduceat(
+        norm_bytes_by_doc[g_doc].astype(np.int64), block_start
+    )
+    skip_last = g_doc[block_end - 1]
+
+    wd = np.where(maxd < 256, 1, np.where(maxd < 65536, 2, 4)).astype(np.int64)
+    wt = np.where(maxt < 256, 1, np.where(maxt < 65536, 2, 4)).astype(np.int64)
+    bsize = 2 + block_n * (wd + wt)
+    csum = np.cumsum(bsize)
+    gof = csum - bsize  # global offset of each block
+    term_base = gof[first_block]
+    term_bytes_len = np.add.reduceat(bsize, first_block)
+    skip_off = gof - term_base[block_term]
+
+    out = np.zeros(int(csum[-1]), dtype=np.uint8)
+    out[gof] = wd
+    out[gof + 1] = wt
+
+    block_of_elem = np.repeat(np.arange(tot_blocks), block_n)
+    rel = np.arange(n_post) - block_start[block_of_elem]
+    d_base = gof[block_of_elem] + 2 + rel * wd[block_of_elem]
+    t_base = (
+        gof[block_of_elem] + 2 + block_n[block_of_elem] * wd[block_of_elem]
+        + rel * wt[block_of_elem]
+    )
+    for vals, tgt, widths in ((deltas, d_base, wd), (tfs, t_base, wt)):
+        wsel = widths[block_of_elem]
+        for w in (1, 2, 4):
+            m = wsel == w
+            if not m.any():
+                continue
+            v = vals[m].astype(np.uint64)
+            tg = tgt[m]
+            for byte_i in range(w):
+                out[tg + byte_i] = ((v >> np.uint64(8 * byte_i)) & np.uint64(0xFF)).astype(np.uint8)
+
+    # ---- positions: one global varint encode, per-term slices ----
+    pos_bufs = [b""] * n_terms
+    skip_pos_off = np.zeros(tot_blocks, dtype=np.int64)
+    if pos_flat is not None and len(pos_flat):
+        pos_flat = np.asarray(pos_flat, dtype=np.int64)
+        tf_ends = np.cumsum(tfs)
+        tf_starts = tf_ends - tfs
+        pdeltas = pos_flat.copy()
+        pdeltas[1:] -= pos_flat[:-1]
+        pdeltas[tf_starts] = pos_flat[tf_starts]
+        buf = varint_encode(pdeltas)
+        vlens = np.ones(len(pdeltas), dtype=np.int64)
+        t = pdeltas.astype(np.uint64) >> np.uint64(7)
+        while t.any():
+            vlens += (t > 0).astype(np.int64)
+            t >>= np.uint64(7)
+        byte_ends = np.cumsum(vlens)
+        post_byte_end = byte_ends[tf_ends - 1]  # per posting
+        post_byte_start = post_byte_end - np.add.reduceat(vlens, tf_starts)
+        term_pos_start = post_byte_start[t_starts]
+        term_pos_end = post_byte_end[t_ends - 1]
+        mv = memoryview(buf)
+        pos_bufs = [
+            bytes(mv[term_pos_start[i]:term_pos_end[i]]) for i in range(n_terms)
+        ]
+        skip_pos_off = (
+            post_byte_start[block_start] - term_pos_start[block_term]
+        )
+
+    mvo = memoryview(out.tobytes())
+    blocks_list = [
+        bytes(mvo[term_base[i]: term_base[i] + term_bytes_len[i]])
+        for i in range(n_terms)
+    ]
+    ttf = np.add.reduceat(tfs, t_starts)
+    split = np.cumsum(nblocks)[:-1]
+    return {
+        "df": dfs.tolist(),
+        "ttf": ttf.tolist(),
+        "blocks": blocks_list,
+        "positions": pos_bufs,
+        "skip_last": np.split(skip_last, split),
+        "skip_off": np.split(skip_off, split),
+        "skip_pos_off": np.split(skip_pos_off, split),
+        "skip_max_tf": np.split(maxt, split),
+        "skip_max_norm": np.split(maxnorm, split),
+    }
