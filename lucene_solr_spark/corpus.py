@@ -133,10 +133,23 @@ def generate_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def write_pages_parquet(path: str, n_docs: int, seed: int = 42) -> None:
+def write_pages_parquet(
+    path: str, n_docs: int, seed: int = 42, n_files: int = 32
+) -> None:
+    """Write the corpus as a directory of ``n_files`` parquet files so Spark
+    scans parallelize (one giant file = one scan task = an artificial serial
+    stage that would never exist in a real multi-file web corpus)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = generate_pages(n_docs, seed)
-    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    pq.write_table(tbl, path)
+    os.makedirs(path, exist_ok=True)
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if len(chunk) == 0:
+            break
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        pq.write_table(tbl, os.path.join(path, f"part-{i:04d}.parquet"))

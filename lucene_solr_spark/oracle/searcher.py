@@ -78,23 +78,68 @@ class OracleSearcher:
         return bm25.norm_cache(avgdl)
 
     # -- search --------------------------------------------------------------
-    def search(self, query: str, k: int = 10, mode: str = "OR") -> pd.DataFrame:
+    def search(
+        self, query: str, k: int = 10, mode: str = "OR", after=None,
+        min_should_match: int = 0,
+    ) -> pd.DataFrame:
         q = parse_query(query, mode)
-        return self.search_parsed(q, k)
+        q.min_should_match = min_should_match
+        return self.search_parsed(q, k, after=after)
 
-    def search_parsed(self, q, k: int = 10) -> pd.DataFrame:
+    def count(self, query: str, mode: str = "OR") -> int:
+        q = parse_query(query, mode)
+        return int(self._matched_scores(q)[0].sum())
+
+    def matching_docids(self, terms: list[str]) -> np.ndarray:
+        """Constant-score union of the given terms' doc sets
+        (MultiTermQuery CONSTANT_SCORE rewrite, search/MultiTermQuery.java:64-116)."""
+        matched = np.zeros(self.max_doc, dtype=bool)
+        for t in terms:
+            p = self.postings.get(t)
+            if p is not None:
+                matched[p[0]] = True
+        return np.flatnonzero(matched)
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        return sorted(t for t in self.postings if t.startswith(prefix))[:max_expansions]
+
+    def search_parsed(self, q, k: int = 10, after=None) -> pd.DataFrame:
+        matched, scores = self._matched_scores(q)
+        ids = np.flatnonzero(matched)
+        if after is not None:
+            a_s, a_d = np.float32(after[0]), np.int64(after[1])
+            s = scores[ids]
+            keep = (s < a_s) | ((s == a_s) & (ids > a_d))
+            ids = ids[keep]
+        if len(ids) == 0:
+            return self._empty()
+        s = scores[ids]
+        order = np.lexsort((ids, -s))[:k]
+        ids, s = ids[order], s[order]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(ids) + 1),
+                "docid": ids,
+                "url": self.urls[ids],
+                "score": s.astype(np.float32),
+            }
+        )
+
+    def _matched_scores(self, q) -> tuple[np.ndarray, np.ndarray]:
         cache = self._cache()
         scores = np.zeros(self.max_doc, dtype=np.float32)
         matched = np.zeros(self.max_doc, dtype=bool)
         required_count = np.zeros(self.max_doc, dtype=np.int32)
+        optional_count = np.zeros(self.max_doc, dtype=np.int32)
         n_required = 0
 
+        none = np.zeros(self.max_doc, dtype=bool)
         for clause in q.clauses:
             if clause.kind == "term":
                 p = self.postings.get(clause.terms[0])
                 if p is None:
                     if clause.required:
-                        return self._empty()
+                        return none, scores
                     continue
                 doc_list, tf_list, _ = p
                 wv = bm25.weight_value(bm25.idf(len(doc_list), self.max_doc))
@@ -103,7 +148,7 @@ class OracleSearcher:
                 doc_list, freqs = self._phrase_freqs(clause)
                 if len(doc_list) == 0:
                     if clause.required:
-                        return self._empty()
+                        return none, scores
                     continue
                 idf_sum = np.float32(0.0)
                 for t in clause.terms:
@@ -121,6 +166,8 @@ class OracleSearcher:
             if clause.required:
                 n_required += 1
                 required_count[doc_list] += 1
+            else:
+                optional_count[doc_list] += 1
 
         for term in q.must_not:
             p = self.postings.get(term)
@@ -129,20 +176,9 @@ class OracleSearcher:
 
         if n_required:
             matched &= required_count == n_required
-        ids = np.flatnonzero(matched)
-        if len(ids) == 0:
-            return self._empty()
-        s = scores[ids]
-        order = np.lexsort((ids, -s))[:k]
-        ids, s = ids[order], s[order]
-        return pd.DataFrame(
-            {
-                "rank": np.arange(1, len(ids) + 1),
-                "docid": ids,
-                "url": self.urls[ids],
-                "score": s.astype(np.float32),
-            }
-        )
+        if q.min_should_match:
+            matched &= optional_count >= q.min_should_match
+        return matched, scores
 
     def _phrase_freqs(self, clause: Clause) -> tuple[np.ndarray, np.ndarray]:
         """Exact phrase: doc -> number of alignment positions."""

@@ -65,10 +65,16 @@ class _Row:
     def __init__(self, r: pd.Series):
         self.df = int(r["df"])
         self.blocks = r["blocks"]
-        self.positions = r["positions"]
+        # positions are column-pruned out of the scan for position-free
+        # queries (the .doc/.pos file split of the reference codec)
+        self.positions = r["positions"] if "positions" in r else b""
         self.skip_last = np.asarray(r["skip_last"], dtype=np.int64)
         self.skip_off = np.asarray(r["skip_off"], dtype=np.int64)
-        self.skip_pos_off = np.asarray(r["skip_pos_off"], dtype=np.int64)
+        self.skip_pos_off = (
+            np.asarray(r["skip_pos_off"], dtype=np.int64)
+            if "skip_pos_off" in r
+            else np.zeros(0, np.int64)
+        )
         self.skip_max_tf = np.asarray(r["skip_max_tf"], dtype=np.int64)
         self.skip_max_norm = np.asarray(r["skip_max_norm"], dtype=np.int64)
         self._full = None
@@ -141,6 +147,8 @@ def _score_segment(
     cache: np.ndarray,
     k: int,
     prune: bool,
+    after: tuple | None = None,
+    count_only: bool = False,
 ) -> pd.DataFrame:
     seg_name = os.path.basename(os.path.dirname(pdf["_file"].iloc[0].replace("file://", "")))
     meta = seg_meta[seg_name]
@@ -247,6 +255,7 @@ def _score_segment(
     n = len(cand_ids)
     total = np.zeros(n, dtype=np.float32)
     matched_any = np.zeros(n, dtype=bool)
+    opt_count = np.zeros(n, dtype=np.int32)
     for i, c in enumerate(clauses):
         contrib = np.zeros(n, dtype=np.float32)
         if c.kind == "term":
@@ -259,6 +268,8 @@ def _score_segment(
                         tfs[m], norms[cand_ids[m]], cache, wv_by_clause[i]
                     )
                 matched_any |= m
+                if not c.required:
+                    opt_count += m
         else:
             if all(t in rows for t in c.terms):
                 ids_p, freqs = _phrase_freqs(c, rows, cand_ids)
@@ -268,10 +279,23 @@ def _score_segment(
                         freqs, norms[ids_p], cache, wv_by_clause[i]
                     )
                     matched_any[pos] = True
+                    if not c.required:
+                        opt_count[pos] += 1
         total = (total + contrib).astype(np.float32)
 
     keep = matched_any
+    if q.min_should_match:
+        keep &= opt_count >= q.min_should_match
     cand_ids, total = cand_ids[keep], total[keep]
+    if after is not None and len(cand_ids):
+        a_s, a_d = np.float32(after[0]), np.int64(after[1])
+        m = (total < a_s) | ((total == a_s) & (cand_ids + doc_base > a_d))
+        cand_ids, total = cand_ids[m], total[m]
+    if count_only:
+        return pd.DataFrame(
+            {"docid": np.array([-1], np.int64),
+             "score": np.array([len(cand_ids)], np.float32)}
+        )
     if len(cand_ids) == 0:
         return _empty_pdf()
     sel = np.lexsort((cand_ids, -total))[:k]
@@ -348,8 +372,23 @@ class SparkSearcher:
         mode: str = "OR",
         with_url: bool = True,
         prune: bool = True,
+        after: tuple | None = None,
+        min_should_match: int = 0,
+        _count_only: bool = False,
     ) -> DataFrame:
+        """Top-k BM25 search.
+
+        after=(score, docid) pages past a previous result
+        (IndexSearcher.searchAfter / TopScoreDocCollector paging);
+        min_should_match is BooleanQuery's optional-clause quota.
+        Pruning is disabled for both (the MaxScore threshold would not be a
+        valid bound on the post-filter kth score).
+        """
         q = parse_query(query, mode) if isinstance(query, str) else query
+        if min_should_match:
+            q.min_should_match = min_should_match
+        if after is not None or q.min_should_match or _count_only:
+            prune = False
         spark = self.spark
         empty = spark.createDataFrame(
             [], "rank int, docid long" + (", url string" if with_url else "") + ", score float"
@@ -359,6 +398,13 @@ class SparkSearcher:
 
         terms = sorted(set(q.all_terms))
         prows = self._postings.where(F.col("term").isin(terms))
+        # prune the positions columns unless a phrase clause needs them:
+        # cuts both the parquet scan and the Arrow transfer into the UDF
+        if not any(c.kind == "phrase" for c in q.clauses):
+            prows = prows.select(
+                "term", "df", "ttf", "blocks", "skip_last", "skip_off",
+                "skip_max_tf", "skip_max_norm", "_file",
+            )
 
         # stage 1: global statistics (collectionStatistics/termStatistics)
         stats = {
@@ -388,12 +434,19 @@ class SparkSearcher:
 
         seg_meta = self.seg_meta
         qq, wv, idfs, cch, kk, pr = q, wv_by_clause, idf_by_term, cache, k, prune
+        aft, cnt = after, _count_only
 
         def run(key, pdf):
-            return _score_segment(pdf, qq, seg_meta, wv, idfs, cch, kk, pr)
+            return _score_segment(
+                pdf, qq, seg_meta, wv, idfs, cch, kk, pr, aft, cnt
+            )
 
         # stage 2: per-segment partial top-k (parallel leaves, mergeable state)
         partial = prows.groupBy("_file").applyInPandas(run, RESULT_SCHEMA)
+        if _count_only:
+            return partial.agg(
+                F.sum(F.col("score").cast("long")).alias("total_hits")
+            )
 
         # stage 3: global merge (TakeOrderedAndProject) + rank
         topk = partial.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -411,3 +464,57 @@ class SparkSearcher:
 
     def search_pdf(self, query, k: int = 10, mode: str = "OR", **kw) -> pd.DataFrame:
         return self.search(query, k, mode, **kw).toPandas()
+
+    def count(self, query: str | Query, mode: str = "OR") -> int:
+        """TotalHitCountCollector: number of matching docs
+        (search/TotalHitCountCollector.java:69-74), summed over per-segment
+        partial counts like the fork's mergeable collector state."""
+        row = self.search(
+            query, k=1, mode=mode, with_url=False, _count_only=True
+        ).collect()
+        v = row[0]["total_hits"] if row else None
+        return int(v) if v is not None else 0
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """PrefixQuery term expansion over the sorted terms dictionary
+        (search/MultiTermQuery.java:64-116; the postings files' row-group
+        min/max stats prune the scan like BlockTree's FST index)."""
+        rows = (
+            self._postings.where(F.col("term").startswith(prefix))
+            .select("term")
+            .distinct()
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def matching_docids(self, terms: list[str]) -> DataFrame:
+        """Constant-score doc-set union of the given terms
+        (CONSTANT_SCORE_FILTER_REWRITE): returns distinct docids, sorted."""
+        seg_meta = self.seg_meta
+        prows = self._postings.where(F.col("term").isin(list(set(terms)))).select(
+            "term", "df", "blocks", "skip_last", "skip_off", "_file"
+        )
+
+        def run(key, pdf):
+            seg_name = os.path.basename(
+                os.path.dirname(pdf["_file"].iloc[0].replace("file://", ""))
+            )
+            doc_base = seg_meta[seg_name]["doc_base"]
+            ids = [
+                codec.decode_blocks(
+                    r["blocks"], int(r["df"]),
+                    np.asarray(r["skip_off"], np.int64),
+                    np.asarray(r["skip_last"], np.int64),
+                )[0]
+                for _, r in pdf.iterrows()
+            ]
+            u = np.unique(np.concatenate(ids)) if ids else np.zeros(0, np.int64)
+            return pd.DataFrame({"docid": (u + doc_base).astype(np.int64)})
+
+        return (
+            prows.groupBy("_file")
+            .applyInPandas(run, "docid long")
+            .orderBy("docid")
+        )

@@ -32,6 +32,8 @@ class Clause:
 class Query:
     clauses: list[Clause]
     must_not: list[str] = field(default_factory=list)
+    # BooleanQuery.setMinimumNumberShouldMatch (search/BooleanQuery.java:158,
+    # scorer: MinShouldMatchSumScorer.java:36-48): optional-clause quota
     min_should_match: int = 0
 
     @property
