@@ -188,3 +188,117 @@ def join_query(docs: DataFrame, term: str, join_col: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("join_val")
     )
+
+
+def sort_by_field_topk(docs: DataFrame, term: str, sort_col: str, k: int = 10) -> DataFrame:
+    """TopFieldCollector: top-k of the matching doc set by a field sort
+    (search/TopFieldCollector.java; Spark plans it as TakeOrderedAndProject)."""
+    return (
+        _matching_docs(docs, term)
+        .select("doc_id", F.col(sort_col).alias("sort_v"))
+        .orderBy(F.desc("sort_v"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def highlight(docs: DataFrame, term: str, before: int = 20, width: int = 50) -> DataFrame:
+    """Postings-highlighter shape (lucene/highlighter/): a snippet window
+    around the first occurrence for each matching doc."""
+    loc = F.locate(term, F.col("text"))
+    return (
+        docs.where(loc > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.greatest(F.lit(1), loc - before), width
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def suggest(docs: DataFrame, prefix: str, n: int = 5) -> DataFrame:
+    """Suggester/autocomplete: prefix -> top terms by total term frequency
+    (lucene/suggest/ AnalyzingSuggester shape over the terms dictionary)."""
+    return (
+        tokens(docs)
+        .where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count("*").alias("ttf"))
+        .orderBy(F.desc("ttf"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def spellcheck(docs: DataFrame, wrong: str, n: int = 3) -> DataFrame:
+    """DirectSpellChecker shape (solr/core/.../spelling/): nearest dictionary
+    terms by edit distance, more frequent first."""
+    return (
+        tokens(docs)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(wrong)))
+        .where(F.col("dist") <= 2)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def function_query_topk(docs: DataFrame, k: int = 10) -> DataFrame:
+    """FunctionQuery / ValueSource scoring (solr ValueSourceParser 'recip':
+    recip(x,m,a,b) = a/(m*x+b)): rank docs by a field arithmetic expression
+    (lucene/queries/.../function/FunctionQuery.java)."""
+    score = F.round(
+        F.lit(1000.0) * 300.0 / (300.0 + F.abs(F.col("n_chars") - 300))
+    ).cast("long")
+    return (
+        docs.select("doc_id", score.alias("fq_milli"))
+        .orderBy(F.desc("fq_milli"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def more_like_this(docs: DataFrame, seed_doc: int, n_terms: int = 5, k: int = 10) -> DataFrame:
+    """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): extract the
+    seed doc's top terms, then rank other docs by shared-term frequency
+    (integer scoring profile so any engine reproduces it exactly)."""
+    t = tokens(docs)
+    seed_terms = (
+        t.where(F.col("doc_id") == seed_doc)
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(n_terms)
+        .select("term")
+    )
+    return (
+        t.join(F.broadcast(seed_terms), "term")
+        .where(F.col("doc_id") != seed_doc)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("mlt_score"))
+        .orderBy(F.desc("mlt_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rescore_topk(docs: DataFrame, first_term: str, boost_term: str,
+                 first_n: int = 30, k: int = 10) -> DataFrame:
+    """QueryRescorer (search/QueryRescorer.java): take top-N of a cheap
+    first-pass query, re-rank with a second query's contribution."""
+    t = tokens(docs)
+    tf = lambda term, name: (
+        t.where(F.col("term") == term).groupBy("doc_id").agg(F.count("*").alias(name))
+    )
+    first = (
+        tf(first_term, "tf1")
+        .orderBy(F.desc("tf1"), F.asc("doc_id"))
+        .limit(first_n)
+    )
+    return (
+        first.join(tf(boost_term, "tf2"), "doc_id", "left")
+        .fillna(0)
+        .withColumn("rescore_milli", (F.col("tf1") * 1000 + F.col("tf2") * 500).cast("long"))
+        .select("doc_id", "tf1", "tf2", "rescore_milli")
+        .orderBy(F.desc("rescore_milli"), F.asc("doc_id"))
+        .limit(k)
+    )

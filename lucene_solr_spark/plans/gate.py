@@ -540,6 +540,103 @@ SELECT vec_id, CAST(ROUND(1000 * dot / (na * (SELECT nq FROM qn))) AS BIGINT) AS
 FROM dots ORDER BY cos_milli DESC, vec_id LIMIT 10""",
     )
 
+    # ---- extended query surface (engine-backed) ---------------------------
+    def _mm_topk(spark, sf):
+        s = gate_searcher(spark, sf)
+        res = s.search("dup merge window", k=10, mode="OR", with_url=False,
+                       min_should_match=2)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    mm_sql = _bm25_sql(["dup", "merge", "window"], 10, False).replace(
+        "GROUP BY tf.doc_id\n  ", "GROUP BY tf.doc_id\n  HAVING count(*) >= 2"
+    )
+    R["bm25_mm_2of3"] = (_mm_topk, mm_sql)
+
+    def _total_hits(spark, sf):
+        s = gate_searcher(spark, sf)
+        return s.search("dup window", k=1, mode="OR", with_url=False,
+                        _count_only=True)
+
+    R["total_hits_or"] = (
+        _total_hits,
+        f"""{TOKS}
+SELECT count(DISTINCT doc_id) AS total_hits FROM toks
+WHERE term IN ('dup', 'window')""",
+    )
+
+    def _wildcard_docs(spark, sf):
+        s = gate_searcher(spark, sf)
+        terms = s.expand_prefix("wi")
+        return s.matching_docids(terms).select(F.col("docid").alias("doc_id"))
+
+    R["wildcard_match_docs"] = (
+        _wildcard_docs,
+        f"""{TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'wi%' ORDER BY doc_id""",
+    )
+
+    R["sort_by_field_topk"] = (
+        lambda spark, sf: C.sort_by_field_topk(_docs(spark, sf), "merge", "n_chars", 10),
+        f"""{TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT d.doc_id, d.n_chars AS sort_v
+FROM documents d JOIN hits USING (doc_id)
+ORDER BY sort_v DESC, doc_id LIMIT 10""",
+    )
+    R["highlight_snippets"] = (
+        lambda spark, sf: C.highlight(_docs(spark, sf), "dup", 20, 50),
+        """SELECT doc_id,
+       substr(text, greatest(1, strpos(text, 'dup') - 20), 50) AS snippet
+FROM documents WHERE strpos(text, 'dup') > 0 ORDER BY doc_id""",
+    )
+    R["suggest_autocomplete"] = (
+        lambda spark, sf: C.suggest(_docs(spark, sf), "c", 5),
+        f"""{TOKS}
+SELECT term, count(*) AS ttf FROM toks WHERE term LIKE 'c%'
+GROUP BY term ORDER BY ttf DESC, term LIMIT 5""",
+    )
+    R["spellcheck"] = (
+        lambda spark, sf: C.spellcheck(_docs(spark, sf), "mrege", 3),
+        f"""{TOKS},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df, levenshtein(term, 'mrege') AS dist FROM d
+WHERE levenshtein(term, 'mrege') <= 2
+ORDER BY dist, df DESC, term LIMIT 3""",
+    )
+    R["function_query_topk"] = (
+        lambda spark, sf: C.function_query_topk(_docs(spark, sf), 10),
+        """SELECT doc_id,
+       CAST(ROUND(1000.0 * 300.0 / (300.0 + abs(n_chars - 300))) AS BIGINT) AS fq_milli
+FROM documents ORDER BY fq_milli DESC, doc_id LIMIT 10""",
+    )
+    R["more_like_this"] = (
+        lambda spark, sf: C.more_like_this(_docs(spark, sf), 42, 5, 10),
+        f"""{TOKS},
+seed AS (SELECT term FROM (
+  SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42 GROUP BY term
+  ORDER BY tf DESC, term LIMIT 5)),
+scored AS (
+  SELECT t.doc_id, count(*) AS mlt_score
+  FROM toks t JOIN seed s USING (term)
+  WHERE t.doc_id <> 42 GROUP BY t.doc_id)
+SELECT doc_id, mlt_score FROM scored
+ORDER BY mlt_score DESC, doc_id LIMIT 10""",
+    )
+    R["rescore_topk"] = (
+        lambda spark, sf: C.rescore_topk(_docs(spark, sf), "batch", "merge", 30, 10),
+        f"""{TOKS},
+tf1 AS (SELECT doc_id, count(*) AS tf1 FROM toks WHERE term = 'batch' GROUP BY doc_id),
+first AS (SELECT doc_id, tf1 FROM tf1 ORDER BY tf1 DESC, doc_id LIMIT 30),
+tf2 AS (SELECT doc_id, count(*) AS tf2 FROM toks WHERE term = 'merge' GROUP BY doc_id)
+SELECT f.doc_id, f.tf1, coalesce(t2.tf2, 0) AS tf2,
+       CAST(f.tf1 * 1000 + coalesce(t2.tf2, 0) * 500 AS BIGINT) AS rescore_milli
+FROM first f LEFT JOIN tf2 t2 ON f.doc_id = t2.doc_id
+ORDER BY rescore_milli DESC, f.doc_id LIMIT 10""",
+    )
+
     return R
 
 
