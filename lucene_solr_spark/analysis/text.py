@@ -102,7 +102,11 @@ def tokenize_series(texts: pd.Series) -> pd.DataFrame:
     counts (the BM25 norm length, FieldInvertState.getLength()).
     """
     texts = texts.fillna("")
-    tok_lists = texts.map(lambda s: _TOKEN_RE.findall(s))
+    # lowercase whole texts up front (one C call per doc) — equivalent to
+    # the per-token LowerCaseFilter for \w-matched tokens, and far cheaper
+    # than a per-token pandas pass over millions of small strings
+    texts = texts.map(str.lower)
+    tok_lists = texts.map(_TOKEN_RE.findall)
     # rare path: per-char CJK expansion before positions are assigned
     has_cjk = texts.map(lambda s: _CJK_RE.search(s) is not None)
     if has_cjk.any():
@@ -123,7 +127,6 @@ def tokenize_series(texts: pd.Series) -> pd.DataFrame:
 
     terms = pd.Series(flat, dtype="object")
     keep_len = terms.str.len().to_numpy() <= MAX_TOKEN_LENGTH
-    terms = terms.str.lower()
     emit = keep_len & ~terms.isin(ENGLISH_STOP_WORDS).to_numpy()
 
     out = pd.DataFrame(

@@ -301,7 +301,15 @@ def build_index(
         os.rename(marker + ".tmp", marker)
         return pd.DataFrame([meta])[_LINEAGE_COLS]
 
-    lineage = df.groupBy("pid").applyInPandas(build_bucket, LINEAGE_SCHEMA).collect()
+    # one bucket = one task: AQE partition-coalescing would pack several
+    # small buckets into one task and serialize them — disable it for the
+    # build job (the stage is CPU-bound, not shuffle-bound)
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        lineage = df.groupBy("pid").applyInPandas(build_bucket, LINEAGE_SCHEMA).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
 
     expected = len([p for p in range(n_buckets) if by_pid.get(p, 0) > 0])
     if fail_after_partitions is not None or len(lineage) != expected:
