@@ -182,8 +182,14 @@ def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray, doc_base: i
 
     os.makedirs(seg_dir, exist_ok=True)
     postings = built["postings"]
+    # constant segment_id column (dictionary-encoded ≈ free): the query path
+    # groups on it; a nondeterministic input_file_name() column would block
+    # Catalyst from pushing the term predicate into the parquet scan
+    seg_id = os.path.basename(seg_dir.rstrip("/"))
+    postings = postings.assign(segment_id=seg_id)
     schema = pa.schema(
         [
+            ("segment_id", pa.string()),
             ("term", pa.string()),
             ("df", pa.int64()),
             ("ttf", pa.int64()),

@@ -150,7 +150,7 @@ def _score_segment(
     after: tuple | None = None,
     count_only: bool = False,
 ) -> pd.DataFrame:
-    seg_name = os.path.basename(os.path.dirname(pdf["_file"].iloc[0].replace("file://", "")))
+    seg_name = pdf["segment_id"].iloc[0]
     meta = seg_meta[seg_name]
     norms, doc_base = _read_norms(meta["dir"])
 
@@ -357,9 +357,9 @@ class SparkSearcher:
             }
             postings_paths.append(os.path.join(d, "postings.parquet"))
             docmap_paths.append(os.path.join(d, "docmap.parquet"))
-        self._postings = (
-            spark.read.parquet(*postings_paths).withColumn("_file", F.input_file_name())
-        )
+        # no input_file_name() column: it is nondeterministic and blocks
+        # predicate pushdown; segments carry an explicit segment_id column
+        self._postings = spark.read.parquet(*postings_paths)
         self._docmap_paths = docmap_paths
 
     def docmap(self) -> DataFrame:
@@ -402,8 +402,8 @@ class SparkSearcher:
         # cuts both the parquet scan and the Arrow transfer into the UDF
         if not any(c.kind == "phrase" for c in q.clauses):
             prows = prows.select(
-                "term", "df", "ttf", "blocks", "skip_last", "skip_off",
-                "skip_max_tf", "skip_max_norm", "_file",
+                "segment_id", "term", "df", "ttf", "blocks", "skip_last",
+                "skip_off", "skip_max_tf", "skip_max_norm",
             )
 
         # stage 1: global statistics (collectionStatistics/termStatistics)
@@ -442,7 +442,7 @@ class SparkSearcher:
             )
 
         # stage 2: per-segment partial top-k (parallel leaves, mergeable state)
-        partial = prows.groupBy("_file").applyInPandas(run, RESULT_SCHEMA)
+        partial = prows.groupBy("segment_id").applyInPandas(run, RESULT_SCHEMA)
         if _count_only:
             return partial.agg(
                 F.sum(F.col("score").cast("long")).alias("total_hits")
@@ -494,14 +494,11 @@ class SparkSearcher:
         (CONSTANT_SCORE_FILTER_REWRITE): returns distinct docids, sorted."""
         seg_meta = self.seg_meta
         prows = self._postings.where(F.col("term").isin(list(set(terms)))).select(
-            "term", "df", "blocks", "skip_last", "skip_off", "_file"
+            "segment_id", "term", "df", "blocks", "skip_last", "skip_off"
         )
 
         def run(key, pdf):
-            seg_name = os.path.basename(
-                os.path.dirname(pdf["_file"].iloc[0].replace("file://", ""))
-            )
-            doc_base = seg_meta[seg_name]["doc_base"]
+            doc_base = seg_meta[pdf["segment_id"].iloc[0]]["doc_base"]
             ids = [
                 codec.decode_blocks(
                     r["blocks"], int(r["df"]),
@@ -514,7 +511,7 @@ class SparkSearcher:
             return pd.DataFrame({"docid": (u + doc_base).astype(np.int64)})
 
         return (
-            prows.groupBy("_file")
+            prows.groupBy("segment_id")
             .applyInPandas(run, "docid long")
             .orderBy("docid")
         )
