@@ -30,6 +30,13 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".cache")
 
+
+def busy(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return x
+
 BENCH_QUERIES = [
     ("q_term_head", "batch", "OR", 10),
     ("q_term_rare", "dup", "OR", 10),
@@ -178,12 +185,6 @@ def main():
         # hardware calibration: how does a pure-CPU loop scale 8 -> 32 on
         # this box (captures all-core clock throttling, nothing engine-side)
         from multiprocessing import Pool
-
-        def busy(_):
-            x = 0
-            for i in range(10_000_000):
-                x += i * i
-            return x
 
         cal = {}
         for nproc in (8, 32):
