@@ -83,7 +83,9 @@ def run_suite(cores: int, sf_dir: str, n_docs: int) -> dict:
     idx = os.path.join(CACHE, f"bench_index_{n_docs}_{cores}")
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
-    build_index(spark, corpus, idx, num_segments=cores, build_id="bench")
+    # fixed segment count: the scaling comparison then runs the *identical*
+    # job at every parallelism level, only task concurrency differs
+    build_index(spark, corpus, idx, num_segments=32, build_id="bench")
     build_sec = time.time() - t0
     queries["build_pages"] = round(build_sec, 3)
     docs_per_sec = n_docs / build_sec

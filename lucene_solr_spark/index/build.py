@@ -176,7 +176,7 @@ def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
     }
 
 
-def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray, doc_base: int) -> int:
+def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -212,16 +212,19 @@ def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray, doc_base: i
     n = len(urls)
     norms_tbl = pa.table(
         {
-            "doc_base": pa.array([doc_base], pa.int64()),
             "max_doc": pa.array([n], pa.int64()),
             "sum_len": pa.array([built["sum_len"]], pa.int64()),
             "norms": pa.array([built["norm_bytes"].tobytes()], pa.binary()),
         }
     )
     pq.write_table(norms_tbl, os.path.join(seg_dir, "norms.parquet"))
+    # docids are segment-LOCAL; the manifest's doc_base (assigned at commit
+    # time from the url-range bucket order) globalizes them at read time —
+    # this is what lets the build run without a pre-counting job
     docmap = pa.table(
         {
-            "docid": pa.array(doc_base + np.arange(n), pa.int64()),
+            "docid": pa.array(np.arange(n), pa.int64()),
+            "segment_id": pa.array([seg_id] * n, pa.string()),
             "url": pa.array(urls, pa.string()),
         }
     )
@@ -253,18 +256,8 @@ def build_index(
     n_buckets = len(bounds) + 1
     df = base_df.withColumn("pid", _bucket_id_udf(bounds)(F.col("url")))
 
-    counts = df.groupBy("pid").count().collect()
-    by_pid = {r["pid"]: r["count"] for r in counts}
-    bases: dict[int, int] = {}
-    acc = 0
-    for pid in range(n_buckets):
-        bases[pid] = acc
-        acc += by_pid.get(pid, 0)
-    total_docs = acc
-
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
-    bases_bc = spark.sparkContext.broadcast(bases)
 
     def build_bucket(key, pdf):
         pid = int(key[0])
@@ -274,10 +267,9 @@ def build_index(
         pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
         urls = pdf["url"].to_numpy()
         n = len(urls)
-        doc_base = bases_bc.value[pid]
         seg_id = f"{build_id}_{pid:05d}"
         seg_dir = os.path.join(seg_root, f"seg_{seg_id}")
-        fp = _fingerprint(doc_base, n, urls[0], urls[-1])
+        fp = _fingerprint(0, n, urls[0], urls[-1])
         marker = os.path.join(seg_dir, "_COMPLETE.json")
         if os.path.exists(marker):
             with open(marker) as f:
@@ -286,12 +278,12 @@ def build_index(
                 meta["resumed"] = True
                 return pd.DataFrame([meta])[_LINEAGE_COLS]
         built = _build_segment_pdf(pdf["text"])
-        postings_bytes = write_segment_files(seg_dir, built, urls, doc_base)
+        postings_bytes = write_segment_files(seg_dir, built, urls)
         meta = {
             "segment_id": seg_id,
             "path": os.path.relpath(seg_dir, index_dir),
             "partition_id": pid,
-            "doc_base": doc_base,
+            "doc_base": 0,  # assigned by the driver at commit time
             "max_doc": n,
             "sum_len": built["sum_len"],
             "term_count": built["term_count"],
@@ -317,16 +309,20 @@ def build_index(
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
 
-    expected = len([p for p in range(n_buckets) if by_pid.get(p, 0) > 0])
-    if fail_after_partitions is not None or len(lineage) != expected:
+    if fail_after_partitions is not None:
         raise RuntimeError(
-            f"injected failure / incomplete build: {len(lineage)}/{expected} "
-            f"segments completed (resume by re-running with the same build_id)"
+            f"injected failure: {len(lineage)} segments completed "
+            f"(resume by re-running with the same build_id)"
         )
 
+    # doc_base assignment: buckets are disjoint url ranges, so cumsum in
+    # first_url order makes docid == global lexicographic url rank
     segments = []
-    for r in sorted(lineage, key=lambda r: r["doc_base"]):
+    acc = 0
+    for r in sorted(lineage, key=lambda r: r["first_url"]):
         d = r.asDict()
+        d["doc_base"] = acc
+        acc += d["max_doc"]
         d["lineage"] = {
             "partition_id": d.pop("partition_id"),
             "doc_range": [d["doc_base"], d["doc_base"] + d["max_doc"] - 1],
@@ -339,5 +335,5 @@ def build_index(
     return manifest_mod.commit(
         index_dir,
         segments,
-        extra={"build_id": build_id, "total_docs": total_docs},
+        extra={"build_id": build_id, "total_docs": acc},
     )

@@ -217,7 +217,7 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
         "term_count": len(postings),
     }
     seg_dir = os.path.join(index_dir, "segments", f"seg_{out_seg_id}")
-    postings_bytes = write_segment_files(seg_dir, built, merged_urls, new_base)
+    postings_bytes = write_segment_files(seg_dir, built, merged_urls)
     return {
         "segment_id": out_seg_id,
         "path": os.path.relpath(seg_dir, index_dir),

@@ -637,6 +637,97 @@ FROM first f LEFT JOIN tf2 t2 ON f.doc_id = t2.doc_id
 ORDER BY rescore_milli DESC, f.doc_id LIMIT 10""",
     )
 
+    # ---- event-time analytics (batch twins of the streaming operators) ----
+    def _events(spark, sf):
+        return spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    from ..functions import events as E
+
+    R["tumbling_window_counts"] = (
+        lambda spark, sf: E.tumbling_window_counts(_events(spark, sf), 60),
+        """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS win_start,
+       event_type, count(*) AS cnt,
+       CAST(ROUND(sum(value) * 1000) AS BIGINT) AS sum_milli
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    )
+    R["sessionize_users"] = (
+        lambda spark, sf: E.sessionize(_events(spark, sf), 30),
+        """WITH o AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tss,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, tss,
+         CASE WHEN prev IS NULL OR tss - prev > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM o),
+sess AS (
+  SELECT user_id, tss,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         max(tss) - min(tss) AS span_s
+  FROM sess GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       sum(span_s) AS total_span_s
+FROM per_sess GROUP BY user_id ORDER BY user_id""",
+    )
+    R["running_value_sum"] = (
+        lambda spark, sf: E.running_value_sum(_events(spark, sf), 50),
+        """SELECT event_id, user_id,
+       CAST(ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) * 1000) AS BIGINT) AS running_milli
+FROM events ORDER BY event_id LIMIT 50""",
+    )
+
+    # ---- generic relational coverage (facet/stats machinery at TPC-H shape) ----
+    R["tpch_pricing_summary"] = (
+        lambda spark, sf: (
+            spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("l_quantity") * 1000).cast("long").alias("qty_milli"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                ).cast("long").alias("revenue_cents"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        ),
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(ROUND(sum(l_quantity) * 1000) AS BIGINT) AS qty_milli,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    )
+    R["tpch_top_customers"] = (
+        lambda spark, sf: (
+            spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+            .join(
+                spark.read.parquet(os.path.join(sf, "orders.parquet")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(spark.read.parquet(os.path.join(sf, "customer.parquet"))),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+                ).cast("long").alias("revenue_cents")
+            )
+            .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+            .limit(10)
+        ),
+        """SELECT c_custkey, c_name,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
+    )
+
     return R
 
 

@@ -48,12 +48,11 @@ from .query import Query, parse_query
 RESULT_SCHEMA = "docid long, score float"
 
 
-def _read_norms(seg_dir: str) -> tuple[np.ndarray, int]:
+def _read_norms(seg_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(seg_dir, "norms.parquet"))
-    norms = np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
-    return norms, int(t["doc_base"][0].as_py())
+    t = pq.read_table(os.path.join(seg_dir, "norms.parquet"), columns=["norms"])
+    return np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
 
 
 class _Row:
@@ -152,7 +151,8 @@ def _score_segment(
 ) -> pd.DataFrame:
     seg_name = pdf["segment_id"].iloc[0]
     meta = seg_meta[seg_name]
-    norms, doc_base = _read_norms(meta["dir"])
+    norms = _read_norms(meta["dir"])
+    doc_base = meta["doc_base"]
 
     rows = {t: _Row(r) for t, r in ((r["term"], r) for _, r in pdf.iterrows())}
 
@@ -363,7 +363,16 @@ class SparkSearcher:
         self._docmap_paths = docmap_paths
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(*self._docmap_paths)
+        """Docmap with globalized docids: segment-local id + manifest
+        doc_base (broadcast join against the tiny segment table)."""
+        bases = self.spark.createDataFrame(
+            [(k, v["doc_base"]) for k, v in self.seg_meta.items()],
+            "segment_id string, doc_base long",
+        )
+        dm = self.spark.read.parquet(*self._docmap_paths)
+        return dm.join(F.broadcast(bases), "segment_id").select(
+            (F.col("docid") + F.col("doc_base")).alias("docid"), "url"
+        )
 
     def search(
         self,
@@ -499,6 +508,7 @@ class SparkSearcher:
 
         def run(key, pdf):
             doc_base = seg_meta[pdf["segment_id"].iloc[0]]["doc_base"]
+
             ids = [
                 codec.decode_blocks(
                     r["blocks"], int(r["df"]),

@@ -55,30 +55,15 @@ def append_batch(
         num_segments=num_segments,
         build_id=f"nrt{batch_id}",
     )
+    # segments store LOCAL docids: splicing is pure manifest arithmetic,
+    # no file rewrites (the soft-commit stays cheap)
     new_segments = []
     for s in sub["segments"]:
         s = dict(s)
         s["doc_base"] = s["doc_base"] + doc_base_offset
-        # segment dirs were written under scratch; reference them relatively
         s["path"] = os.path.relpath(os.path.join(scratch, s["path"]), index_dir)
         s["lineage"] = dict(s["lineage"], batch_id=batch_id)
         new_segments.append(s)
-
-    # rewrite each spliced segment's norms/docmap doc_base offset
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for s in new_segments:
-        d = os.path.join(index_dir, s["path"])
-        nt = pq.read_table(os.path.join(d, "norms.parquet")).to_pydict()
-        nt["doc_base"] = [s["doc_base"]]
-        pq.write_table(pa.table(nt), os.path.join(d, "norms.parquet"))
-        dm = pq.read_table(os.path.join(d, "docmap.parquet"))
-        ids = dm["docid"].to_numpy() - (s["doc_base"] - doc_base_offset) + s["doc_base"]
-        pq.write_table(
-            pa.table({"docid": pa.array(ids), "url": dm["url"]}),
-            os.path.join(d, "docmap.parquet"),
-        )
 
     return manifest_mod.commit(
         index_dir,
