@@ -87,17 +87,32 @@ def compute_bucket_bounds(
     return sorted(set(bounds))
 
 
-def _bucket_id_udf(bounds: list[str]):
+def _bucket_id_col(bounds: list[str], url_col):
+    """bucket id = #bounds < url (searchsorted left).
+
+    For a modest bound count this is a pure JVM higher-order-function
+    expression — no Python/Arrow round trip of the corpus just to route
+    rows. With very many buckets (huge clusters) fall back to a vectorized
+    pandas UDF doing a real binary search.
+    """
+    if len(bounds) == 0:
+        return F.lit(0).cast("int")
+    if len(bounds) <= 512:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(url_col > b, 1).otherwise(0),
+        ).cast("int")
+
     b = np.array(bounds, dtype=object)
 
     @F.pandas_udf(T.IntegerType())
     def bucket_id(urls: pd.Series) -> pd.Series:
-        if len(b) == 0:
-            return pd.Series(np.zeros(len(urls), dtype=np.int32))
         ids = np.searchsorted(b, urls.to_numpy(), side="left")
         return pd.Series(ids.astype(np.int32))
 
-    return bucket_id
+    return bucket_id(url_col)
 
 
 def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
@@ -254,7 +269,7 @@ def build_index(
     base_df = corpus.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
     bounds = compute_bucket_bounds(base_df, "url", num_segments, seed=seed)
     n_buckets = len(bounds) + 1
-    df = base_df.withColumn("pid", _bucket_id_udf(bounds)(F.col("url")))
+    df = base_df.withColumn("pid", _bucket_id_col(bounds, F.col("url")))
 
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)

@@ -157,14 +157,8 @@ def _score_segment(
     rows = {t: _Row(r) for t, r in ((r["term"], r) for _, r in pdf.iterrows())}
 
     clauses = q.clauses
-    n_clauses = len(clauses)
     required_idx = [i for i, c in enumerate(clauses) if c.required]
-
-    # per-clause candidate (ids, tfs-or-None); phrase handled via freqs
     cand_ids: np.ndarray | None = None  # candidates when required clauses exist
-
-    def clause_row(c):
-        return rows.get(c.terms[0]) if c.kind == "term" else None
 
     # ---- required-clause intersection (rarest-first leapfrog) ----
     if required_idx:
