@@ -90,8 +90,8 @@ def run_suite(cores: int, sf_dir: str, n_docs: int) -> dict:
     queries["build_pages"] = round(build_sec, 3)
     docs_per_sec = n_docs / build_sec
 
-    # ---- query latency over the pages index ----
-    s = SparkSearcher(spark, idx)
+    # ---- query latency over the pages index (cached searcher) ----
+    s = SparkSearcher(spark, idx, cache=True)
     # derive query terms from the corpus vocabulary deterministically
     from lucene_solr_spark.analysis import tokenize_series
     import pandas as pd

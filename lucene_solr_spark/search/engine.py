@@ -332,7 +332,15 @@ def _empty_pdf() -> pd.DataFrame:
 
 
 class SparkSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    """Searcher over a manifest snapshot.
+
+    ``cache=True`` persists the postings DataFrame in executor memory —
+    the SolrIndexSearcher caching layer (solr/core/.../search/
+    SolrIndexSearcher.java:151-154) restated as Spark block-manager
+    caching; repeated queries then scan memory instead of parquet.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = False):
         self.spark = spark
         self.index_dir = index_dir
         self.man = manifest_mod.read_current(index_dir)
@@ -354,6 +362,8 @@ class SparkSearcher:
         # no input_file_name() column: it is nondeterministic and blocks
         # predicate pushdown; segments carry an explicit segment_id column
         self._postings = spark.read.parquet(*postings_paths)
+        if cache:
+            self._postings = self._postings.persist()
         self._docmap_paths = docmap_paths
 
     def docmap(self) -> DataFrame:
