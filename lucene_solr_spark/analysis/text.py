@@ -90,24 +90,79 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
     return out
 
 
-def tokenize_series(texts: pd.Series) -> pd.DataFrame:
-    """Full analyzer chain over a batch of texts.
+# Arrow fast path: the token charset of _TOKEN_RE re-expressed as a
+# delimiter split + edge trim. Tokens are runs of [\w joiner]; a leading/
+# trailing joiner is trimmed (matching the regex, which only keeps joiners
+# *between* word chars). Known divergence from the regex (documented, not
+# present in web-text shapes): a run with >=2 consecutive interior joiners
+# ("a..b") stays one token here but splits under the regex.
+# RE2 (Arrow's engine) treats \w as ASCII; spell out the unicode word
+# classes (letters, marks, numbers, underscore) to match Python's \w
+_ARROW_DELIM = r"[^\pL\pM\pN_.,:'’]+"
+_ARROW_TRIM = ".,:'’"
 
-    Returns a flat DataFrame with columns:
-      doc_idx : int32 position of the text within the batch
-      term    : analyzed (lowercased, stop-filtered) term
-      pos     : int32 token position, with gaps where stopwords/over-long
-                tokens were removed (position-increment semantics)
-    plus ``.attrs["doc_lengths"]``: int32 array of per-doc emitted token
-    counts (the BM25 norm length, FieldInvertState.getLength()).
+
+def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
+    """C++-side tokenize: lower+split+trim+filter without Python objects.
+
+    Returns (doc_idx int64, terms (Categorical), pos int32, doc_lengths)
+    or None if the batch needs the regex path (CJK present).
     """
-    texts = texts.fillna("")
-    # lowercase whole texts up front (one C call per doc) — equivalent to
-    # the per-token LowerCaseFilter for \w-matched tokens, and far cheaper
-    # than a per-token pandas pass over millions of small strings
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts, type=pa.string())
+    low = pc.utf8_lower(arr)
+    if check_cjk and pc.any(pc.match_substring_regex(low, f"[{_CJK_CLASS}]")).as_py():
+        return None  # rare: per-char CJK handling uses the regex path
+    lists = pc.split_pattern_regex(low, _ARROW_DELIM)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    vals = pc.utf8_trim(pc.list_flatten(lists), _ARROW_TRIM)
+
+    nonempty = pc.not_equal(vals, "")
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    vals = vals.filter(nonempty)
+    parents = parents[ne]
+    n_docs = len(texts)
+
+    # positions: index in the pre-stop-filter token stream per doc
+    n_tok = len(parents)
+    if n_tok == 0:
+        return (
+            np.zeros(0, np.int64),
+            pd.Categorical([]),
+            np.zeros(0, np.int32),
+            np.zeros(n_docs, np.int32),
+        )
+    new_doc = np.empty(n_tok, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = parents[1:] != parents[:-1]
+    starts = np.flatnonzero(new_doc)
+    run_lens = np.diff(np.append(starts, n_tok))
+    pos = (np.arange(n_tok) - np.repeat(starts, run_lens)).astype(np.int32)
+
+    keep_len = pc.less_equal(pc.utf8_length(vals), MAX_TOKEN_LENGTH)
+    is_stop = pc.is_in(vals, value_set=pa.array(sorted(ENGLISH_STOP_WORDS)))
+    emit_pa = pc.and_(keep_len, pc.invert(is_stop))
+    emit = emit_pa.to_numpy(zero_copy_only=False)
+
+    dict_arr = pc.dictionary_encode(vals.filter(emit_pa))
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    terms = pd.Categorical.from_codes(
+        dict_arr.indices.to_numpy(zero_copy_only=False),
+        categories=dict_arr.dictionary.to_pandas(),
+    )
+    doc_idx = parents[emit]
+    lengths = np.zeros(n_docs, dtype=np.int32)
+    np.add.at(lengths, doc_idx, 1)
+    return doc_idx, terms, pos[emit], lengths
+
+
+def _tokenize_regex(texts: pd.Series) -> tuple:
+    """Reference regex path (handles CJK per-char expansion)."""
     texts = texts.map(str.lower)
     tok_lists = texts.map(_TOKEN_RE.findall)
-    # rare path: per-char CJK expansion before positions are assigned
     has_cjk = texts.map(lambda s: _CJK_RE.search(s) is not None)
     if has_cjk.any():
         idx = np.flatnonzero(has_cjk.to_numpy())
@@ -118,27 +173,76 @@ def tokenize_series(texts: pd.Series) -> pd.DataFrame:
 
     counts = tok_lists.map(len).to_numpy(dtype=np.int64)
     n_docs = len(texts)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     flat = [t for lst in tok_lists for t in lst]
-    # position = index in the pre-filter token stream (gap semantics)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     pos = (np.arange(len(flat), dtype=np.int64) - offsets[doc_idx]).astype(np.int32)
 
     terms = pd.Series(flat, dtype="object")
-    keep_len = terms.str.len().to_numpy() <= MAX_TOKEN_LENGTH
-    emit = keep_len & ~terms.isin(ENGLISH_STOP_WORDS).to_numpy()
+    if len(terms):
+        keep_len = terms.str.len().to_numpy() <= MAX_TOKEN_LENGTH
+        emit = keep_len & ~terms.isin(ENGLISH_STOP_WORDS).to_numpy()
+    else:
+        emit = np.zeros(0, dtype=bool)
+    doc_idx = doc_idx[emit]
+    lengths = np.zeros(n_docs, dtype=np.int32)
+    if len(doc_idx):
+        np.add.at(lengths, doc_idx, 1)
+    return doc_idx, terms.to_numpy()[emit], pos[emit], lengths
 
+
+def tokenize_series(texts: pd.Series) -> pd.DataFrame:
+    """Full analyzer chain over a batch of texts.
+
+    Returns a flat DataFrame with columns:
+      doc_idx : int32 position of the text within the batch
+      term    : analyzed (lowercased, stop-filtered) term
+      pos     : int32 token position, with gaps where stopwords/over-long
+                tokens were removed (position-increment semantics)
+    plus ``.attrs["doc_lengths"]``: int32 array of per-doc emitted token
+    counts (the BM25 norm length, FieldInvertState.getLength()).
+
+    Hybrid execution: docs without CJK run through the Arrow C++ kernel
+    path (no Python string objects at all); the rare CJK docs use the
+    reference regex path (per-character ideograph expansion); results are
+    spliced back in doc order.
+    """
+    texts = texts.fillna("").reset_index(drop=True)
+    n_docs = len(texts)
+    cjk = texts.map(lambda s: _CJK_RE.search(s) is not None).to_numpy()
+    try:
+        if not cjk.any():
+            fast = _tokenize_arrow(texts, check_cjk=False)
+        else:
+            clean_pos = np.flatnonzero(~cjk)
+            cjk_pos = np.flatnonzero(cjk)
+            fa = _tokenize_arrow(
+                texts.iloc[clean_pos].reset_index(drop=True), check_cjk=False
+            )
+            fb = _tokenize_regex(texts.iloc[cjk_pos].reset_index(drop=True))
+            from pandas.api.types import union_categoricals
+
+            di = np.concatenate([clean_pos[fa[0]], cjk_pos[fb[0]]])
+            terms = union_categoricals(
+                [pd.Categorical(fa[1]), pd.Categorical(fb[1])]
+            )
+            pos = np.concatenate([fa[2], fb[2]])
+            lengths = np.zeros(n_docs, dtype=np.int32)
+            lengths[clean_pos] = fa[3]
+            lengths[cjk_pos] = fb[3]
+            order = np.argsort(di, kind="mergesort")  # pos stays asc per doc
+            fast = (di[order], terms[order], pos[order], lengths)
+    except Exception:
+        fast = _tokenize_regex(texts)
+    doc_idx, terms, pos, lengths = fast
     out = pd.DataFrame(
         {
-            "doc_idx": doc_idx[emit],
-            "term": terms.to_numpy()[emit],
-            "pos": pos[emit],
+            "doc_idx": np.asarray(doc_idx, dtype=np.int32),
+            "term": terms,
+            "pos": pos,
         }
     )
-    lengths = np.zeros(n_docs, dtype=np.int32)
-    if len(out):
-        np.add.at(lengths, out["doc_idx"].to_numpy(), 1)
     out.attrs["doc_lengths"] = lengths
     return out
 
