@@ -115,13 +115,29 @@ def _bucket_id_col(bounds: list[str], url_col):
     return bucket_id(url_col)
 
 
+def _factorize_sorted(terms: pd.Series):
+    """codes + uniques in LEXICOGRAPHIC order (pd.factorize(sort=True) keeps
+    a Categorical's dictionary order, which for Arrow-encoded terms is
+    insertion order — the postings table must be term-sorted for row-group
+    pruning, CheckIndex enforces it)."""
+    if isinstance(terms.dtype, pd.CategoricalDtype):
+        cats = np.asarray(terms.cat.categories)
+        order = np.argsort(cats)
+        rank = np.empty(len(cats), dtype=np.int64)
+        rank[order] = np.arange(len(cats))
+        codes = rank[terms.cat.codes.to_numpy()]
+        return codes, cats[order]
+    codes, uniques = pd.factorize(terms, sort=True)
+    return codes.astype(np.int64), np.asarray(uniques)
+
+
 def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
     """Pure-pandas segment build: postings table + norms + stats (vectorized)."""
     flat = tokenize_series(texts)
     lengths = flat.attrs["doc_lengths"]
     norm_bytes = bm25.encode_norm(lengths)
 
-    term_codes, term_uniques = pd.factorize(flat["term"], sort=True)
+    term_codes, term_uniques = _factorize_sorted(flat["term"])
     doc_idx = flat["doc_idx"].to_numpy().astype(np.int64)
     pos = flat["pos"].to_numpy().astype(np.int64)
 

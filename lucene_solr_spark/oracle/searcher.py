@@ -39,7 +39,9 @@ class OracleSearcher:
         self.max_doc = len(pages)
         self.sum_len = int(self.lengths.sum())
 
-        term_codes, self.term_vocab = pd.factorize(flat["term"], sort=True)
+        from ..index.build import _factorize_sorted
+
+        term_codes, self.term_vocab = _factorize_sorted(flat["term"])
         doc_idx = flat["doc_idx"].to_numpy().astype(np.int64)
         pos = flat["pos"].to_numpy().astype(np.int64)
         order = np.lexsort((doc_idx, term_codes))
@@ -142,7 +144,9 @@ class OracleSearcher:
                         return none, scores
                     continue
                 doc_list, tf_list, _ = p
-                wv = bm25.weight_value(bm25.idf(len(doc_list), self.max_doc))
+                wv = bm25.weight_value(
+                    bm25.idf(len(doc_list), self.max_doc), boost=clause.boost
+                )
                 s = bm25.score_freqs(tf_list, self.norm_bytes[doc_list], cache, wv)
             elif clause.kind == "phrase":
                 doc_list, freqs = self._phrase_freqs(clause)
@@ -155,7 +159,7 @@ class OracleSearcher:
                     idf_sum = np.float32(
                         idf_sum + bm25.idf(self.df(t), self.max_doc)
                     )
-                wv = bm25.weight_value(idf_sum)
+                wv = bm25.weight_value(idf_sum, boost=clause.boost)
                 s = bm25.score_freqs(freqs, self.norm_bytes[doc_list], cache, wv)
             else:
                 raise ValueError(clause.kind)
@@ -216,3 +220,57 @@ class OracleSearcher:
                 "score": np.zeros(0, np.float32),
             }
         )
+
+    # -- explain (CheckHits invariant: explain() == score()) -----------------
+    def explain(self, query: str, docid: int, mode: str = "OR") -> dict:
+        """Per-clause scoring breakdown for one doc (Explanation analog,
+        search/similarities/BM25Similarity.java explainScore)."""
+        q = parse_query(query, mode)
+        cache = self._cache()
+        norm_byte = int(self.norm_bytes[docid])
+        details = []
+        total = np.float32(0.0)
+        matched = False
+        for clause in q.clauses:
+            freq = 0
+            if clause.kind == "term":
+                p = self.postings.get(clause.terms[0])
+                if p is not None:
+                    j = np.searchsorted(p[0], docid)
+                    if j < len(p[0]) and p[0][j] == docid:
+                        freq = int(p[1][j])
+                idf_v = bm25.idf(self.df(clause.terms[0]), self.max_doc)
+            else:
+                ids_p, freqs = self._phrase_freqs(clause)
+                j = np.searchsorted(ids_p, docid)
+                if j < len(ids_p) and ids_p[j] == docid:
+                    freq = int(freqs[j])
+                idf_v = np.float32(0.0)
+                for t in clause.terms:
+                    idf_v = np.float32(idf_v + bm25.idf(self.df(t), self.max_doc))
+            wv = bm25.weight_value(idf_v, boost=clause.boost)
+            contrib = np.float32(0.0)
+            if freq > 0:
+                contrib = bm25.score_freqs(
+                    np.array([freq]), np.array([norm_byte]), cache, wv
+                )[0]
+                matched = True
+            total = np.float32(total + contrib)
+            details.append(
+                {
+                    "clause": " ".join(clause.terms),
+                    "kind": clause.kind,
+                    "freq": freq,
+                    "idf": float(idf_v),
+                    "boost": clause.boost,
+                    "weight_value": float(wv),
+                    "norm_byte": norm_byte,
+                    "score": float(contrib),
+                }
+            )
+        for t in q.must_not:
+            p = self.postings.get(t)
+            if p is not None and docid in p[0]:
+                matched = False
+        return {"docid": int(docid), "matched": matched,
+                "total": float(total), "details": details}

@@ -430,12 +430,14 @@ class SparkSearcher:
         wv_by_clause = []
         for c in q.clauses:
             if c.kind == "term":
-                wv_by_clause.append(bm25.weight_value(idf_by_term[c.terms[0]]))
+                wv_by_clause.append(
+                    bm25.weight_value(idf_by_term[c.terms[0]], boost=c.boost)
+                )
             else:
                 s = np.float32(0.0)
                 for t in c.terms:
                     s = np.float32(s + idf_by_term[t])
-                wv_by_clause.append(bm25.weight_value(s))
+                wv_by_clause.append(bm25.weight_value(s, boost=c.boost))
         avgdl = bm25.avg_field_length(self.sum_ttf, self.max_doc)
         cache = bm25.norm_cache(avgdl)
 
@@ -477,6 +479,13 @@ class SparkSearcher:
 
     def search_pdf(self, query, k: int = 10, mode: str = "OR", **kw) -> pd.DataFrame:
         return self.search(query, k, mode, **kw).toPandas()
+
+    def explain(self, query: str | Query, docid: int, mode: str = "OR") -> dict:
+        """Lucene explain(): per-clause scoring breakdown whose total is
+        bit-identical to search()'s score for the doc (the CheckHits
+        invariant, test-framework/.../search/CheckHits.java)."""
+        q = parse_query(query, mode) if isinstance(query, str) else query
+        return _explain_segment(self, q, docid)
 
     def count(self, query: str | Query, mode: str = "OR") -> int:
         """TotalHitCountCollector: number of matching docs
@@ -529,3 +538,88 @@ class SparkSearcher:
             .applyInPandas(run, "docid long")
             .orderBy("docid")
         )
+
+
+def _explain_segment(searcher: "SparkSearcher", q: Query, docid: int) -> dict:
+    """Driver-side explain: read the one segment holding ``docid`` with
+    pyarrow, decode the query terms' postings, reproduce the scoring."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pac
+
+    seg = None
+    for name, m in searcher.seg_meta.items():
+        if m["doc_base"] <= docid < m["doc_base"] + m["max_doc"]:
+            seg = m
+            break
+    if seg is None:
+        raise ValueError(f"docid {docid} out of range")
+    local = docid - seg["doc_base"]
+    norms = _read_norms(seg["dir"])
+    norm_byte = int(norms[local])
+
+    terms = sorted(set(q.all_terms))
+    # global stats (same two-phase shape as search, scoped to explain)
+    stats = {
+        r["term"]: int(r["df"])
+        for r in searcher._postings.where(F.col("term").isin(terms))
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    idf_by_term = {t: bm25.idf(stats.get(t, 0), searcher.max_doc) for t in terms}
+    cache = bm25.norm_cache(
+        bm25.avg_field_length(searcher.sum_ttf, searcher.max_doc)
+    )
+
+    tbl = pq.read_table(
+        os.path.join(seg["dir"], "postings.parquet"),
+        filters=pac.field("term").isin(terms),
+    ).to_pandas()
+    rows = {r["term"]: _Row(r) for _, r in tbl.iterrows()}
+    lid = np.array([local], dtype=np.int64)
+
+    details = []
+    total = np.float32(0.0)
+    matched = False
+    for clause in q.clauses:
+        freq = 0
+        if clause.kind == "term":
+            r = rows.get(clause.terms[0])
+            if r is not None:
+                _, tfs = r.lookup(lid)
+                freq = int(tfs[0])
+            idf_v = idf_by_term[clause.terms[0]]
+        else:
+            if all(t in rows for t in clause.terms):
+                ids_p, freqs = _phrase_freqs(clause, rows, lid)
+                if len(ids_p):
+                    freq = int(freqs[0])
+            idf_v = np.float32(0.0)
+            for t in clause.terms:
+                idf_v = np.float32(idf_v + idf_by_term[t])
+        wv = bm25.weight_value(idf_v, boost=clause.boost)
+        contrib = np.float32(0.0)
+        if freq > 0:
+            contrib = bm25.score_freqs(
+                np.array([freq]), np.array([norm_byte]), cache, wv
+            )[0]
+            matched = True
+        total = np.float32(total + contrib)
+        details.append(
+            {
+                "clause": " ".join(clause.terms),
+                "kind": clause.kind,
+                "freq": freq,
+                "idf": float(idf_v),
+                "boost": clause.boost,
+                "weight_value": float(wv),
+                "norm_byte": norm_byte,
+                "score": float(contrib),
+            }
+        )
+    for t in q.must_not:
+        r = rows.get(t)
+        if r is not None:
+            _, tfs = r.lookup(lid)
+            if tfs[0] > 0:
+                matched = False
+    return {"docid": int(docid), "matched": matched,
+            "total": float(total), "details": details}

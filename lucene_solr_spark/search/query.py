@@ -26,6 +26,7 @@ class Clause:
     terms: list[str]
     offsets: list[int] = field(default_factory=list)  # phrase position offsets
     required: bool = False
+    boost: float = 1.0  # query-time boost (weight = idf * boost, BM25Stats.normalize)
 
 
 @dataclass
@@ -44,6 +45,9 @@ class Query:
 
 
 _SEGMENT_RE = re.compile(r"\"([^\"]*)\"|(\S+)")
+# "phrase"^2.5 / term^2.5 boost syntax (Lucene query parser)
+_BOOSTED_SEGMENT_RE = re.compile(r"\"([^\"]*)\"(?:\^(\d+(?:\.\d+)?))?|(\S+)")
+_BOOST_SUFFIX_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
 def parse_query(text: str, mode: str = "OR") -> Query:
@@ -55,15 +59,16 @@ def parse_query(text: str, mode: str = "OR") -> Query:
     required_default = mode.upper() == "AND"
     clauses: list[Clause] = []
     must_not: list[str] = []
-    for m in _SEGMENT_RE.finditer(text):
-        phrase, word = m.group(1), m.group(2)
+    for m in _BOOSTED_SEGMENT_RE.finditer(text):
+        phrase, pboost, word = m.group(1), m.group(2), m.group(3)
         if phrase is not None:
+            boost = float(pboost) if pboost else 1.0
             toks = analyze_one(phrase)
             if not toks:
                 continue
             if len(toks) == 1:
                 clauses.append(
-                    Clause("term", [toks[0][0]], required=required_default)
+                    Clause("term", [toks[0][0]], required=required_default, boost=boost)
                 )
             else:
                 base = toks[0][1]
@@ -73,15 +78,21 @@ def parse_query(text: str, mode: str = "OR") -> Query:
                         [t for t, _ in toks],
                         offsets=[p - base for _, p in toks],
                         required=required_default,
+                        boost=boost,
                     )
                 )
         else:
             req = required_default
             neg = False
+            boost = 1.0
             if word.startswith("+"):
                 req, word = True, word[1:]
             elif word.startswith("-"):
                 neg, word = True, word[1:]
+            bm = _BOOST_SUFFIX_RE.search(word)
+            if bm:
+                boost = float(bm.group(1))
+                word = word[: bm.start()]
             toks = analyze_one(word)
             if not toks:
                 continue
@@ -89,5 +100,5 @@ def parse_query(text: str, mode: str = "OR") -> Query:
                 if neg:
                     must_not.append(t)
                 else:
-                    clauses.append(Clause("term", [t], required=req))
+                    clauses.append(Clause("term", [t], required=req, boost=boost))
     return Query(clauses, must_not)
