@@ -202,18 +202,20 @@ def decode_blocks(
     searchsorted on ``skip_last`` and only those blocks are touched.
     """
     buf = np.frombuffer(blocks, dtype=np.uint8)
-    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nblocks = len(skip_off)
     if block_ids is None:
         block_ids = np.arange(nblocks)
     out_d: list[np.ndarray] = []
     out_t: list[np.ndarray] = []
     for bi in block_ids:
         bi = int(bi)
-        lo = bi * BLOCK_SIZE
-        n = min(BLOCK_SIZE, df - lo)
         o = int(skip_off[bi])
         wd = int(buf[o])
         wt = int(buf[o + 1])
+        # entry count from the block's byte span: robust to interior tail
+        # blocks produced by salted chunk stitching (n <= BLOCK_SIZE)
+        end = int(skip_off[bi + 1]) if bi + 1 < nblocks else len(buf)
+        n = (end - o - 2) // (wd + wt)
         o += 2
         d = buf[o : o + n * wd].view(_WIDTH_DTYPES[wd]).astype(np.int64)
         o += n * wd
@@ -384,4 +386,70 @@ def encode_segment_postings(
         "skip_pos_off": np.split(skip_pos_off, split),
         "skip_max_tf": np.split(maxt, split),
         "skip_max_norm": np.split(maxnorm, split),
+    }
+
+
+# ---------------------------------------------------------------------------
+# salted (chunked) encoding for head-term skew
+# ---------------------------------------------------------------------------
+
+
+def encode_term_chunk(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    base: int,
+    norm_bytes_by_doc: np.ndarray | None = None,
+    positions: np.ndarray | None = None,
+) -> dict:
+    """Encode one (term, docid-range) chunk with the first delta relative to
+    ``base`` (the previous chunk's last docid, -1 for the first chunk).
+
+    This is the head-term salting primitive: a term whose postings exceed
+    one task's budget is split by docid range into (term, salt) chunks,
+    each encoded independently and in parallel, then stitched — legal
+    because blocks chain deltas through skip_last and positions reset per
+    doc.
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    shifted = docids - (base + 1)  # temporary rebase so encoder's -1 start works
+    enc = encode_term_postings(shifted, tfs, None, positions)
+    # restore true docids in skip metadata; block-max norm needs true ids
+    enc["skip_last"] = enc["skip_last"] + (base + 1)
+    if norm_bytes_by_doc is not None:
+        df = len(docids)
+        nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+        for bi in range(nblocks):
+            lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, df)
+            enc["skip_max_norm"][bi] = int(norm_bytes_by_doc[docids[lo:hi]].max())
+    return enc
+
+
+def stitch_term_chunks(chunks: list[dict]) -> dict:
+    """Concatenate independently-encoded (term, salt) chunks into one
+    posting row. Chunks must be in ascending docid-range order and each
+    chunk's ``base`` must have been the previous chunk's last docid."""
+    df = sum(c["df"] for c in chunks)
+    blocks = b"".join(c["blocks"] for c in chunks)
+    positions = b"".join(c["positions"] for c in chunks)
+    skip_last, skip_off, skip_pos_off, maxtf, maxnorm = [], [], [], [], []
+    boff = 0
+    poff = 0
+    for c in chunks:
+        skip_last.append(np.asarray(c["skip_last"], np.int64))
+        skip_off.append(np.asarray(c["skip_off"], np.int64) + boff)
+        skip_pos_off.append(np.asarray(c["skip_pos_off"], np.int64) + poff)
+        maxtf.append(np.asarray(c["skip_max_tf"], np.int64))
+        maxnorm.append(np.asarray(c["skip_max_norm"], np.int64))
+        boff += len(c["blocks"])
+        poff += len(c["positions"])
+    return {
+        "df": df,
+        "ttf": sum(c["ttf"] for c in chunks),
+        "blocks": blocks,
+        "positions": positions,
+        "skip_last": np.concatenate(skip_last),
+        "skip_off": np.concatenate(skip_off),
+        "skip_pos_off": np.concatenate(skip_pos_off),
+        "skip_max_tf": np.concatenate(maxtf),
+        "skip_max_norm": np.concatenate(maxnorm),
     }
