@@ -281,6 +281,11 @@ def build_index(
     """
     if num_segments is None:
         num_segments = spark.sparkContext.defaultParallelism
+    t_build0 = time.time()
+    try:
+        input_files = corpus.inputFiles()
+    except Exception:
+        input_files = []
 
     base_df = corpus.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
     bounds = compute_bucket_bounds(base_df, "url", num_segments, seed=seed)
@@ -363,8 +368,28 @@ def build_index(
             "resumed": d.pop("resumed"),
         }
         segments.append(d)
+    wall_s = time.time() - t_build0
     return manifest_mod.commit(
         index_dir,
         segments,
-        extra={"build_id": build_id, "total_docs": acc},
+        extra={
+            "build_id": build_id,
+            "total_docs": acc,
+            "metrics": {
+                "build_wall_s": round(wall_s, 3),
+                "docs_per_sec": round(acc / wall_s, 1) if wall_s > 0 else None,
+                "segments_built": sum(
+                    1 for s in segments if not s["lineage"]["resumed"]
+                ),
+                "segments_resumed": sum(
+                    1 for s in segments if s["lineage"]["resumed"]
+                ),
+                "postings_bytes": sum(s["postings_bytes"] for s in segments),
+            },
+            "input": {
+                "n_files": len(input_files),
+                "files_sample": input_files[:20],
+                "bucket_bounds": bounds,
+            },
+        },
     )

@@ -20,7 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local runs from the repo root: make the package importable the way
+# --py-files would on a cluster
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
 
 
 def _get_spark():
