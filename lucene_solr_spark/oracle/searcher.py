@@ -185,7 +185,8 @@ class OracleSearcher:
         return matched, scores
 
     def _phrase_freqs(self, clause: Clause) -> tuple[np.ndarray, np.ndarray]:
-        """Exact phrase: doc -> number of alignment positions."""
+        """Phrase freq per doc: exact alignments, or summed sloppyFreq when
+        clause.slop > 0 (shared kernel, search/sloppy.py)."""
         plists = []
         for t in clause.terms:
             p = self.postings.get(t)
@@ -198,6 +199,20 @@ class OracleSearcher:
             ids = ids[np.isin(ids, p[0], assume_unique=True)]
         out_ids, out_freqs = [], []
         offsets = clause.offsets
+        if clause.slop > 0:
+            from ..search.sloppy import sloppy_phrase_freq
+
+            for d in ids:
+                pls = []
+                for (doc_list, _tf, pos_lists) in plists:
+                    j = int(np.searchsorted(doc_list, d))
+                    pls.append(pos_lists[j])
+                f = sloppy_phrase_freq(pls, offsets, clause.slop)
+                if f > 0:
+                    out_ids.append(d)
+                    out_freqs.append(f)
+            return (np.array(out_ids, dtype=np.int64),
+                    np.array(out_freqs, dtype=np.float64))
         for d in ids:
             base = None
             for (doc_list, _tf, pos_lists), off in zip(plists, offsets):

@@ -314,6 +314,16 @@ def _phrase_freqs(clause, rows, cand_ids):
     pos_arrays = [r.positions_for(ids) for r in plist]
     offsets = clause.offsets
     out_ids, out_freqs = [], []
+    if getattr(clause, "slop", 0) > 0:
+        from .sloppy import sloppy_phrase_freq
+
+        for j in range(len(ids)):
+            f = sloppy_phrase_freq([arrs[j] for arrs in pos_arrays], offsets, clause.slop)
+            if f > 0:
+                out_ids.append(ids[j])
+                out_freqs.append(f)
+        return (np.array(out_ids, dtype=np.int64),
+                np.array(out_freqs, dtype=np.float64))
     for j in range(len(ids)):
         base = None
         for arrs, off in zip(pos_arrays, offsets):

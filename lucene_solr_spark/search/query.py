@@ -27,6 +27,7 @@ class Clause:
     offsets: list[int] = field(default_factory=list)  # phrase position offsets
     required: bool = False
     boost: float = 1.0  # query-time boost (weight = idf * boost, BM25Stats.normalize)
+    slop: int = 0  # phrase proximity (PhraseQuery.setSlop; 0 = exact)
 
 
 @dataclass
@@ -45,8 +46,10 @@ class Query:
 
 
 _SEGMENT_RE = re.compile(r"\"([^\"]*)\"|(\S+)")
-# "phrase"^2.5 / term^2.5 boost syntax (Lucene query parser)
-_BOOSTED_SEGMENT_RE = re.compile(r"\"([^\"]*)\"(?:\^(\d+(?:\.\d+)?))?|(\S+)")
+# "phrase"~slop^boost / term^boost syntax (Lucene query parser)
+_BOOSTED_SEGMENT_RE = re.compile(
+    r"\"([^\"]*)\"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\S+)"
+)
 _BOOST_SUFFIX_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
@@ -60,9 +63,10 @@ def parse_query(text: str, mode: str = "OR") -> Query:
     clauses: list[Clause] = []
     must_not: list[str] = []
     for m in _BOOSTED_SEGMENT_RE.finditer(text):
-        phrase, pboost, word = m.group(1), m.group(2), m.group(3)
+        phrase, pslop, pboost, word = m.group(1), m.group(2), m.group(3), m.group(4)
         if phrase is not None:
             boost = float(pboost) if pboost else 1.0
+            slop = int(pslop) if pslop else 0
             toks = analyze_one(phrase)
             if not toks:
                 continue
@@ -79,6 +83,7 @@ def parse_query(text: str, mode: str = "OR") -> Query:
                         offsets=[p - base for _, p in toks],
                         required=required_default,
                         boost=boost,
+                        slop=slop,
                     )
                 )
         else:

@@ -1,0 +1,73 @@
+"""Sloppy (proximity) phrase: kernel unit semantics + engine==oracle parity."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.sloppy import sloppy_phrase_freq
+
+
+def test_kernel_exact_alignment():
+    # "a b" with a@[0,10], b@[1,40]: one adjacent pair -> dist 0, freq 1.0
+    f = sloppy_phrase_freq([np.array([0, 10]), np.array([1, 40])], [0, 1], 0)
+    assert f == 1.0
+
+
+def test_kernel_slop_window():
+    # "a b" with b 3 positions later: dist = 2, needs slop >= 2
+    a, b = np.array([0]), np.array([3])
+    assert sloppy_phrase_freq([a, b], [0, 1], 1) == 0.0
+    assert sloppy_phrase_freq([a, b], [0, 1], 2) == pytest.approx(1 / 3)
+
+
+def test_kernel_reversed_order():
+    # "a b" appearing as "b a": adjusted dist = 2 -> matches at slop 2
+    a, b = np.array([5]), np.array([4])
+    assert sloppy_phrase_freq([a, b], [0, 1], 2) == pytest.approx(1 / 3)
+
+
+def test_kernel_three_terms():
+    # "a b c" contiguous -> freq 1
+    f = sloppy_phrase_freq([np.array([7]), np.array([8]), np.array([9])], [0, 1, 2], 0)
+    assert f == 1.0
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    return SparkSearcher(spark, idx)
+
+
+def _bigrams(pages):
+    """Common (t1, t2) pairs co-occurring in docs (not necessarily adjacent)."""
+    from lucene_solr_spark.analysis import tokenize_series
+
+    flat = tokenize_series(pages["text"].iloc[:300])
+    counts = flat.groupby("term").size().sort_values()
+    terms = counts.index.to_numpy()
+    return [(terms[-1], terms[-2]), (terms[-1], terms[len(terms) // 2])]
+
+
+def test_sloppy_parity_engine_oracle(searcher, oracle_small, pages_small):
+    for t1, t2 in _bigrams(pages_small):
+        for slop in (1, 3, 8):
+            q = f'"{t1} {t2}"~{slop}'
+            res = searcher.search_pdf(q, k=10, mode="OR")
+            exp = oracle_small.search(q, 10, "OR")
+            np.testing.assert_array_equal(
+                res["docid"].to_numpy(), exp["docid"].to_numpy(), err_msg=q
+            )
+            np.testing.assert_array_equal(
+                res["score"].to_numpy(np.float32),
+                exp["score"].to_numpy(np.float32),
+                err_msg=q,
+            )
+
+
+def test_sloppy_finds_more_than_exact(oracle_small, pages_small):
+    t1, t2 = _bigrams(pages_small)[0]
+    exact = oracle_small.count(f'"{t1} {t2}"')
+    sloppy = len(oracle_small.search(f'"{t1} {t2}"~10', 2000, "OR"))
+    assert sloppy >= exact
+    assert sloppy > 0
