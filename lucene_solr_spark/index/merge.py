@@ -143,73 +143,81 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
     merged_norms = np.concatenate(norms_list)
     merged_urls = np.concatenate(urls_list)
 
-    # k-way term-sorted merge: group rows by term across inputs
+    # k-way term-sorted merge, vectorized: decode every source row into
+    # flat (docid, tf, positions) arrays in (term, source) order, then
+    # re-encode the whole merged segment in one encode_segment_postings
+    # pass — same single-pass profile as the build, no per-term encode loop.
     frames = []
     for i, t in enumerate(tables):
-        t = t.copy()
-        t["_src"] = i
+        t = t[["term", "df", "blocks", "positions", "skip_off", "skip_last"]].copy()
+        t["src"] = i
         frames.append(t)
     allp = pd.concat(frames, ignore_index=True)
-    allp.sort_values(["term", "_src"], kind="mergesort", inplace=True)
+    allp.sort_values(["term", "src"], kind="mergesort", inplace=True)
 
-    rows = []
-    for term, grp in allp.groupby("term", sort=False):
-        ids_parts, tf_parts, pos_parts = [], [], []
-        for _, r in grp.iterrows():
-            src = int(r["_src"])
-            d, tf = codec.decode_blocks(
-                r["blocks"],
-                int(r["df"]),
-                np.asarray(r["skip_off"], dtype=np.int64),
-                np.asarray(r["skip_last"], dtype=np.int64),
-            )
-            ids_parts.append(d + offs[src])
-            tf_parts.append(tf)
-            total_pos = int(tf.sum())
-            pos_parts.append(
-                codec.varint_decode(r["positions"], count=total_pos)
-                if total_pos
-                else np.zeros(0, np.int64)
-            )
-        docids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
-        # positions were per-doc delta streams; decode deltas -> absolutes
-        flat_pos = []
-        for pdeltas, tfp in zip(pos_parts, tf_parts):
-            if len(pdeltas) == 0:
-                continue
-            ends = np.cumsum(tfp)
-            starts = ends - tfp
-            reset = np.zeros(len(pdeltas), dtype=bool)
+    id_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    row_terms = allp["term"].to_numpy()
+    for r in allp.itertuples(index=False):
+        d, tf = codec.decode_blocks(
+            r.blocks,
+            int(r.df),
+            np.asarray(r.skip_off, dtype=np.int64),
+            np.asarray(r.skip_last, dtype=np.int64),
+        )
+        id_parts.append(d + offs[r.src])
+        tf_parts.append(tf)
+        total_pos = int(tf.sum())
+        if total_pos:
+            pdeltas = codec.varint_decode(r.positions, count=total_pos)
+            ends = np.cumsum(tf)
+            starts = ends - tf
+            reset = np.zeros(total_pos, dtype=bool)
             reset[starts] = True
             grp_id = np.cumsum(reset) - 1
             csum = np.cumsum(pdeltas)
-            base_csum = np.concatenate([[0], csum[ends[:-1] - 1]]) if len(ends) > 1 else np.array([0])
-            flat_pos.append(csum - base_csum[grp_id])
-        posflat = np.concatenate(flat_pos) if flat_pos else None
-        enc = codec.encode_term_postings(docids, tfs, merged_norms, posflat)
-        rows.append(
-            (
-                term,
-                enc["df"],
-                enc["ttf"],
-                enc["blocks"],
-                enc["positions"],
-                enc["skip_last"].tolist(),
-                enc["skip_off"].tolist(),
-                enc["skip_pos_off"].tolist(),
-                enc["skip_max_tf"].tolist(),
-                enc["skip_max_norm"].tolist(),
-            )
-        )
+            base = np.concatenate([[0], csum[ends[:-1] - 1]]) if len(ends) > 1 else np.array([0])
+            pos_parts.append(csum - base[grp_id])
+        else:
+            pos_parts.append(np.zeros(0, np.int64))
 
-    postings = pd.DataFrame(
-        rows,
-        columns=[
-            "term", "df", "ttf", "blocks", "positions", "skip_last",
-            "skip_off", "skip_pos_off", "skip_max_tf", "skip_max_norm",
-        ],
-    )
+    if len(allp):
+        g_doc = np.concatenate(id_parts)
+        tfs_all = np.concatenate(tf_parts)
+        pos_flat = np.concatenate(pos_parts)
+        row_dfs = allp["df"].to_numpy().astype(np.int64)
+        row_ends = np.cumsum(row_dfs)
+        row_starts = row_ends - row_dfs
+        new_term_row = np.empty(len(allp), dtype=bool)
+        new_term_row[0] = True
+        new_term_row[1:] = row_terms[1:] != row_terms[:-1]
+        t_starts = row_starts[new_term_row]
+        t_ends = np.append(t_starts[1:], row_ends[-1])
+        enc = codec.encode_segment_postings(
+            g_doc, tfs_all, t_starts, t_ends, merged_norms, pos_flat
+        )
+        postings = pd.DataFrame(
+            {
+                "term": row_terms[new_term_row],
+                "df": enc["df"],
+                "ttf": enc["ttf"],
+                "blocks": enc["blocks"],
+                "positions": enc["positions"],
+                "skip_last": [a.tolist() for a in enc["skip_last"]],
+                "skip_off": [a.tolist() for a in enc["skip_off"]],
+                "skip_pos_off": [a.tolist() for a in enc["skip_pos_off"]],
+                "skip_max_tf": [a.tolist() for a in enc["skip_max_tf"]],
+                "skip_max_norm": [a.tolist() for a in enc["skip_max_norm"]],
+            }
+        )
+    else:
+        postings = pd.DataFrame(
+            columns=[
+                "term", "df", "ttf", "blocks", "positions", "skip_last",
+                "skip_off", "skip_pos_off", "skip_max_tf", "skip_max_norm",
+            ]
+        )
     built = {
         "postings": postings,
         "norm_bytes": merged_norms,
