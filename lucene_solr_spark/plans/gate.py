@@ -236,9 +236,9 @@ GROUP BY 1 ORDER BY bucket""",
                 "en_docs": "lang = 'en'",
             },
         ),
-        """SELECT sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs,
-       sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS long_docs,
-       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs
+        """SELECT CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+       CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs
 FROM documents""",
     )
     R["pivot_facet_lang_source"] = (
@@ -278,8 +278,8 @@ WHERE rn = 1 ORDER BY grp""",
         lambda spark, sf: C.dismax_topk(_docs(spark, sf), "dup", "window", 10),
         f"""{TOKS},
 tfp AS (SELECT doc_id,
-        sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS tf_a,
-        sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS tf_b
+        CAST(sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_a,
+        CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_b
         FROM toks WHERE term IN ('dup','window') GROUP BY doc_id)
 SELECT doc_id, tf_a, tf_b,
        CAST(greatest(tf_a, tf_b) * 1000 + least(tf_a, tf_b) * 100 AS BIGINT) AS dismax_milli
@@ -669,8 +669,8 @@ per_sess AS (
   SELECT user_id, sess_id, count(*) AS n_events,
          max(tss) - min(tss) AS span_s
   FROM sess GROUP BY 1, 2)
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-       sum(span_s) AS total_span_s
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(span_s) AS BIGINT) AS total_span_s
 FROM per_sess GROUP BY user_id ORDER BY user_id""",
     )
     R["running_value_sum"] = (

@@ -31,6 +31,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Type-sensitive value hash mimicking the driver's compare: sort columns
+    by name, sort rows, then hash the repr of every cell.  int64 1 and
+    float64 1.0 hash DIFFERENTLY (the round-1 HUGEINT lesson: DuckDB sum()
+    over BIGINT returns HUGEINT -> pandas float64/object -> hash mismatch
+    even when values are numerically equal)."""
+    import hashlib
+
+    c = canon(df)
+    h = hashlib.sha256()
+    for row in c.itertuples(index=False, name=None):
+        h.update(repr(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,6 +98,14 @@ def main():
                 )
             except AssertionError as e:
                 status = "values differ: " + str(e).split("\n")[-2][:200]
+            # driver-faithful: hash is type-sensitive even when values match
+            if status is None and value_hash(sdf) != value_hash(odf):
+                dt = {
+                    c: (str(sdf[c].dtype), str(odf[c].dtype))
+                    for c in sorted(sdf.columns)
+                    if str(sdf[c].dtype) != str(odf[c].dtype)
+                }
+                status = f"type-sensitive hash mismatch (dtype diffs: {dt})"
         if status:
             print(f"FAIL {name}: {status}")
             if len(a) and len(b) and list(a.columns) == list(b.columns):
