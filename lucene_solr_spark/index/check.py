@@ -51,7 +51,18 @@ def check_segment(index_dir: str, seg: dict, sample_terms: int | None = None) ->
     _check(int(norms_t["max_doc"][0].as_py()) == max_doc, f"{sid}: norms max_doc mismatch")
     urls = dm["url"].to_numpy()
     _check(len(urls) == max_doc, f"{sid}: docmap rows != max_doc")
-    _check((urls[:-1] < urls[1:]).all() if max_doc > 1 else True, f"{sid}: docmap urls not sorted/unique")
+    # NRT-appended batches assign docids in arrival order, and merges
+    # concatenate urls in doc order — such segments legitimately have
+    # unsorted urls. Enforce the global-sort invariant only for segments
+    # built by the batch indexer (url-range routing); always enforce
+    # uniqueness.
+    lineage = seg.get("lineage", {}) or {}
+    from_nrt_or_merge = "batch_id" in lineage or "merged_from" in lineage
+    if max_doc > 1:
+        if from_nrt_or_merge:
+            _check(len(np.unique(urls)) == max_doc, f"{sid}: docmap urls not unique")
+        else:
+            _check((urls[:-1] < urls[1:]).all(), f"{sid}: docmap urls not sorted/unique")
     _check(
         (dm["docid"].to_numpy() == np.arange(max_doc)).all(),
         f"{sid}: docmap local ids not dense",

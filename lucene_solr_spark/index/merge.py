@@ -301,12 +301,17 @@ def force_merge(spark: SparkSession, index_dir: str, max_segments: int = 1) -> d
         segs = sorted(man["segments"], key=lambda s: s["doc_base"])
         groups = []
         fanout = DEFAULT_MAX_MERGE_AT_ONCE
+        remaining = len(segs)  # segment count after this round's merges
         i = 0
-        while i < len(segs) and len(segs) - i > max_segments - len(groups) * 0:
-            g = [s["segment_id"] for s in segs[i : i + fanout]]
-            if len(g) >= 2:
-                groups.append(g)
-            i += fanout
+        while i < len(segs) and remaining > max_segments:
+            # merging `take` adjacent segments into one reduces the count
+            # by take-1; never take more than needed to land on the target
+            take = min(fanout, len(segs) - i, remaining - max_segments + 1)
+            if take < 2:
+                break
+            groups.append([s["segment_id"] for s in segs[i : i + take]])
+            remaining -= take - 1
+            i += take
         if not groups:
             break
         man = execute_merges(spark, index_dir, groups)

@@ -259,7 +259,9 @@ class OracleSearcher:
                 ids_p, freqs = self._phrase_freqs(clause)
                 j = np.searchsorted(ids_p, docid)
                 if j < len(ids_p) and ids_p[j] == docid:
-                    freq = int(freqs[j])
+                    # keep sloppy freq fractional (CheckHits invariant)
+                    fv = freqs[j]
+                    freq = float(fv) if getattr(clause, "slop", 0) > 0 else int(fv)
                 idf_v = np.float32(0.0)
                 for t in clause.terms:
                     idf_v = np.float32(idf_v + bm25.idf(self.df(t), self.max_doc))

@@ -204,9 +204,24 @@ def _score_segment(
             if c.kind == "term":
                 ubs[i] = float(rows[c.terms[0]].ub(cache, wv_by_clause[i]))
             else:
-                # phrase ub: freq bounded by min term tf ub — use min term ub shape
                 r0 = min((rows[t] for t in c.terms), key=lambda r: r.df)
-                ubs[i] = float(r0.ub(cache, wv_by_clause[i]))
+                if getattr(c, "slop", 0) > 0:
+                    # sloppy freq sums 1/(dist+1) over minimal windows — one
+                    # window per advanced position — so it can EXCEED any
+                    # single term's tf (SloppyPhraseScorer.java:48). Valid
+                    # bound: freq <= sum of the clause terms' tfs; score the
+                    # summed global block-max tfs at the min-df term's most
+                    # favorable (largest) norm byte.
+                    freq_ub = sum(int(rows[t].skip_max_tf.max()) for t in c.terms)
+                    ubs[i] = float(
+                        bm25.score_freqs(
+                            np.full(len(r0.skip_max_norm), freq_ub, np.int64),
+                            r0.skip_max_norm, cache, wv_by_clause[i],
+                        ).max()
+                    )
+                else:
+                    # exact phrase: freq = alignment count <= min-df term tf
+                    ubs[i] = float(r0.ub(cache, wv_by_clause[i]))
         order = sorted(present, key=lambda i: -ubs[i])
         acc_ids = np.zeros(0, np.int64)
         acc_sc = np.zeros(0, np.float32)
@@ -215,7 +230,11 @@ def _score_segment(
             rest_ub = sum(ubs[j] for j in rest)
             if prune and len(acc_ids) >= k:
                 theta = float(np.partition(acc_sc, len(acc_sc) - k)[len(acc_sc) - k])
-                if rest_ub < theta:
+                # float-summation slack (MaxScoreSumPropagator semantics,
+                # search/MaxScoreSumPropagator.java:60-74): true scores are
+                # float32 clause-order sums that can exceed the double sum
+                # of per-clause bounds by ULPs — scale up before demoting
+                if rest_ub * (1.0 + len(clauses) * 2.0 ** -24) < theta:
                     lookup_only.update(rest)
                     break
             c = clauses[i]
@@ -601,7 +620,10 @@ def _explain_segment(searcher: "SparkSearcher", q: Query, docid: int) -> dict:
             if all(t in rows for t in clause.terms):
                 ids_p, freqs = _phrase_freqs(clause, rows, lid)
                 if len(ids_p):
-                    freq = int(freqs[0])
+                    # keep sloppy freq fractional: flooring it would break
+                    # the CheckHits invariant (explain total == search score)
+                    fv = freqs[0]
+                    freq = float(fv) if getattr(clause, "slop", 0) > 0 else int(fv)
             idf_v = np.float32(0.0)
             for t in clause.terms:
                 idf_v = np.float32(idf_v + idf_by_term[t])

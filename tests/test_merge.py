@@ -69,6 +69,29 @@ def test_merge_preserves_results(spark, pages_small, oracle_small):
         )
 
 
+def test_force_merge_to_n_segments(spark, pages_small, oracle_small):
+    """forceMerge(N>1) must stop AT N segments, not over-merge below it
+    (ADVICE r1: dead '* 0' term in the loop condition)."""
+    from lucene_solr_spark.index.merge import force_merge
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx = os.path.join(CACHE, "idx_force_merge_n")
+    _build(spark, pages_small, idx, 7)
+    man = force_merge(spark, idx, max_segments=3)
+    assert len(man["segments"]) == 3
+    segs = sorted(man["segments"], key=lambda s: s["doc_base"])
+    acc = 0
+    for s in segs:
+        assert s["doc_base"] == acc
+        acc += s["max_doc"]
+    res = SparkSearcher(spark, idx).search_pdf("babe roro", k=10)
+    exp = oracle_small.search("babe roro", 10, "OR")
+    np.testing.assert_array_equal(res["docid"].to_numpy(), exp["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+    )
+
+
 def test_force_merge_single_segment(spark, pages_small, oracle_small):
     from lucene_solr_spark.index.merge import force_merge
     from lucene_solr_spark.search.engine import SparkSearcher

@@ -65,6 +65,47 @@ def test_sloppy_parity_engine_oracle(searcher, oracle_small, pages_small):
             )
 
 
+def test_sloppy_in_multiclause_or_prune_parity(searcher, oracle_small, pages_small):
+    """ADVICE r1 repro: the old phrase UB (min-df term tf bound) is invalid
+    for slop>0 — summed sloppyFreq can exceed any single term's tf — so a
+    sloppy clause in a multi-clause OR could be wrongly demoted under
+    MaxScore pruning, dropping true top-k docs. Prune on/off must agree."""
+    (t1, t2), _ = _bigrams(pages_small)
+    for q in (
+        f'"{t1} {t2}"~3 {t1} roro',
+        f'"{t1} {t2}"~8 roro babe',
+        f'"{t2} {t1}"~2 {t2}',
+    ):
+        on = searcher.search_pdf(q, k=10, mode="OR", prune=True)
+        off = searcher.search_pdf(q, k=10, mode="OR", prune=False)
+        np.testing.assert_array_equal(
+            on["docid"].to_numpy(), off["docid"].to_numpy(), err_msg=q
+        )
+        np.testing.assert_array_equal(
+            on["score"].to_numpy(np.float32), off["score"].to_numpy(np.float32),
+            err_msg=q,
+        )
+        exp = oracle_small.search(q, 10, "OR")
+        np.testing.assert_array_equal(
+            on["docid"].to_numpy(), exp["docid"].to_numpy(), err_msg=q
+        )
+
+
+def test_sloppy_explain_matches_search(searcher, oracle_small, pages_small):
+    """CheckHits invariant for slop>0: explain() total must be bit-identical
+    to search()'s score (ADVICE r1: int(freq) flooring broke this)."""
+    (t1, t2), _ = _bigrams(pages_small)
+    q = f'"{t1} {t2}"~3'
+    res = searcher.search_pdf(q, k=3, mode="OR")
+    assert len(res) > 0
+    for _, r in res.iterrows():
+        ex = searcher.explain(q, int(r["docid"]))
+        assert ex["matched"]
+        assert np.float32(ex["total"]) == np.float32(r["score"])
+        oex = oracle_small.explain(q, int(r["docid"]))
+        assert np.float32(oex["total"]) == np.float32(r["score"])
+
+
 def test_sloppy_finds_more_than_exact(oracle_small, pages_small):
     t1, t2 = _bigrams(pages_small)[0]
     exact = oracle_small.count(f'"{t1} {t2}"')
