@@ -578,6 +578,93 @@ WHERE term IN ('dup', 'window')""",
 SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'wi%' ORDER BY doc_id""",
     )
 
+    def _wildcard_infix(spark, sf):
+        # general wildcard with leading AND trailing '*' (not prefix-shaped):
+        # dictionary automaton intersection -> constant-score doc-set union
+        s = gate_searcher(spark, sf)
+        terms = s.expand_wildcard("*or*")
+        return s.matching_docids(terms).select(F.col("docid").alias("doc_id"))
+
+    R["wildcard_infix_docs"] = (
+        _wildcard_infix,
+        f"""{TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%or%' ORDER BY doc_id""",
+    )
+
+    def _wildcard_qmark(spark, sf):
+        # '?' single-char wildcard: ?a?? matches exactly-4-letter terms with
+        # 'a' second (hash, data, fast, part)
+        s = gate_searcher(spark, sf)
+        terms = s.expand_wildcard("?a??")
+        return s.matching_docids(terms).select(F.col("docid").alias("doc_id"))
+
+    R["wildcard_qmark_docs"] = (
+        _wildcard_qmark,
+        f"""{TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE '_a__' ORDER BY doc_id""",
+    )
+
+    def _regexp_terms(spark, sf):
+        # RegexpQuery over the terms dictionary: full-term match, df per term
+        s = gate_searcher(spark, sf)
+        terms = s.expand_regexp(".*(ow|up)")
+        return (
+            s._postings.where(F.col("term").isin(terms))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .orderBy("term")
+        )
+
+    R["regexp_terms_df"] = (
+        _regexp_terms,
+        f"""{TOKS},
+agg AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM agg WHERE regexp_matches(term, '^.*(ow|up)$')
+ORDER BY term""",
+    )
+
+    def _wildcard_scored(spark, sf):
+        # scored BM25 term + optional constant-score wildcard clause in one
+        # boolean query (ConstantScore(wildcard) OR term — the everyday
+        # Solr mixed-query shape)
+        s = gate_searcher(spark, sf)
+        res = s.search("dup win*", k=10, mode="OR", with_url=False)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    # oracle: BM25('dup') + 1.0 constant for docs containing any 'win%' term,
+    # same float32-insensitive milliscore rounding as the other BM25 gates
+    R["wildcard_scored_topk"] = (
+        _wildcard_scored,
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'dup' GROUP BY doc_id),
+dfr AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'dup'),
+wild AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'win%'),
+scores AS (
+  SELECT COALESCE(tf.doc_id, w.doc_id) AS doc_id,
+         COALESCE( ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+              * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)), 0)
+         + CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0 END AS score
+  FROM tf
+  FULL OUTER JOIN wild w ON tf.doc_id = w.doc_id
+  LEFT JOIN qdl q ON COALESCE(tf.doc_id, w.doc_id) = q.doc_id
+  CROSS JOIN consts c
+  CROSS JOIN dfr
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     R["sort_by_field_topk"] = (
         lambda spark, sf: C.sort_by_field_topk(_docs(spark, sf), "merge", "n_chars", 10),
         f"""{TOKS},

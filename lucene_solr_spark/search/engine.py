@@ -168,7 +168,10 @@ def _score_segment(
                 return _empty_pdf()
             if c.kind == "phrase" and any(t not in rows for t in c.terms):
                 return _empty_pdf()
+            if c.kind == "term_set" and not any(t in rows for t in c.terms):
+                return _empty_pdf()
         term_req = [i for i in required_idx if clauses[i].kind == "term"]
+        set_req = [i for i in required_idx if clauses[i].kind == "term_set"]
         phrase_req = [i for i in required_idx if clauses[i].kind == "phrase"]
         order = sorted(term_req, key=lambda i: rows[clauses[i].terms[0]].df)
         if order:
@@ -181,6 +184,16 @@ def _score_segment(
                 cand_ids = cand_ids[tfs > 0]
                 if len(cand_ids) == 0:
                     return _empty_pdf()
+        for i in set_req:
+            # required multi-term expansion: doc must contain ANY set term
+            # (ConstantScore doc-set intersected into the conjunction)
+            union = _set_union_ids(clauses[i], rows)
+            if cand_ids is None:
+                cand_ids = union
+            else:
+                cand_ids = cand_ids[np.isin(cand_ids, union, assume_unique=True)]
+            if len(cand_ids) == 0:
+                return _empty_pdf()
         for i in phrase_req:
             ids_p, _f = _phrase_freqs(clauses[i], rows, cand_ids)
             cand_ids = ids_p
@@ -195,6 +208,7 @@ def _score_segment(
             for i, c in enumerate(clauses)
             if (c.kind == "term" and c.terms[0] in rows)
             or (c.kind == "phrase" and all(t in rows for t in c.terms))
+            or (c.kind == "term_set" and any(t in rows for t in c.terms))
         ]
         if not present:
             return _empty_pdf()
@@ -203,6 +217,9 @@ def _score_segment(
             c = clauses[i]
             if c.kind == "term":
                 ubs[i] = float(rows[c.terms[0]].ub(cache, wv_by_clause[i]))
+            elif c.kind == "term_set":
+                # constant-score clause: the score IS the bound
+                ubs[i] = float(wv_by_clause[i])
             else:
                 r0 = min((rows[t] for t in c.terms), key=lambda r: r.df)
                 if getattr(c, "slop", 0) > 0:
@@ -241,6 +258,9 @@ def _score_segment(
             if c.kind == "term":
                 ids, tfs = rows[c.terms[0]].decode_all()
                 s = bm25.score_freqs(tfs, norms[ids], cache, wv_by_clause[i])
+            elif c.kind == "term_set":
+                ids = _set_union_ids(c, rows)
+                s = np.full(len(ids), np.float32(wv_by_clause[i]), np.float32)
             else:
                 ids, freqs = _phrase_freqs(c, rows, None)
                 s = bm25.score_freqs(freqs, norms[ids], cache, wv_by_clause[i])
@@ -283,6 +303,14 @@ def _score_segment(
                 matched_any |= m
                 if not c.required:
                     opt_count += m
+        elif c.kind == "term_set":
+            union = _set_union_ids(c, rows)
+            m = np.isin(cand_ids, union, assume_unique=True)
+            if m.any():
+                contrib[m] = np.float32(wv_by_clause[i])
+            matched_any |= m
+            if not c.required:
+                opt_count += m
         else:
             if all(t in rows for t in c.terms):
                 ids_p, freqs = _phrase_freqs(c, rows, cand_ids)
@@ -316,6 +344,17 @@ def _score_segment(
         {"docid": (cand_ids[sel] + doc_base).astype(np.int64),
          "score": total[sel].astype(np.float32)}
     )
+
+
+def _set_union_ids(clause, rows) -> np.ndarray:
+    """Sorted distinct docids containing ANY of the set's terms (the
+    constant-score BitSet union of MultiTermQueryConstantScoreWrapper)."""
+    parts = [rows[t].decode_all()[0] for t in clause.terms if t in rows]
+    if not parts:
+        return np.zeros(0, np.int64)
+    if len(parts) == 1:
+        return parts[0]
+    return np.unique(np.concatenate(parts))
 
 
 def _phrase_freqs(clause, rows, cand_ids):
@@ -437,6 +476,10 @@ class SparkSearcher:
         )
         if not q.clauses:
             return empty
+        if any(c.kind in ("wildcard", "regexp") for c in q.clauses):
+            q = self._rewrite_multiterm(q)
+            if q is None:
+                return empty
 
         terms = sorted(set(q.all_terms))
         prows = self._postings.where(F.col("term").isin(terms))
@@ -462,6 +505,9 @@ class SparkSearcher:
                 wv_by_clause.append(
                     bm25.weight_value(idf_by_term[c.terms[0]], boost=c.boost)
                 )
+            elif c.kind == "term_set":
+                # ConstantScoreQuery: score == boost, no idf/tf/norm
+                wv_by_clause.append(np.float32(c.boost))
             else:
                 s = np.float32(0.0)
                 for t in c.terms:
@@ -473,7 +519,10 @@ class SparkSearcher:
         # required clause with zero global df -> no results (TermQuery semantics)
         for c in q.clauses:
             if c.required:
-                if any(stats.get(t, 0) == 0 for t in c.terms):
+                if c.kind == "term_set":
+                    if all(stats.get(t, 0) == 0 for t in c.terms):
+                        return empty
+                elif any(stats.get(t, 0) == 0 for t in c.terms):
                     return empty
 
         seg_meta = self.seg_meta
@@ -514,6 +563,11 @@ class SparkSearcher:
         bit-identical to search()'s score for the doc (the CheckHits
         invariant, test-framework/.../search/CheckHits.java)."""
         q = parse_query(query, mode) if isinstance(query, str) else query
+        if any(c.kind in ("wildcard", "regexp") for c in q.clauses):
+            q = self._rewrite_multiterm(q)
+            if q is None:
+                return {"docid": int(docid), "matched": False,
+                        "total": 0.0, "details": []}
         return _explain_segment(self, q, docid)
 
     def count(self, query: str | Query, mode: str = "OR") -> int:
@@ -539,6 +593,86 @@ class SparkSearcher:
             .collect()
         )
         return [r["term"] for r in rows]
+
+    @staticmethod
+    def wildcard_to_regex(pattern: str) -> str:
+        """Translate Lucene wildcard syntax (* = any run, ? = one char) to an
+        anchored Java regex (search/WildcardQuery.java:58-90 toAutomaton)."""
+        import re as _re
+
+        parts = []
+        for ch in pattern:
+            if ch == "*":
+                parts.append(".*")
+            elif ch == "?":
+                parts.append(".")
+            else:
+                parts.append(_re.escape(ch))
+        return "^" + "".join(parts) + "$"
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 1024) -> list[str]:
+        """WildcardQuery expansion: automaton ∩ dictionary
+        (codecs/blocktree/IntersectTermsEnum.java semantics). The literal
+        prefix before the first wildcard pre-filters the term-sorted
+        parquet scan, so `wi*ow` prunes row groups like BlockTree's FST
+        seek; leading wildcards scan the whole dictionary (as in Lucene
+        without a reversed field)."""
+        import re as _re
+
+        prefix = _re.match(r"^[^*?]*", pattern).group(0)
+        return self._expand_regex(self.wildcard_to_regex(pattern), prefix, max_expansions)
+
+    def expand_regexp(self, regex: str, max_expansions: int = 1024) -> list[str]:
+        """RegexpQuery expansion: the pattern must match the ENTIRE term
+        (search/RegexpQuery.java:43-47), hence the ^(?:...)$ anchoring."""
+        meta = set(".*+?[](){}|\\^$")
+        prefix = ""
+        for ch in regex:
+            if ch in meta:
+                break
+            prefix += ch
+        return self._expand_regex(f"^(?:{regex})$", prefix, max_expansions)
+
+    def _expand_regex(self, anchored: str, prefix: str, max_expansions: int) -> list[str]:
+        t = self._postings.select("term")
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        rows = (
+            t.where(F.col("term").rlike(anchored))
+            .distinct()
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _rewrite_multiterm(self, q: Query) -> Query | None:
+        """MultiTermQuery rewrite (search/MultiTermQuery.java:64-116,
+        CONSTANT_SCORE_REWRITE): expand wildcard/regexp patterns against the
+        terms dictionary into constant-score term_set clauses. Returns None
+        when a required pattern matches no terms (empty result)."""
+        from .query import Clause
+
+        out = []
+        for c in q.clauses:
+            # constant-score rewrite is a doc-set union, not scoring clauses,
+            # so no BooleanQuery.maxClauseCount-style cap applies (Lucene's
+            # CONSTANT_SCORE_REWRITE builds a BitSet over all matching terms)
+            if c.kind == "wildcard":
+                terms = self.expand_wildcard(c.terms[0], max_expansions=1 << 20)
+            elif c.kind == "regexp":
+                terms = self.expand_regexp(c.terms[0], max_expansions=1 << 20)
+            else:
+                out.append(c)
+                continue
+            if not terms:
+                if c.required:
+                    return None
+                continue
+            out.append(Clause("term_set", terms, required=c.required, boost=c.boost))
+        if not out:
+            return None
+        return Query(out, q.must_not, q.min_should_match)
 
     def matching_docids(self, terms: list[str]) -> DataFrame:
         """Constant-score doc-set union of the given terms
@@ -609,6 +743,29 @@ def _explain_segment(searcher: "SparkSearcher", q: Query, docid: int) -> dict:
     total = np.float32(0.0)
     matched = False
     for clause in q.clauses:
+        if clause.kind == "term_set":
+            member = False
+            for t in clause.terms:
+                r = rows.get(t)
+                if r is not None and r.lookup(lid)[1][0] > 0:
+                    member = True
+                    break
+            contrib = np.float32(clause.boost) if member else np.float32(0.0)
+            matched = matched or member
+            total = np.float32(total + contrib)
+            details.append(
+                {
+                    "clause": f"set({len(clause.terms)} terms)",
+                    "kind": "term_set",
+                    "freq": int(member),
+                    "idf": 0.0,
+                    "boost": clause.boost,
+                    "weight_value": float(clause.boost),
+                    "norm_byte": norm_byte,
+                    "score": float(contrib),
+                }
+            )
+            continue
         freq = 0
         if clause.kind == "term":
             r = rows.get(clause.terms[0])

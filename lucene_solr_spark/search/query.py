@@ -22,7 +22,11 @@ from ..analysis import analyze_one
 
 @dataclass
 class Clause:
-    kind: str  # "term" | "phrase"
+    # "term" | "phrase" | "wildcard" | "regexp" (pre-rewrite multi-term
+    # queries, terms=[pattern]) | "term_set" (post-rewrite constant-score
+    # expansion, MultiTermQuery CONSTANT_SCORE_REWRITE,
+    # search/MultiTermQuery.java:64-116)
+    kind: str
     terms: list[str]
     offsets: list[int] = field(default_factory=list)  # phrase position offsets
     required: bool = False
@@ -98,6 +102,20 @@ def parse_query(text: str, mode: str = "OR") -> Query:
             if bm:
                 boost = float(bm.group(1))
                 word = word[: bm.start()]
+            # /regex/ -> RegexpQuery; * or ? -> WildcardQuery. Multi-term
+            # patterns are NOT analyzed (QueryParserBase.getWildcardQuery
+            # semantics), only lowercased; the searcher rewrites them
+            # against the terms dictionary at search time.
+            if not neg and len(word) > 1 and word.startswith("/") and word.endswith("/"):
+                clauses.append(
+                    Clause("regexp", [word[1:-1].lower()], required=req, boost=boost)
+                )
+                continue
+            if not neg and ("*" in word or "?" in word):
+                clauses.append(
+                    Clause("wildcard", [word.lower()], required=req, boost=boost)
+                )
+                continue
             toks = analyze_one(word)
             if not toks:
                 continue

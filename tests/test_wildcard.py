@@ -1,0 +1,124 @@
+"""General wildcard/regexp multi-term queries: dictionary expansion,
+constant-score rewrite, boolean composition (reference semantics:
+search/WildcardQuery.java, RegexpQuery.java, MultiTermQuery.java:64-116
+CONSTANT_SCORE_REWRITE; tests modeled on core TestWildcard.java)."""
+
+import fnmatch
+import re
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    return SparkSearcher(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def vocab_and_docs(pages_small):
+    """(sorted vocab, {term -> set of engine docids}) via the shared
+    analyzer; engine docids are global url ranks, not row positions."""
+    from lucene_solr_spark.analysis import tokenize_series
+
+    flat = tokenize_series(pages_small["text"])
+    urls = pages_small["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    by_term = (
+        flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+        .groupby("term", observed=True)["docid"]
+        .agg(set)
+    )
+    return sorted(by_term.index), by_term.to_dict()
+
+
+def test_wildcard_to_regex():
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    r = SparkSearcher.wildcard_to_regex("wi*o?d")
+    assert r == "^wi.*o.d$"
+    assert re.fullmatch(r[1:-1], "wiod") is None  # '?' is exactly one char
+    assert re.fullmatch(r[1:-1], "wiord")
+
+
+@pytest.mark.parametrize("pattern", ["ba*", "*ab*", "?abe", "*o", "b*b*"])
+def test_expand_wildcard_matches_fnmatch(searcher, vocab_and_docs, pattern):
+    vocab, _ = vocab_and_docs
+    expected = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pattern))
+    got = searcher.expand_wildcard(pattern, max_expansions=10_000)
+    assert got == expected
+    assert len(got) > 0, f"fixture pattern {pattern} should match terms"
+
+
+def test_expand_regexp_full_match(searcher, vocab_and_docs):
+    vocab, _ = vocab_and_docs
+    regex = ".*(be|ro)"
+    expected = sorted(t for t in vocab if re.fullmatch(regex, t))
+    assert searcher.expand_regexp(regex) == expected
+
+
+def test_wildcard_docset_union(searcher, vocab_and_docs):
+    vocab, by_term = vocab_and_docs
+    pattern = "*ab*"
+    terms = [t for t in vocab if fnmatch.fnmatchcase(t, pattern)]
+    expected = sorted(set().union(*(by_term[t] for t in terms)))
+    got = searcher.matching_docids(searcher.expand_wildcard(pattern))
+    assert [r["docid"] for r in got.collect()] == expected
+
+
+def test_wildcard_in_boolean_query(searcher, oracle_small, vocab_and_docs):
+    """OR of a scored term and a constant-score wildcard: score must be
+    BM25(term) + 1.0 for docs matching both; prune on/off identical."""
+    vocab, by_term = vocab_and_docs
+    on = searcher.search_pdf("babe ro*", k=10, mode="OR", prune=True)
+    off = searcher.search_pdf("babe ro*", k=10, mode="OR", prune=False)
+    np.testing.assert_array_equal(on["docid"].to_numpy(), off["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        on["score"].to_numpy(np.float32), off["score"].to_numpy(np.float32)
+    )
+    # brute-force expected: float32 clause-order sum of BM25('babe') + 1.0f
+    base = oracle_small.search("babe", 3000, "OR")
+    bm25_by_doc = dict(zip(base["docid"], base["score"]))
+    ro_terms = [t for t in vocab if fnmatch.fnmatchcase(t, "ro*")]
+    ro_docs = set().union(*(by_term[t] for t in ro_terms))
+    exp = {}
+    for d in set(bm25_by_doc) | ro_docs:
+        s = np.float32(bm25_by_doc.get(d, np.float32(0.0)))
+        if d in ro_docs:
+            s = np.float32(s + np.float32(1.0))
+        exp[d] = s
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    np.testing.assert_array_equal(
+        on["docid"].to_numpy(), np.array([d for d, _ in order])
+    )
+    np.testing.assert_array_equal(
+        on["score"].to_numpy(np.float32), np.array([s for _, s in order], np.float32)
+    )
+
+
+def test_required_wildcard_conjunction(searcher, vocab_and_docs):
+    """+babe +ro*: docs must contain babe AND any ro-prefixed term."""
+    vocab, by_term = vocab_and_docs
+    res = searcher.search_pdf("+babe +ro*", k=2000, mode="OR")
+    ro_docs = set().union(
+        *(by_term[t] for t in vocab if fnmatch.fnmatchcase(t, "ro*"))
+    )
+    expected = by_term["babe"] & ro_docs
+    assert set(res["docid"].tolist()) == expected
+
+
+def test_wildcard_no_match(searcher):
+    # 'zz*' matches nothing: optional -> clause dropped; required -> empty
+    assert len(searcher.search_pdf("babe zz*", k=5)) > 0
+    assert len(searcher.search_pdf("+zz*", k=5)) == 0
+
+
+def test_wildcard_explain_matches_search(searcher):
+    res = searcher.search_pdf("babe ro*", k=3, mode="OR")
+    for _, r in res.iterrows():
+        ex = searcher.explain("babe ro*", int(r["docid"]))
+        assert np.float32(ex["total"]) == np.float32(r["score"])
