@@ -274,17 +274,102 @@ FROM (SELECT source, doc_id, n_chars,
       FROM documents)
 WHERE rn = 1 ORDER BY grp""",
     )
+    def _dismax(spark, sf):
+        # real DisMax through the engine: per-clause BM25 scores combined as
+        # max + tieBreaker * rest (DisjunctionMaxQuery.java:45-54)
+        s = gate_searcher(spark, sf)
+        res = s.search("dup window", k=10, mode="OR", with_url=False,
+                       dismax_tie=0.1)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
     R["dismax_topk"] = (
-        lambda spark, sf: C.dismax_topk(_docs(spark, sf), "dup", "window", 10),
+        _dismax,
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('dup','window') GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('dup','window') GROUP BY term),
+persco AS (
+  SELECT tf.doc_id,
+         ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+           * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) AS s
+  FROM tf JOIN dfr USING (term)
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c),
+agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM persco GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND((mx + 0.1 * (sm - mx)) * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM agg ORDER BY mx + 0.1 * (sm - mx) DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
+    def _filtered_topk(spark, sf):
+        # Solr fq: scored 'dup' restricted to docs containing BOTH 'window'
+        # and 'merge' (filter doc-set intersected before scoring, no score
+        # contribution — FilteredQuery.java:41-70)
+        s = gate_searcher(spark, sf)
+        res = s.search("dup", k=10, mode="OR", with_url=False,
+                       fq="window merge")
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    R["bm25_filtered_topk"] = (
+        _filtered_topk,
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+fqset AS (
+  SELECT doc_id FROM toks WHERE term = 'window'
+  INTERSECT
+  SELECT doc_id FROM toks WHERE term = 'merge'
+),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'dup' GROUP BY doc_id),
+dfr AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'dup'),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+           * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) AS score
+  FROM tf
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c CROSS JOIN dfr
+  WHERE tf.doc_id IN (SELECT doc_id FROM fqset)
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
+    def _facet_on_hits(spark, sf):
+        # facet.field over the ENGINE's DocSet (SimpleFacets.java:256-369),
+        # not a re-tokenized relation: hits come from the segment index
+        s = gate_searcher(spark, sf)
+        return s.facet_field("dup merge", _docs(spark, sf), "lang", limit=20)
+
+    R["facet_field_on_engine_hits"] = (
+        _facet_on_hits,
         f"""{TOKS},
-tfp AS (SELECT doc_id,
-        CAST(sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf_a,
-        CAST(sum(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_b
-        FROM toks WHERE term IN ('dup','window') GROUP BY doc_id)
-SELECT doc_id, tf_a, tf_b,
-       CAST(greatest(tf_a, tf_b) * 1000 + least(tf_a, tf_b) * 100 AS BIGINT) AS dismax_milli
-FROM tfp WHERE greatest(tf_a, tf_b) > 0
-ORDER BY dismax_milli DESC, doc_id LIMIT 10""",
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('dup', 'merge'))
+SELECT d.lang AS facet, count(*) AS cnt
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang ORDER BY cnt DESC, facet LIMIT 20""",
     )
     R["boolean_not_count"] = (
         lambda spark, sf: C.boolean_not_count(_docs(spark, sf), "dup", "window"),

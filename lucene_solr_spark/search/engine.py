@@ -148,6 +148,8 @@ def _score_segment(
     prune: bool,
     after: tuple | None = None,
     count_only: bool = False,
+    fqq: Query | None = None,
+    all_hits: bool = False,
 ) -> pd.DataFrame:
     seg_name = pdf["segment_id"].iloc[0]
     meta = seg_meta[seg_name]
@@ -159,6 +161,16 @@ def _score_segment(
     clauses = q.clauses
     required_idx = [i for i, c in enumerate(clauses) if c.required]
     cand_ids: np.ndarray | None = None  # candidates when required clauses exist
+
+    # ---- filter query (Solr fq / FilteredQuery.java:41-70): resolve the
+    # filter's doc-set FIRST so every scored clause is restricted before the
+    # pruning threshold sees it (a post-hoc intersection would make MaxScore
+    # demote against unfiltered scores and drop true top-k docs) ----
+    fset: np.ndarray | None = None
+    if fqq is not None:
+        fset = _filter_docset(fqq, rows, meta["max_doc"])
+        if len(fset) == 0:
+            return _empty_pdf()
 
     # ---- required-clause intersection (rarest-first leapfrog) ----
     if required_idx:
@@ -178,6 +190,10 @@ def _score_segment(
             lead = rows[clauses[order[0]].terms[0]]
             ids, _ = lead.decode_all()
             cand_ids = ids
+            if fset is not None:
+                cand_ids = cand_ids[np.isin(cand_ids, fset, assume_unique=True)]
+                if len(cand_ids) == 0:
+                    return _empty_pdf()
             for i in order[1:]:
                 r = rows[clauses[i].terms[0]]
                 _, tfs = r.lookup(cand_ids)
@@ -197,6 +213,10 @@ def _score_segment(
         for i in phrase_req:
             ids_p, _f = _phrase_freqs(clauses[i], rows, cand_ids)
             cand_ids = ids_p
+            if len(cand_ids) == 0:
+                return _empty_pdf()
+        if cand_ids is not None and fset is not None:
+            cand_ids = cand_ids[np.isin(cand_ids, fset, assume_unique=True)]
             if len(cand_ids) == 0:
                 return _empty_pdf()
 
@@ -264,6 +284,9 @@ def _score_segment(
             else:
                 ids, freqs = _phrase_freqs(c, rows, None)
                 s = bm25.score_freqs(freqs, norms[ids], cache, wv_by_clause[i])
+            if fset is not None:
+                m = np.isin(ids, fset, assume_unique=True)
+                ids, s = ids[m], s[m]
             both = np.concatenate([acc_ids, ids])
             merged, inv = np.unique(both, return_inverse=True)
             sc = np.zeros(len(merged), dtype=np.float32)
@@ -289,6 +312,10 @@ def _score_segment(
     total = np.zeros(n, dtype=np.float32)
     matched_any = np.zeros(n, dtype=bool)
     opt_count = np.zeros(n, dtype=np.int32)
+    dismax_tie = getattr(q, "dismax_tie", None)
+    if dismax_tie is not None:
+        dm_best = np.zeros(n, dtype=np.float32)
+        dm_sum = np.zeros(n, dtype=np.float32)
     for i, c in enumerate(clauses):
         contrib = np.zeros(n, dtype=np.float32)
         if c.kind == "term":
@@ -322,7 +349,17 @@ def _score_segment(
                     matched_any[pos] = True
                     if not c.required:
                         opt_count[pos] += 1
-        total = (total + contrib).astype(np.float32)
+        if dismax_tie is None:
+            total = (total + contrib).astype(np.float32)
+        else:
+            dm_sum = (dm_sum + contrib).astype(np.float32)
+            dm_best = np.maximum(dm_best, contrib)
+    if dismax_tie is not None:
+        # DisjunctionMaxQuery (DisjunctionMaxQuery.java:45-54):
+        # max clause score + tieBreaker * sum of the other clause scores
+        total = (
+            dm_best + (np.float32(dismax_tie) * (dm_sum - dm_best)).astype(np.float32)
+        ).astype(np.float32)
 
     keep = matched_any
     if q.min_should_match:
@@ -339,11 +376,70 @@ def _score_segment(
         )
     if len(cand_ids) == 0:
         return _empty_pdf()
+    if all_hits:
+        # full DocSet (SolrIndexSearcher.getDocSet): every match, doc order
+        return pd.DataFrame(
+            {"docid": (cand_ids + doc_base).astype(np.int64),
+             "score": total.astype(np.float32)}
+        )
     sel = np.lexsort((cand_ids, -total))[:k]
     return pd.DataFrame(
         {"docid": (cand_ids[sel] + doc_base).astype(np.int64),
          "score": total[sel].astype(np.float32)}
     )
+
+
+def _filter_docset(fqq: Query, rows: dict, max_doc: int) -> np.ndarray:
+    """Resolve a filter query to its segment-local doc-set (sorted ids).
+
+    Solr's fq / cached DocSet semantics (SolrIndexSearcher.java:151-153,
+    getProcessedFilter): boolean structure only, no scores. Required clauses
+    intersect, optional clauses union, prohibited terms subtract; a purely
+    negative fq is implicitly '*:* minus ...' (Solr's top-level-negative
+    rewrite), hence the max_doc universe."""
+
+    def clause_ids(c, within):
+        if c.kind == "term":
+            r = rows.get(c.terms[0])
+            if r is None:
+                return np.zeros(0, np.int64)
+            if within is None:
+                return r.decode_all()[0]
+            _, tfs = r.lookup(within)
+            return within[tfs > 0]
+        if c.kind == "term_set":
+            u = _set_union_ids(c, rows)
+            if within is None:
+                return u
+            return within[np.isin(within, u, assume_unique=True)]
+        # phrase
+        if any(t not in rows for t in c.terms):
+            return np.zeros(0, np.int64)
+        ids, _ = _phrase_freqs(c, rows, within)
+        return ids
+
+    req = [c for c in fqq.clauses if c.required]
+    opt = [c for c in fqq.clauses if not c.required]
+    s: np.ndarray | None = None
+    if req:
+        for c in req:
+            s = clause_ids(c, s)
+            if len(s) == 0:
+                return s
+    elif opt:
+        parts = [clause_ids(c, None) for c in opt]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.zeros(0, np.int64)
+        s = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+    else:
+        s = np.arange(max_doc, dtype=np.int64)  # pure-negative fq
+    for t in fqq.must_not:
+        r = rows.get(t)
+        if r is not None and len(s):
+            _, tfs = r.lookup(s)
+            s = s[tfs == 0]
+    return s
 
 
 def _set_union_ids(clause, rows) -> np.ndarray:
@@ -455,7 +551,10 @@ class SparkSearcher:
         prune: bool = True,
         after: tuple | None = None,
         min_should_match: int = 0,
+        fq: str | Query | None = None,
+        dismax_tie: float | None = None,
         _count_only: bool = False,
+        _all_hits: bool = False,
     ) -> DataFrame:
         """Top-k BM25 search.
 
@@ -464,11 +563,24 @@ class SparkSearcher:
         min_should_match is BooleanQuery's optional-clause quota.
         Pruning is disabled for both (the MaxScore threshold would not be a
         valid bound on the post-filter kth score).
+
+        fq is Solr's filter query (SolrIndexSearcher.getProcessedFilter /
+        FilteredQuery.java:41-70): a boolean query whose doc-set restricts
+        candidates BEFORE scoring, contributing nothing to the score.
+        Strings parse with AND semantics; wildcard/regexp allowed.
+
+        dismax_tie switches clause combination from BooleanQuery sum to
+        DisjunctionMaxQuery max + tie * rest (DisjunctionMaxQuery.java:45-54).
         """
         q = parse_query(query, mode) if isinstance(query, str) else query
         if min_should_match:
             q.min_should_match = min_should_match
-        if after is not None or q.min_should_match or _count_only:
+        if dismax_tie is not None:
+            q.dismax_tie = dismax_tie
+        if (
+            after is not None or q.min_should_match or _count_only
+            or q.dismax_tie is not None or _all_hits
+        ):
             prune = False
         spark = self.spark
         empty = spark.createDataFrame(
@@ -480,12 +592,24 @@ class SparkSearcher:
             q = self._rewrite_multiterm(q)
             if q is None:
                 return empty
+        fqq = parse_query(fq, "AND") if isinstance(fq, str) else fq
+        if fqq is not None and any(
+            c.kind in ("wildcard", "regexp") for c in fqq.clauses
+        ):
+            fqq = self._rewrite_multiterm(fqq)
+            if fqq is None:
+                return empty
 
-        terms = sorted(set(q.all_terms))
+        terms = sorted(
+            set(q.all_terms) | (set(fqq.all_terms) if fqq is not None else set())
+        )
         prows = self._postings.where(F.col("term").isin(terms))
         # prune the positions columns unless a phrase clause needs them:
         # cuts both the parquet scan and the Arrow transfer into the UDF
-        if not any(c.kind == "phrase" for c in q.clauses):
+        needs_pos = any(c.kind == "phrase" for c in q.clauses) or (
+            fqq is not None and any(c.kind == "phrase" for c in fqq.clauses)
+        )
+        if not needs_pos:
             prows = prows.select(
                 "segment_id", "term", "df", "ttf", "blocks", "skip_last",
                 "skip_off", "skip_max_tf", "skip_max_norm",
@@ -527,11 +651,11 @@ class SparkSearcher:
 
         seg_meta = self.seg_meta
         qq, wv, idfs, cch, kk, pr = q, wv_by_clause, idf_by_term, cache, k, prune
-        aft, cnt = after, _count_only
+        aft, cnt, fqc, allh = after, _count_only, fqq, _all_hits
 
         def run(key, pdf):
             return _score_segment(
-                pdf, qq, seg_meta, wv, idfs, cch, kk, pr, aft, cnt
+                pdf, qq, seg_meta, wv, idfs, cch, kk, pr, aft, cnt, fqc, allh
             )
 
         # stage 2: per-segment partial top-k (parallel leaves, mergeable state)
@@ -540,6 +664,8 @@ class SparkSearcher:
             return partial.agg(
                 F.sum(F.col("score").cast("long")).alias("total_hits")
             )
+        if _all_hits:
+            return partial.select("docid", "score").orderBy("docid")
 
         # stage 3: global merge (TakeOrderedAndProject) + rank
         topk = partial.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -570,15 +696,48 @@ class SparkSearcher:
                         "total": 0.0, "details": []}
         return _explain_segment(self, q, docid)
 
-    def count(self, query: str | Query, mode: str = "OR") -> int:
+    def count(self, query: str | Query, mode: str = "OR", **kw) -> int:
         """TotalHitCountCollector: number of matching docs
         (search/TotalHitCountCollector.java:69-74), summed over per-segment
         partial counts like the fork's mergeable collector state."""
         row = self.search(
-            query, k=1, mode=mode, with_url=False, _count_only=True
+            query, k=1, mode=mode, with_url=False, _count_only=True, **kw
         ).collect()
         v = row[0]["total_hits"] if row else None
         return int(v) if v is not None else 0
+
+    def matching(self, query: str | Query, mode: str = "OR", **kw) -> DataFrame:
+        """Full result DocSet of a query (+ optional fq): every matching
+        docid with its score, in doc order — the SolrIndexSearcher.getDocSet
+        analog that facet/grouping components consume
+        (solr/core/.../search/SolrIndexSearcher.java:getDocSet)."""
+        return self.search(query, mode=mode, with_url=False, _all_hits=True, **kw)
+
+    def facet_field(
+        self,
+        query: str | Query,
+        docs: DataFrame,
+        field: str,
+        mode: str = "OR",
+        limit: int = 20,
+        fq: str | Query | None = None,
+    ) -> DataFrame:
+        """facet.field over the ENGINE's result DocSet (SimpleFacets.java:
+        256-369: facets count the query's DocSet, not a re-derived one).
+        ``docs`` must carry (doc_id, field). The join is left to AQE: a
+        selective DocSet broadcasts at runtime, an unbounded one (at 100 TB
+        a query can match billions of docs) falls back to a shuffle join —
+        an explicit broadcast() here would be a scale hazard."""
+        hits = self.matching(query, mode=mode, fq=fq).select(
+            F.col("docid").alias("doc_id")
+        )
+        return (
+            docs.join(hits, "doc_id")
+            .groupBy(F.col(field).alias("facet"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "facet")
+            .limit(limit)
+        )
 
     def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
         """PrefixQuery term expansion over the sorted terms dictionary

@@ -41,6 +41,10 @@ class Query:
     # BooleanQuery.setMinimumNumberShouldMatch (search/BooleanQuery.java:158,
     # scorer: MinShouldMatchSumScorer.java:36-48): optional-clause quota
     min_should_match: int = 0
+    # DisjunctionMaxQuery tie-breaker (search/DisjunctionMaxQuery.java:45-54):
+    # when set, score = max(clause scores) + tie * (sum of the others)
+    # instead of the BooleanQuery sum
+    dismax_tie: float | None = None
 
     @property
     def all_terms(self) -> list[str]:
