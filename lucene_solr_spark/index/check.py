@@ -87,12 +87,24 @@ def check_segment(index_dir: str, seg: dict, sample_terms: int | None = None) ->
         _check(ids[0] >= 0 and ids[-1] < max_doc, f"{sid}/{t}: docid out of range")
         _check(int(tfs.sum()) == int(r["ttf"]), f"{sid}/{t}: ttf != sum(tf)")
         _check((tfs >= 1).all(), f"{sid}/{t}: tf < 1")
-        # skip/block-max agreement
-        nblocks = (df + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
-        _check(len(skip_last) == nblocks, f"{sid}/{t}: skip entry count")
+        # skip/block-max agreement. Blocks are AT MOST BLOCK_SIZE entries:
+        # interior tail blocks (< BLOCK_SIZE) are legal — they arise from
+        # salted chunk stitching and from the merge's bulk byte-copy path,
+        # which concatenates each source's blocks without re-packing.
+        nblocks = len(skip_last)
+        min_blocks = (df + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+        _check(nblocks >= min_blocks, f"{sid}/{t}: skip entry count")
+        lo = 0
         for bi in range(nblocks):
-            lo = bi * codec.BLOCK_SIZE
-            hi = min(lo + codec.BLOCK_SIZE, df)
+            bd, bt = codec.decode_blocks(
+                r["blocks"], df, skip_off, skip_last, np.array([bi])
+            )
+            n = len(bd)
+            _check(1 <= n <= codec.BLOCK_SIZE, f"{sid}/{t}: block {bi} size {n}")
+            hi = lo + n
+            _check(hi <= df, f"{sid}/{t}: block {bi} overruns df")
+            _check((bd == ids[lo:hi]).all(), f"{sid}/{t}: block {bi} ids disagree")
+            _check((bt == tfs[lo:hi]).all(), f"{sid}/{t}: block {bi} tfs disagree")
             _check(skip_last[bi] == ids[hi - 1], f"{sid}/{t}: skip_last[{bi}]")
             _check(
                 int(np.asarray(r["skip_max_tf"])[bi]) == int(tfs[lo:hi].max()),
@@ -111,6 +123,8 @@ def check_segment(index_dir: str, seg: dict, sample_terms: int | None = None) ->
                 _check(len(pl) == tfs[lo + j], f"{sid}/{t}: positions len != tf")
                 _check((np.diff(pl) > 0).all() if len(pl) > 1 else True,
                        f"{sid}/{t}: positions not ascending")
+            lo = hi
+        _check(lo == df, f"{sid}/{t}: block sizes sum {lo} != df {df}")
         total_ttf += int(r["ttf"])
 
     out = {"segment_id": sid, "terms": len(post), "checked_terms": len(rows)}

@@ -55,3 +55,38 @@ def test_block_max_metadata():
         assert enc["skip_max_tf"][bi] == tfs[lo:hi].max()
         assert enc["skip_max_norm"][bi] == norms[docids[lo:hi]].max()
         assert enc["skip_last"][bi] == docids[hi - 1]
+
+
+def test_decode_postings_rows_bulk_roundtrip():
+    """Vectorized many-row decoder == per-row decode_blocks, incl. mixed
+    widths, multi-block rows, and single-entry rows."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for df in (1, 5, 128, 129, 400, 1000):
+        maxdoc = max(df * 3, 200_000)  # force mixed delta widths
+        docids = np.sort(rng.choice(maxdoc, df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 300, df).astype(np.int64)
+        pos = []
+        for t in tfs:
+            pos.append(np.sort(rng.choice(5000, t, replace=False)))
+        pos_flat = np.concatenate(pos)
+        enc = codec.encode_term_postings(docids, tfs, positions=pos_flat)
+        rows.append((docids, tfs, pos, enc))
+
+    got_d, got_t = codec.decode_postings_rows(
+        [r[3]["blocks"] for r in rows],
+        np.array([r[3]["df"] for r in rows], np.int64),
+        [np.asarray(r[3]["skip_off"], np.int64) for r in rows],
+        [np.asarray(r[3]["skip_last"], np.int64) for r in rows],
+    )
+    exp_d = np.concatenate([r[0] for r in rows])
+    exp_t = np.concatenate([r[1] for r in rows])
+    np.testing.assert_array_equal(got_d, exp_d)
+    np.testing.assert_array_equal(got_t, exp_t)
+
+    dfs = np.array([r[3]["df"] for r in rows], np.int64)
+    got_pos = codec.decode_positions_rows(
+        [r[3]["positions"] for r in rows], np.split(got_t, np.cumsum(dfs)[:-1])
+    )
+    exp_pos = np.concatenate([p for r in rows for p in r[2]])
+    np.testing.assert_array_equal(got_pos, exp_pos)

@@ -100,6 +100,11 @@ def test_force_merge_single_segment(spark, pages_small, oracle_small):
     _build(spark, pages_small, idx, 7)
     man = force_merge(spark, idx, max_segments=1)
     assert len(man["segments"]) == 1
+    # full structural validation of the bulk-copied + stitched segment,
+    # incl. the fragmentation guard (7 source chunks per head term)
+    from lucene_solr_spark.index.check import check_index
+
+    check_index(idx)
     res = SparkSearcher(spark, idx).search_pdf("babe kala roro", k=10)
     exp = oracle_small.search("babe kala roro", 10, "OR")
     np.testing.assert_array_equal(res["docid"].to_numpy(), exp["docid"].to_numpy())
