@@ -207,7 +207,8 @@ class OracleSearcher:
                 for (doc_list, _tf, pos_lists) in plists:
                     j = int(np.searchsorted(doc_list, d))
                     pls.append(pos_lists[j])
-                f = sloppy_phrase_freq(pls, offsets, clause.slop)
+                f = sloppy_phrase_freq(pls, offsets, clause.slop,
+                                       terms=clause.terms)
                 if f > 0:
                     out_ids.append(d)
                     out_freqs.append(f)

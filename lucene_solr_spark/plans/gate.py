@@ -750,6 +750,30 @@ FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
 ORDER BY doc_id""",
     )
 
+    def _span_near(spark, sf):
+        # ordered span-near: 'table' then 'hash' within slop 2, per-doc
+        # match count (anchor = each 'hash' occurrence, chain = closest
+        # preceding 'table'; spans/NearSpansOrdered.java semantics for
+        # unit sub-spans)
+        s = gate_searcher(spark, sf)
+        return s.span_near("table hash", slop=2, ordered=True).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    R["span_near_ordered"] = (
+        _span_near,
+        f"""{TOKS},
+anchored AS (
+  SELECT b.doc_id, b.pos AS p2, max(a.pos) AS p1
+  FROM toks b JOIN toks a ON a.doc_id = b.doc_id AND a.pos < b.pos
+  WHERE b.term = 'hash' AND a.term = 'table'
+  GROUP BY b.doc_id, b.pos
+)
+SELECT doc_id, count(*) AS freq FROM anchored
+WHERE (p2 - p1) - 1 <= 2
+GROUP BY doc_id ORDER BY doc_id""",
+    )
+
     R["sort_by_field_topk"] = (
         lambda spark, sf: C.sort_by_field_topk(_docs(spark, sf), "merge", "n_chars", 10),
         f"""{TOKS},

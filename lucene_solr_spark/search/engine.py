@@ -118,23 +118,51 @@ class _Row:
         s = bm25.score_freqs(self.skip_max_tf, self.skip_max_norm, cache, wv)
         return np.float32(s.max())
 
-    def positions_for(self, ids: np.ndarray) -> list[np.ndarray]:
-        """Per-candidate position arrays (ids sorted, all present)."""
-        nblocks = len(self.skip_last)
+    def positions_flat(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Flat positions for sorted candidate ids (all present in this row).
+
+        Returns (counts, flat): counts[j] = tf of ids[j], flat = their
+        positions concatenated doc-major. Vectorized per BLOCK (decode the
+        block's whole position stream once, gather the selected docs'
+        slices with a segmented arange) — no per-doc Python loop
+        (ExactPhraseScorer.java:137-177 restated batch-wise)."""
         bids = np.searchsorted(self.skip_last, ids, side="left")
-        out: list[np.ndarray] = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        parts: list[np.ndarray] = []
         for b in np.unique(bids):
             d, t = codec.decode_blocks(
                 self.blocks, self.df, self.skip_off, self.skip_last, np.array([b])
             )
-            plists = codec.decode_positions_for_block(
-                self.positions, t, self.skip_pos_off[b]
+            total = int(t.sum())
+            deltas = codec.varint_decode(
+                self.positions, count=total, offset=int(self.skip_pos_off[b])
             )
-            sel = ids[bids == b]
+            ends = np.cumsum(t)
+            starts = ends - t
+            reset = np.zeros(total, dtype=np.int64)
+            reset[starts] = 1
+            grp = np.cumsum(reset) - 1
+            c = np.cumsum(deltas)
+            abs_pos = c - (c[starts] - deltas[starts])[grp]
+            m = bids == b
+            sel = ids[m]
             idx = np.searchsorted(d, sel)
-            for j in idx:
-                out.append(plists[j])
-        return out
+            sel_counts = t[idx]
+            counts[m] = sel_counts
+            tot_sel = int(sel_counts.sum())
+            if tot_sel:
+                base = np.repeat(starts[idx], sel_counts)
+                within = np.arange(tot_sel) - np.repeat(
+                    np.cumsum(sel_counts) - sel_counts, sel_counts
+                )
+                parts.append(abs_pos[base + within])
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        return counts, flat
+
+    def positions_for(self, ids: np.ndarray) -> list[np.ndarray]:
+        """Per-candidate position arrays (ids sorted, all present)."""
+        counts, flat = self.positions_flat(ids)
+        return np.split(flat, np.cumsum(counts)[:-1])
 
 
 def _score_segment(
@@ -465,30 +493,49 @@ def _phrase_freqs(clause, rows, cand_ids):
         ids = ids[tfs > 0]
         if len(ids) == 0:
             return ids, np.zeros(0, np.int64)
-    pos_arrays = [r.positions_for(ids) for r in plist]
     offsets = clause.offsets
-    out_ids, out_freqs = [], []
     if getattr(clause, "slop", 0) > 0:
         from .sloppy import sloppy_phrase_freq
 
+        pos_arrays = [r.positions_for(ids) for r in plist]
+        out_ids, out_freqs = [], []
         for j in range(len(ids)):
-            f = sloppy_phrase_freq([arrs[j] for arrs in pos_arrays], offsets, clause.slop)
+            f = sloppy_phrase_freq(
+                [arrs[j] for arrs in pos_arrays], offsets, clause.slop,
+                terms=clause.terms,
+            )
             if f > 0:
                 out_ids.append(ids[j])
                 out_freqs.append(f)
         return (np.array(out_ids, dtype=np.int64),
                 np.array(out_freqs, dtype=np.float64))
-    for j in range(len(ids)):
-        base = None
-        for arrs, off in zip(pos_arrays, offsets):
-            cur = arrs[j] - off
-            base = cur if base is None else base[np.isin(base, cur, assume_unique=True)]
-            if len(base) == 0:
-                break
-        if base is not None and len(base):
-            out_ids.append(ids[j])
-            out_freqs.append(len(base))
-    return np.array(out_ids, dtype=np.int64), np.array(out_freqs, dtype=np.int64)
+    # exact phrase, fully vectorized (ExactPhraseScorer.java:137-177 as
+    # batch set-intersections): encode every occurrence as a single int64
+    # key  doc_index * M + (pos - offset + bias)  — keys are sorted because
+    # positions are doc-major ascending — then intersect the k key arrays;
+    # per-doc freq = how many surviving keys fall in each doc
+    bias = max(offsets)
+    flats = []
+    countss = []
+    maxpos = 0
+    for r in plist:
+        counts, flat = r.positions_flat(ids)
+        if len(flat):
+            maxpos = max(maxpos, int(flat.max()))
+        flats.append(flat)
+        countss.append(counts)
+    m_stride = np.int64(maxpos + bias + 2)
+    inter = None
+    for r_i, (counts, flat, off) in enumerate(zip(countss, flats, offsets)):
+        doc_of_pos = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        keys = doc_of_pos * m_stride + (flat - off + bias)
+        inter = keys if inter is None else np.intersect1d(
+            inter, keys, assume_unique=True
+        )
+        if len(inter) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    docs_j, freqs = np.unique(inter // m_stride, return_counts=True)
+    return ids[docs_j], freqs.astype(np.int64)
 
 
 def _empty_pdf() -> pd.DataFrame:
@@ -832,6 +879,58 @@ class SparkSearcher:
         if not out:
             return None
         return Query(out, q.must_not, q.min_should_match)
+
+    def span_near(
+        self, text: str, slop: int = 0, ordered: bool = True
+    ) -> DataFrame:
+        """SpanNearQuery over unit (single-term) sub-spans
+        (search/spans/SpanNearQuery.java; kernels in spans.py follow
+        NearSpansOrdered/Unordered semantics with documented
+        simplifications). Returns (docid, freq) for docs with >= 1 span
+        match, doc order."""
+        from ..analysis import analyze_one
+        from .spans import span_near_count
+
+        terms = [t for t, _ in analyze_one(text)]
+        empty = self.spark.createDataFrame([], "docid long, freq long")
+        if not terms:
+            return empty
+        prows = self._postings.where(F.col("term").isin(sorted(set(terms))))
+        seg_meta = self.seg_meta
+        tlist, sl, od = terms, slop, ordered
+
+        def run(key, pdf):
+            doc_base = seg_meta[pdf["segment_id"].iloc[0]]["doc_base"]
+            rows = {t: _Row(r) for t, r in ((r["term"], r) for _, r in pdf.iterrows())}
+            if any(t not in rows for t in tlist):
+                return pd.DataFrame({"docid": np.zeros(0, np.int64),
+                                     "freq": np.zeros(0, np.int64)})
+            ids, _ = min((rows[t] for t in tlist), key=lambda r: r.df).decode_all()
+            for t in set(tlist):
+                _, tfs = rows[t].lookup(ids)
+                ids = ids[tfs > 0]
+                if len(ids) == 0:
+                    return pd.DataFrame({"docid": np.zeros(0, np.int64),
+                                         "freq": np.zeros(0, np.int64)})
+            pos_arrays = [rows[t].positions_for(ids) for t in tlist]
+            out_ids, out_freqs = [], []
+            for j in range(len(ids)):
+                f = span_near_count(
+                    [arrs[j] for arrs in pos_arrays], sl, od, tlist
+                )
+                if f > 0:
+                    out_ids.append(ids[j] + doc_base)
+                    out_freqs.append(f)
+            return pd.DataFrame(
+                {"docid": np.array(out_ids, np.int64),
+                 "freq": np.array(out_freqs, np.int64)}
+            )
+
+        return (
+            prows.groupBy("segment_id")
+            .applyInPandas(run, "docid long, freq long")
+            .orderBy("docid")
+        )
 
     def matching_docids(self, terms: list[str]) -> DataFrame:
         """Constant-score doc-set union of the given terms

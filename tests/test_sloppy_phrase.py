@@ -112,3 +112,41 @@ def test_sloppy_finds_more_than_exact(oracle_small, pages_small):
     sloppy = len(oracle_small.search(f'"{t1} {t2}"~10', 2000, "OR"))
     assert sloppy >= exact
     assert sloppy > 0
+
+
+def test_repeats_no_false_match_single_occurrence():
+    """'b b' must NOT match a doc with a single 'b'
+    (SloppyPhraseScorer.java:238-252 repeats reconciliation)."""
+    p = np.array([7])
+    assert sloppy_phrase_freq([p, p], [0, 1], 5, terms=["b", "b"]) == 0.0
+
+
+def test_repeats_two_occurrences_match():
+    # doc 'b b': positions [0,1]; phrase "b b" -> one exact alignment
+    p = np.array([0, 1])
+    f = sloppy_phrase_freq([p, p], [0, 1], 0, terms=["b", "b"])
+    assert f == 1.0
+
+
+def test_repeats_interleaved():
+    # doc 'b x b': phrase "b b"~1: occurrences 0 and 2, adjusted (0, 1):
+    # dist 1 -> sloppyFreq 1/2
+    p = np.array([0, 2])
+    f = sloppy_phrase_freq([p, p], [0, 1], 1, terms=["b", "b"])
+    assert f == pytest.approx(0.5)
+
+
+def test_repeats_engine_oracle_parity(searcher, oracle_small, pages_small):
+    """Phrases with duplicated tokens stay rank- and score-identical
+    between engine and oracle (shared kernel, distinct call sites)."""
+    (t1, _), _ = _bigrams(pages_small)
+    for q in (f'"{t1} {t1}"', f'"{t1} {t1}"~2', f'"{t1} {t1} {t1}"~4'):
+        res = searcher.search_pdf(q, k=10, mode="OR")
+        exp = oracle_small.search(q, 10, "OR")
+        np.testing.assert_array_equal(
+            res["docid"].to_numpy(), exp["docid"].to_numpy(), err_msg=q
+        )
+        np.testing.assert_array_equal(
+            res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32),
+            err_msg=q,
+        )

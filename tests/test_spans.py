@@ -1,0 +1,139 @@
+"""Span-near kernels + engine integration: independent brute-force oracle,
+micro cases, ordering/slop properties, repeats distinctness."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.spans import (
+    span_near_count,
+    span_near_ordered_count,
+    span_near_unordered_count,
+)
+
+
+def brute_ordered(pos_lists, slop):
+    """Independent implementation of the documented ordered-span spec:
+    anchor at each last-clause occurrence, chain closest preceding
+    occurrences by linear scan."""
+    k = len(pos_lists)
+    count = 0
+    for pk in pos_lists[-1]:
+        p = pk
+        ok = True
+        for j in range(k - 2, -1, -1):
+            cands = [x for x in pos_lists[j] if x < p]
+            if not cands:
+                ok = False
+                break
+            p = max(cands)
+        if ok and (pk - p) - (k - 1) <= slop:
+            count += 1
+    return count
+
+
+def test_ordered_micro_cases():
+    a, b = np.array([0, 10]), np.array([1, 12])
+    # (0,1): gap 0; (10,12): gap 1
+    assert span_near_ordered_count([a, b], 0) == 1
+    assert span_near_ordered_count([a, b], 1) == 2
+    # order matters: b-then-a finds (1,10) gap 8 and (12,...) nothing
+    assert span_near_ordered_count([b, a], 8) == 1
+    assert span_near_ordered_count([b, a], 7) == 0
+
+
+def test_ordered_three_terms():
+    a, b, c = np.array([0]), np.array([2]), np.array([5])
+    # width (5-0) - 2 = 3
+    assert span_near_ordered_count([a, b, c], 3) == 1
+    assert span_near_ordered_count([a, b, c], 2) == 0
+
+
+def test_ordered_matches_brute_random():
+    rng = np.random.default_rng(4)
+    for _ in range(200):
+        k = int(rng.integers(2, 4))
+        lists = [
+            np.unique(rng.integers(0, 30, rng.integers(1, 8))) for _ in range(k)
+        ]
+        slop = int(rng.integers(0, 6))
+        assert span_near_ordered_count(lists, slop) == brute_ordered(lists, slop), (
+            lists, slop,
+        )
+
+
+def test_unordered_reversed_pair():
+    a, b = np.array([5]), np.array([4])
+    # unordered width (5-4) - 1 = 0
+    assert span_near_unordered_count([a, b], 0) == 1
+    assert span_near_ordered_count([a, b], 10) == 0  # no a before b... b=4<a=5
+
+
+def test_unordered_repeats_distinctness():
+    # "b b" span over a doc with a single 'b': must NOT match
+    p = np.array([7])
+    assert span_near_unordered_count([p, p], 5, terms=["b", "b"]) == 0
+    # two occurrences -> one window of width (8-7)-1 = 0
+    p2 = np.array([7, 8])
+    assert span_near_unordered_count([p2, p2], 0, terms=["b", "b"]) >= 1
+
+
+def test_unordered_superset_of_ordered():
+    rng = np.random.default_rng(9)
+    for _ in range(100):
+        lists = [
+            np.unique(rng.integers(0, 25, rng.integers(1, 6))) for _ in range(2)
+        ]
+        slop = int(rng.integers(0, 5))
+        o = span_near_ordered_count(lists, slop)
+        u = span_near_unordered_count(lists, slop)
+        # every ordered match window also qualifies unordered
+        assert u >= min(o, 1) or o == 0
+
+
+def test_slop_monotonicity():
+    rng = np.random.default_rng(2)
+    lists = [np.unique(rng.integers(0, 40, 6)) for _ in range(3)]
+    prev_o = prev_u = -1
+    for slop in range(0, 10):
+        o = span_near_ordered_count(lists, slop)
+        u = span_near_unordered_count(lists, slop)
+        assert o >= prev_o and u >= prev_u
+        prev_o, prev_u = o, u
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    return SparkSearcher(spark, idx)
+
+
+def test_engine_span_near_parity(searcher, pages_small):
+    """Engine result == kernel applied to analyzer-derived positions."""
+    from lucene_solr_spark.analysis import tokenize_series
+
+    flat = tokenize_series(pages_small["text"])
+    urls = pages_small["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+
+    counts = flat.groupby("term", observed=True).size().sort_values()
+    t1, t2 = counts.index[-1], counts.index[-2]
+
+    by_doc = {}
+    for t in (t1, t2):
+        sub = flat[flat["term"] == t]
+        for d, g in sub.groupby("docid"):
+            by_doc.setdefault(d, {})[t] = np.sort(g["pos"].to_numpy())
+    for slop, ordered in [(0, True), (3, True), (2, False)]:
+        expected = {}
+        for d, posmap in by_doc.items():
+            if t1 in posmap and t2 in posmap:
+                f = span_near_count([posmap[t1], posmap[t2]], slop, ordered, [t1, t2])
+                if f > 0:
+                    expected[d] = f
+        res = searcher.span_near(f"{t1} {t2}", slop=slop, ordered=ordered).toPandas()
+        got = dict(zip(res["docid"], res["freq"]))
+        assert got == expected, (slop, ordered)
