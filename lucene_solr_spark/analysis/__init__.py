@@ -1,4 +1,5 @@
 from .text import (  # noqa: F401
+    ANALYZERS,
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
     html_strip_series,
@@ -6,3 +7,4 @@ from .text import (  # noqa: F401
     analyze_series,
     analyze_one,
 )
+from .stem import porter_stem, english_filter_terms  # noqa: F401

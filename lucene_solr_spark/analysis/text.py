@@ -192,7 +192,14 @@ def _tokenize_regex(texts: pd.Series) -> tuple:
     return doc_idx, terms.to_numpy()[emit], pos[emit], lengths
 
 
-def tokenize_series(texts: pd.Series) -> pd.DataFrame:
+# analyzer registry (the EnglishAnalyzer hook, ROADMAP "registry" line):
+#   standard — HTMLless StandardAnalyzer chain (tokenize/lower/stop)
+#   english  — + EnglishPossessiveFilter + PorterStemFilter
+#              (analysis/common/.../en/EnglishAnalyzer.java:105-113)
+ANALYZERS = ("standard", "english")
+
+
+def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
     """Full analyzer chain over a batch of texts.
 
     Returns a flat DataFrame with columns:
@@ -236,6 +243,14 @@ def tokenize_series(texts: pd.Series) -> pd.DataFrame:
     except Exception:
         fast = _tokenize_regex(texts)
     doc_idx, terms, pos, lengths = fast
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; registry: {ANALYZERS}")
+    if analyzer == "english":
+        from .stem import english_filter_terms
+
+        terms = english_filter_terms(
+            terms if isinstance(terms, pd.Categorical) else np.asarray(terms)
+        )
     out = pd.DataFrame(
         {
             "doc_idx": np.asarray(doc_idx, dtype=np.int32),
@@ -247,9 +262,9 @@ def tokenize_series(texts: pd.Series) -> pd.DataFrame:
     return out
 
 
-def analyze_series(texts: pd.Series) -> pd.Series:
+def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     """texts -> Series of list-of-terms (positions dropped)."""
-    flat = tokenize_series(texts)
+    flat = tokenize_series(texts, analyzer=analyzer)
     n = len(texts)
     result = [[] for _ in range(n)]
     for d, t in zip(flat["doc_idx"].to_numpy(), flat["term"].to_numpy()):
@@ -257,7 +272,7 @@ def analyze_series(texts: pd.Series) -> pd.Series:
     return pd.Series(result, index=texts.index)
 
 
-def analyze_one(text: str) -> list[tuple[str, int]]:
+def analyze_one(text: str, analyzer: str = "standard") -> list[tuple[str, int]]:
     """Single-string convenience: [(term, position), ...]."""
-    flat = tokenize_series(pd.Series([text]))
+    flat = tokenize_series(pd.Series([text]), analyzer=analyzer)
     return list(zip(flat["term"].tolist(), flat["pos"].tolist()))

@@ -131,9 +131,9 @@ def _factorize_sorted(terms: pd.Series):
     return codes.astype(np.int64), np.asarray(uniques)
 
 
-def _build_segment_pdf(texts: pd.Series, with_positions: bool = True) -> dict:
+def _build_segment_pdf(texts: pd.Series, with_positions: bool = True, analyzer: str = "standard") -> dict:
     """Pure-pandas segment build: postings table + norms + stats (vectorized)."""
-    flat = tokenize_series(texts)
+    flat = tokenize_series(texts, analyzer=analyzer)
     lengths = flat.attrs["doc_lengths"]
     norm_bytes = bm25.encode_norm(lengths)
 
@@ -272,6 +272,7 @@ def build_index(
     text_col: str = "text",
     build_id: str = "b0",
     seed: int = 42,
+    analyzer: str = "standard",
     fail_after_partitions: int | None = None,
 ) -> dict:
     """Build (or resume) an index over ``corpus`` and commit a manifest.
@@ -313,7 +314,7 @@ def build_index(
             if meta.get("fingerprint") == fp:
                 meta["resumed"] = True
                 return pd.DataFrame([meta])[_LINEAGE_COLS]
-        built = _build_segment_pdf(pdf["text"])
+        built = _build_segment_pdf(pdf["text"], analyzer=analyzer)
         postings_bytes = write_segment_files(seg_dir, built, urls)
         meta = {
             "segment_id": seg_id,
@@ -375,6 +376,7 @@ def build_index(
         extra={
             "build_id": build_id,
             "total_docs": acc,
+            "analyzer": analyzer,
             "metrics": {
                 "build_wall_s": round(wall_s, 3),
                 "docs_per_sec": round(acc / wall_s, 1) if wall_s > 0 else None,

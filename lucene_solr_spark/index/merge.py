@@ -326,7 +326,8 @@ def execute_merges(
     return manifest_mod.commit(
         index_dir,
         new_segments,
-        extra={"build_id": man.get("build_id"), "total_docs": man.get("total_docs")},
+        extra={"build_id": man.get("build_id"), "total_docs": man.get("total_docs"),
+               "analyzer": man.get("analyzer", "standard")},
     )
 
 

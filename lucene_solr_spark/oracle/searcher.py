@@ -30,10 +30,11 @@ from ..search.query import parse_query, Clause
 
 
 class OracleSearcher:
-    def __init__(self, pages: pd.DataFrame, url_col: str = "url", text_col: str = "text"):
+    def __init__(self, pages: pd.DataFrame, url_col: str = "url", text_col: str = "text", analyzer: str = "standard"):
         pages = pages.sort_values(url_col, kind="mergesort").reset_index(drop=True)
         self.urls = pages[url_col].to_numpy()
-        flat = tokenize_series(pages[text_col])
+        self.analyzer = analyzer
+        flat = tokenize_series(pages[text_col], analyzer=analyzer)
         self.lengths = flat.attrs["doc_lengths"]
         self.norm_bytes = bm25.encode_norm(self.lengths)
         self.max_doc = len(pages)
@@ -84,12 +85,12 @@ class OracleSearcher:
         self, query: str, k: int = 10, mode: str = "OR", after=None,
         min_should_match: int = 0,
     ) -> pd.DataFrame:
-        q = parse_query(query, mode)
+        q = parse_query(query, mode, analyzer=self.analyzer)
         q.min_should_match = min_should_match
         return self.search_parsed(q, k, after=after)
 
     def count(self, query: str, mode: str = "OR") -> int:
-        q = parse_query(query, mode)
+        q = parse_query(query, mode, analyzer=self.analyzer)
         return int(self._matched_scores(q)[0].sum())
 
     def matching_docids(self, terms: list[str]) -> np.ndarray:
@@ -241,7 +242,7 @@ class OracleSearcher:
     def explain(self, query: str, docid: int, mode: str = "OR") -> dict:
         """Per-clause scoring breakdown for one doc (Explanation analog,
         search/similarities/BM25Similarity.java explainScore)."""
-        q = parse_query(query, mode)
+        q = parse_query(query, mode, analyzer=self.analyzer)
         cache = self._cache()
         norm_byte = int(self.norm_bytes[docid])
         details = []

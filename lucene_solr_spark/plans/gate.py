@@ -66,6 +66,27 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
     return SparkSearcher(spark, idx)
 
 
+def gate_searcher_english(spark: SparkSession, sf_dir: str):
+    """Second gate index, built with the 'english' analyzer (possessive +
+    Porter stem): exercises the analyzer registry end-to-end — build-side
+    stemming, manifest-recorded analyzer, query-side stemming."""
+    import hashlib
+
+    from ..index import manifest as mf
+    from ..index.build import build_index
+    from ..search.engine import SparkSearcher
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join(_CACHE, f"gate_index_en_{key}")
+    if mf.read_current(idx) is None:
+        corpus = _docs(spark, sf_dir).select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(spark, corpus, idx, num_segments=4, build_id="gate_en",
+                    analyzer="english")
+    return SparkSearcher(spark, idx)
+
+
 def _engine_topk(spark, sf_dir, query, mode, k) -> DataFrame:
     s = gate_searcher(spark, sf_dir)
     res = s.search(query, k=k, mode=mode, with_url=False)
@@ -194,6 +215,21 @@ def _registry():
         lambda spark, sf: _engine_topk(spark, sf, '"table hash"', "OR", 10),
         _phrase_sql("table", "hash", 10),
     )
+
+    def _stemmed_topk(spark, sf):
+        # english-analyzer index: query 'merging' stems to 'merg', matching
+        # docs whose indexed 'merge' also stemmed to 'merg'. On this corpus
+        # Porter is injective over the vocabulary and token counts are
+        # unchanged, so the scores equal BM25('merge') on the raw relation —
+        # which is exactly what the oracle recomputes.
+        s = gate_searcher_english(spark, sf)
+        res = s.search("merging", k=10, mode="OR", with_url=False)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    R["stemmed_term_topk"] = (_stemmed_topk, _bm25_sql(["merge"], 10, False))
 
     # ---- dictionary / term-level ------------------------------------------
     R["terms_component_prefix"] = (

@@ -558,6 +558,9 @@ class SparkSearcher:
         if self.man is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.max_doc = self.man["fieldstats"]["max_doc"]
+        # the index's analyzer (manifest-recorded): queries MUST analyze
+        # with the same chain or stemmed terms would never match
+        self.analyzer = self.man.get("analyzer", "standard")
         self.sum_ttf = self.man["fieldstats"]["sum_total_term_freq"]
         self.seg_meta: dict[str, dict] = {}
         postings_paths, docmap_paths = [], []
@@ -619,7 +622,8 @@ class SparkSearcher:
         dismax_tie switches clause combination from BooleanQuery sum to
         DisjunctionMaxQuery max + tie * rest (DisjunctionMaxQuery.java:45-54).
         """
-        q = parse_query(query, mode) if isinstance(query, str) else query
+        q = (parse_query(query, mode, analyzer=self.analyzer)
+             if isinstance(query, str) else query)
         if min_should_match:
             q.min_should_match = min_should_match
         if dismax_tie is not None:
@@ -639,7 +643,8 @@ class SparkSearcher:
             q = self._rewrite_multiterm(q)
             if q is None:
                 return empty
-        fqq = parse_query(fq, "AND") if isinstance(fq, str) else fq
+        fqq = (parse_query(fq, "AND", analyzer=self.analyzer)
+               if isinstance(fq, str) else fq)
         if fqq is not None and any(
             c.kind in ("wildcard", "regexp") for c in fqq.clauses
         ):
@@ -735,7 +740,8 @@ class SparkSearcher:
         """Lucene explain(): per-clause scoring breakdown whose total is
         bit-identical to search()'s score for the doc (the CheckHits
         invariant, test-framework/.../search/CheckHits.java)."""
-        q = parse_query(query, mode) if isinstance(query, str) else query
+        q = (parse_query(query, mode, analyzer=self.analyzer)
+             if isinstance(query, str) else query)
         if any(c.kind in ("wildcard", "regexp") for c in q.clauses):
             q = self._rewrite_multiterm(q)
             if q is None:
@@ -891,7 +897,7 @@ class SparkSearcher:
         from ..analysis import analyze_one
         from .spans import span_near_count
 
-        terms = [t for t, _ in analyze_one(text)]
+        terms = [t for t, _ in analyze_one(text, analyzer=self.analyzer)]
         empty = self.spark.createDataFrame([], "docid long, freq long")
         if not terms:
             return empty

@@ -61,7 +61,7 @@ _BOOSTED_SEGMENT_RE = re.compile(
 _BOOST_SUFFIX_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
-def parse_query(text: str, mode: str = "OR") -> Query:
+def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Query:
     """Parse free text with optional "quoted phrases", +required, -prohibited.
 
     mode="AND" makes every non-phrase, non-prefixed clause required
@@ -75,7 +75,7 @@ def parse_query(text: str, mode: str = "OR") -> Query:
         if phrase is not None:
             boost = float(pboost) if pboost else 1.0
             slop = int(pslop) if pslop else 0
-            toks = analyze_one(phrase)
+            toks = analyze_one(phrase, analyzer=analyzer)
             if not toks:
                 continue
             if len(toks) == 1:
@@ -120,7 +120,7 @@ def parse_query(text: str, mode: str = "OR") -> Query:
                     Clause("wildcard", [word.lower()], required=req, boost=boost)
                 )
                 continue
-            toks = analyze_one(word)
+            toks = analyze_one(word, analyzer=analyzer)
             if not toks:
                 continue
             for t, _ in toks:

@@ -46,7 +46,10 @@ def append_batch(
     doc_base_offset = man["fieldstats"]["max_doc"] if man else 0
     existing = man["segments"] if man else []
 
-    # build the batch's segments in a scratch manifest dir, then splice
+    # build the batch's segments in a scratch manifest dir, then splice;
+    # the batch MUST analyze with the index's analyzer or appended docs
+    # would carry a different vocabulary
+    analyzer = (man or {}).get("analyzer", "standard")
     scratch = os.path.join(index_dir, f"_batch_{batch_id}")
     sub = build_index(
         spark,
@@ -54,6 +57,7 @@ def append_batch(
         scratch,
         num_segments=num_segments,
         build_id=f"nrt{batch_id}",
+        analyzer=analyzer,
     )
     # segments store LOCAL docids: splicing is pure manifest arithmetic,
     # no file rewrites (the soft-commit stays cheap)
@@ -68,7 +72,8 @@ def append_batch(
     return manifest_mod.commit(
         index_dir,
         existing + new_segments,
-        extra={"build_id": (man or {}).get("build_id", "nrt"), "last_batch_id": batch_id},
+        extra={"build_id": (man or {}).get("build_id", "nrt"),
+               "last_batch_id": batch_id, "analyzer": analyzer},
     )
 
 
