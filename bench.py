@@ -152,7 +152,6 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
 
     G = gate.queries()
     for name in [
-        "minhash_lsh_pairs",
         "simhash16",
         "ann_brute_cosine",
         "ann_ivf_cosine",
@@ -164,6 +163,20 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
         t0 = time.time()
         G[name](spark, sf_dir).collect()
         queries[f"a_{name}"] = round(time.time() - t0, 3)
+
+    # near-dup: the PRODUCTION numpy MinHash+LSH profile (one mapInPandas
+    # for signatures, one shuffle on the band bucket, Jaccard only over
+    # LSH survivors). The md5/SQL profile stays gate-only — it exists for
+    # DuckDB oracle reproducibility, not for throughput.
+    from lucene_solr_spark.functions import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    D.lsh_candidate_pairs_np(docs).collect()
+    queries["a_minhash_np_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    D.near_dup_pipeline(docs).collect()
+    queries["a_near_dup_pipeline"] = round(time.time() - t0, 3)
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -326,3 +326,70 @@ def minhash_signatures_np(
             yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "sig": list(out_sig)})
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
+def lsh_candidate_pairs_np(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 1,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Production near-dup candidate pairs from the numpy signatures:
+    band the 64-hash signature, ONE shuffle on (band, bucket), self-join
+    within buckets.
+
+    ``max_bucket`` caps degenerate buckets (e.g. empty/boilerplate docs
+    sharing a signature): a bucket with more members is dropped before the
+    self-join, bounding the worst case at max_bucket^2 pairs per bucket —
+    without it one pathological bucket goes quadratic at 100 TB."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_np(docs, num_hashes, k, seed)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[
+                    F.col("sig")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ])
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("bsz", F.count("*").over(w)).where(
+            F.col("bsz") <= max_bucket
+        ).drop("bsz")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("band_hits"))
+    )
+
+
+def near_dup_pipeline(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    min_jaccard_milli: int = 500,
+) -> DataFrame:
+    """Flagship near-dup flow: numpy MinHash -> banded LSH candidates
+    (bucket-capped) -> EXACT k-gram Jaccard verification restricted to the
+    candidate pairs (never all-pairs). This is the shape that holds at
+    100 TB: signatures are scan-side, one shuffle on the band bucket, and
+    the quadratic step touches only LSH survivors."""
+    cands = lsh_candidate_pairs_np(docs, num_hashes, bands, k)
+    return ngram_jaccard_pairs(docs, cands, k, min_jaccard_milli)

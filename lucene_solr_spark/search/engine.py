@@ -725,7 +725,9 @@ class SparkSearcher:
             topk = self.docmap().join(F.broadcast(topk), "docid", "inner")
         from pyspark.sql import Window
 
-        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        # constant partition key: only <= k rows reach this window, and the
+        # explicit spec silences the single-partition WindowExec warning
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("docid"))
         cols = ["rank", "docid"] + (["url"] if with_url else []) + ["score"]
         return (
             topk.withColumn("rank", F.row_number().over(w))

@@ -130,3 +130,59 @@ def test_components_facet_and_stats(spark, docs_df):
     assert fq["short"].iloc[0] == 1 and fq["all_rows"].iloc[0] == 6
     st = stats_component(d, "n_chars", "lang").toPandas()
     assert st["cnt"].sum() == 6
+
+
+def test_lsh_np_finds_near_duplicates(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.functions import dedup as D
+
+    base = "spark index merge segment postings block delta varint skip table"
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique doc {i} " + " ".join(
+            f"w{i}_{j}" for j in range(12))})
+    # two near-identical pairs
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " extra"})
+    rows.append({"doc_id": 200, "text": base.replace("spark", "flink")})
+    rows.append({"doc_id": 201, "text": base.replace("spark", "flink")})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = D.lsh_candidate_pairs_np(docs, num_hashes=64, bands=16, k=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert (200, 201) in got
+    # verified pipeline keeps only high-jaccard pairs
+    ver = D.near_dup_pipeline(docs, min_jaccard_milli=500)
+    vgot = {(r["doc_a"], r["doc_b"]) for r in ver.collect()}
+    assert (200, 201) in vgot  # exact dup -> jaccard 1000
+    assert all(a < b for a, b in vgot)
+
+
+def test_lsh_np_bucket_cap(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.functions import dedup as D
+
+    # 30 identical docs: one degenerate bucket per band; cap excises it
+    rows = [{"doc_id": i, "text": "same boilerplate text here repeated words"}
+            for i in range(30)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    capped = D.lsh_candidate_pairs_np(docs, max_bucket=10).count()
+    uncapped = D.lsh_candidate_pairs_np(docs, max_bucket=None).count()
+    assert capped == 0
+    assert uncapped == 30 * 29 // 2
+
+
+def test_ivf_precomputed_centroids_equivalent(spark):
+    import os
+
+    from lucene_solr_spark.functions import similarity as S
+    from tests.conftest import CACHE
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [r["embedding"] for r in emb.where("vec_id = 7").collect()][0]
+    inline = S.ivf_topk(emb, qvec, 10, 2, "label", 7).collect()
+    cents = S.ivf_centroids(emb, "label")
+    pre = S.ivf_topk(emb, qvec, 10, 2, "label", 7, centroids=cents).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in pre]
