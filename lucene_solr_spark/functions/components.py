@@ -190,6 +190,48 @@ def join_query(docs: DataFrame, term: str, join_col: str) -> DataFrame:
     )
 
 
+def block_join_parent_topk(
+    parents: DataFrame,
+    children: DataFrame,
+    join_key: str,
+    child_filter: str,
+    child_score_col: str,
+    score_mode: str = "max",
+    k: int = 10,
+) -> DataFrame:
+    """ToParentBlockJoinQuery: parents whose children match a child query,
+    parent score = ScoreMode aggregate of matching-child scores
+    (lucene/join/src/java/org/apache/lucene/search/join/
+    ToParentBlockJoinQuery.java, ScoreMode max/total/avg/none).
+
+    Lucene stores parent+children contiguously in one segment block; the
+    relational restatement is a keyed aggregation — the child filter and
+    the aggregate both shuffle ONCE on the join key, and the parent join
+    is broadcast-eligible when the matching-parent set is selective."""
+    agg = {
+        "max": F.max, "total": F.sum, "avg": F.avg, "min": F.min,
+        "none": lambda c: F.lit(1.0),
+    }[score_mode]
+    child_scores = (
+        children.where(child_filter)
+        .groupBy(join_key)
+        .agg(
+            agg(F.col(child_score_col)).alias("_score"),
+            F.count("*").alias("n_children"),
+        )
+    )
+    return (
+        parents.join(child_scores, join_key)
+        .select(
+            join_key,
+            "n_children",
+            F.round(F.col("_score").cast("double") * 100).cast("long").alias("score_cents"),
+        )
+        .orderBy(F.desc("score_cents"), F.asc(join_key))
+        .limit(k)
+    )
+
+
 def sort_by_field_topk(docs: DataFrame, term: str, sort_col: str, k: int = 10) -> DataFrame:
     """TopFieldCollector: top-k of the matching doc set by a field sort
     (search/TopFieldCollector.java; Spark plans it as TakeOrderedAndProject)."""
@@ -199,6 +241,94 @@ def sort_by_field_topk(docs: DataFrame, term: str, sort_col: str, k: int = 10) -
         .orderBy(F.desc("sort_v"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def highlight_best_window(
+    docs: DataFrame, terms: list[str], window: int = 10, limit: int = 25
+) -> DataFrame:
+    """PostingsHighlighter passage selection over ANALYZED positions
+    (postingshighlight/PostingsHighlighter.java, passage scoring reduced to
+    match counts): for each matching doc, the densest ``window``-token
+    passage anchored at a match position. Runs on the token relation — the
+    same analyzed stream the index stores — so case/tokenization agree
+    with search, unlike raw-substring locate. One self-join shuffled on
+    doc_id; scales as O(matches per doc * window)."""
+    toks = tokens(docs)
+    hits = toks.where(F.col("term").isin(list(terms))).select("doc_id", "pos")
+    a, b = hits.alias("a"), hits.alias("b")
+    win = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & F.col("b.pos").between(F.col("a.pos"), F.col("a.pos") + window - 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.pos").alias("start"))
+        .agg(F.count("*").alias("m"))
+    )
+    best = (
+        win.groupBy("doc_id").agg(F.max("m").alias("best_m"))
+    )
+    return (
+        win.join(best, "doc_id")
+        .where(F.col("m") == F.col("best_m"))
+        .groupBy("doc_id", "best_m")
+        .agg(F.min("start").alias("best_start"))
+        .select("doc_id", F.col("best_start").cast("long"), F.col("best_m").cast("long"))
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def analyzed_snippets(
+    texts, query_terms: set[str], analyzer: str = "standard", window: int = 10
+) -> list[str | None]:
+    """Char-offset snippet extraction (the PostingsHighlighter formatting
+    half): tokenize with char spans, analyze each token with the SAME chain
+    as the index (so 'Merging' highlights for query 'merge' under the
+    english analyzer), pick the densest ``window``-token passage, wrap
+    matches in <em>. Pandas-side; meant to run over the k WINNING docs of
+    a search (two-phase: positions select passages at scale, only final
+    page hits pay string work)."""
+    import pandas as pd
+
+    from ..analysis.text import _TOKEN_RE
+    from ..analysis import analyze_one
+
+    out: list[str | None] = []
+    qset = set(query_terms)
+    for text in texts:
+        spans = [(m.start(), m.end(), m.group(0)) for m in _TOKEN_RE.finditer(text)]
+        if not spans:
+            out.append(None)
+            continue
+        flags = []
+        for _, _, tok in spans:
+            toks = analyze_one(tok, analyzer=analyzer)
+            flags.append(bool(toks) and toks[0][0] in qset)
+        flags_np = [i for i, f in enumerate(flags) if f]
+        if not flags_np:
+            out.append(None)
+            continue
+        # densest window anchored at a match
+        best_i, best_m = flags_np[0], 0
+        for i in flags_np:
+            m = sum(1 for j in flags_np if i <= j < i + window)
+            if m > best_m:
+                best_i, best_m = i, m
+        lo = spans[best_i][0]
+        hi_tok = min(best_i + window, len(spans)) - 1
+        hi = spans[hi_tok][1]
+        # wrap matches inside the passage, right-to-left to keep offsets
+        snippet = text[lo:hi]
+        for i in reversed(range(best_i, hi_tok + 1)):
+            if flags[i]:
+                s, e, _ = spans[i]
+                snippet = (
+                    snippet[: s - lo] + "<em>" + snippet[s - lo : e - lo]
+                    + "</em>" + snippet[e - lo :]
+                )
+        out.append(snippet)
+    return out
 
 
 def highlight(docs: DataFrame, term: str, before: int = 20, width: int = 50) -> DataFrame:

@@ -425,6 +425,25 @@ GROUP BY d.source ORDER BY join_val""",
     )
 
     # ---- numeric range (NumericRangeQuery -> native predicates) ------------
+    R["block_join_parent"] = (
+        lambda spark, sf: C.block_join_parent_topk(
+            spark.read.parquet(os.path.join(sf, "orders.parquet"))
+            .withColumnRenamed("o_orderkey", "l_orderkey"),
+            spark.read.parquet(os.path.join(sf, "lineitem.parquet")),
+            "l_orderkey",
+            "l_quantity > 45",
+            "l_extendedprice",
+            "max",
+            10,
+        ),
+        """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_children,
+       CAST(ROUND(max(l_extendedprice) * 100) AS BIGINT) AS score_cents
+FROM lineitem WHERE l_quantity > 45
+GROUP BY l_orderkey
+HAVING l_orderkey IN (SELECT o_orderkey FROM orders)
+ORDER BY score_cents DESC, l_orderkey LIMIT 10""",
+    )
+
     R["numeric_range_events"] = (
         lambda spark, sf: (
             spark.read.parquet(os.path.join(sf, "events.parquet"))
@@ -826,6 +845,23 @@ anchored AS (
 SELECT doc_id, count(*) AS freq FROM anchored
 WHERE (p2 - p1) - 1 <= 2
 GROUP BY doc_id ORDER BY doc_id""",
+    )
+
+    R["highlight_best_window"] = (
+        lambda spark, sf: C.highlight_best_window(
+            _docs(spark, sf), ["merge", "hash"], 10, 25
+        ),
+        f"""{TOKS},
+hits AS (SELECT doc_id, pos FROM toks WHERE term IN ('merge', 'hash')),
+win AS (SELECT a.doc_id, a.pos AS start, count(*) AS m
+        FROM hits a JOIN hits b
+          ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 9
+        GROUP BY a.doc_id, a.pos),
+best AS (SELECT doc_id, max(m) AS best_m FROM win GROUP BY doc_id)
+SELECT w.doc_id AS doc_id, CAST(min(w.start) AS BIGINT) AS best_start,
+       CAST(b.best_m AS BIGINT) AS best_m
+FROM win w JOIN best b ON w.doc_id = b.doc_id AND w.m = b.best_m
+GROUP BY w.doc_id, b.best_m ORDER BY w.doc_id LIMIT 25""",
     )
 
     R["sort_by_field_topk"] = (

@@ -186,3 +186,43 @@ def test_ivf_precomputed_centroids_equivalent(spark):
     cents = S.ivf_centroids(emb, "label")
     pre = S.ivf_topk(emb, qvec, 10, 2, "label", 7, centroids=cents).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in pre]
+
+
+def test_analyzed_snippets_english_conflation():
+    from lucene_solr_spark.functions.components import analyzed_snippets
+
+    texts = [
+        "The Engines were MERGING the segments quickly",
+        "no relevant words here at all",
+        "merge once; then merged again and merges forever",
+    ]
+    out = analyzed_snippets(texts, {"merg"}, analyzer="english", window=8)
+    # case-insensitive, inflection-insensitive match via the english chain
+    assert "<em>MERGING</em>" in out[0]
+    assert out[1] is None
+    assert out[2].count("<em>") == 3
+    # snippet is a real substring of the source once tags are removed
+    assert out[2].replace("<em>", "").replace("</em>", "") in texts[2]
+
+
+def test_block_join_parent_modes(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.functions.components import block_join_parent_topk
+
+    parents = spark.createDataFrame(pd.DataFrame({"pid": [1, 2, 3]}))
+    children = spark.createDataFrame(pd.DataFrame({
+        "pid": [1, 1, 2, 2, 3],
+        "flag": [1, 1, 1, 0, 0],
+        "val": [10.0, 30.0, 5.0, 99.0, 7.0],
+    }))
+    res = block_join_parent_topk(
+        parents, children, "pid", "flag = 1", "val", "max", 10
+    ).collect()
+    got = {r["pid"]: (r["n_children"], r["score_cents"]) for r in res}
+    # parent 3 has no matching children; parent 1 max=30, parent 2 max=5
+    assert got == {1: (2, 3000), 2: (1, 500)}
+    tot = block_join_parent_topk(
+        parents, children, "pid", "flag = 1", "val", "total", 10
+    ).collect()
+    assert {r["pid"]: r["score_cents"] for r in tot} == {1: 4000, 2: 500}
