@@ -210,31 +210,49 @@ def main():
         # neither throttles clocks nor saturates memory bandwidth, and
         # (8,32) which additionally reflects both (calibrated below with a
         # pure-CPU loop).
+        # INTERLEAVED legs: the host throttles on multi-minute timescales,
+        # so running all repeats of one core-count back-to-back biases that
+        # leg to whatever window it landed in. Cycle 1->4->8->32 per round
+        # and keep the best throughput per leg — each leg then samples
+        # every time window.
         results = {}
-        for c in (1, 4, 8, 32):
-            r = subprocess.run(
-                [sys.executable, __file__, "--cores", str(c), "--sf-dir", args.sf_dir,
-                 "--docs", str(args.docs), "--build-only", "--repeats",
-                 str(max(args.repeats, 2 if c > 1 else 1))],
-                capture_output=True, text=True, cwd=REPO,
-            )
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            results[c] = json.loads(line)
-        tp = {c: results[c]["build_docs_per_sec"] for c in (1, 4, 8, 32)}
+        tp = {c: 0.0 for c in (1, 4, 8, 32)}
+        for _round in range(max(args.repeats, 2)):
+            for c in (1, 4, 8, 32):
+                r = subprocess.run(
+                    [sys.executable, __file__, "--cores", str(c), "--sf-dir",
+                     args.sf_dir, "--docs", str(args.docs), "--build-only",
+                     "--repeats", "1"],
+                    capture_output=True, text=True, cwd=REPO,
+                )
+                line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+                d = json.loads(line)
+                if d["build_docs_per_sec"] > tp[c]:
+                    tp[c] = d["build_docs_per_sec"]
+                    results[c] = d
         eff_1_4 = tp[4] / (4 * tp[1])
         eff_8_32 = tp[32] / (4 * tp[8])
 
-        # hardware calibration: how does a pure-CPU loop scale 8 -> 32 on
-        # this box (captures all-core clock throttling, nothing engine-side)
+        # hardware calibration: how does a pure-CPU loop scale on the SAME
+        # N->4N pairs on this box, measured in the same time window
+        # (captures all-core clock throttling / burstable-VM quota, nothing
+        # engine-side). The host-normalized efficiency engine/hw separates
+        # architecture from host: a burstable VM that itself scales a
+        # python busy-loop at <1.0 cannot show the engine at 1.0.
         from multiprocessing import Pool
 
         cal = {}
-        for nproc in (8, 32):
-            t0 = time.time()
-            with Pool(nproc) as p:
-                p.map(busy, range(64))
-            cal[nproc] = round(64 / (time.time() - t0), 2)
-        cal_eff = round(cal[32] / (4 * cal[8]), 3)
+        for nproc in (1, 4, 8, 32):
+            best = None
+            for _ in range(max(args.repeats, 2)):
+                t0 = time.time()
+                with Pool(nproc) as p:
+                    p.map(busy, range(max(nproc * 4, 16)))
+                tput = max(nproc * 4, 16) / (time.time() - t0)
+                best = tput if best is None else max(best, tput)
+            cal[nproc] = round(best, 2)
+        cal_1_4 = round(cal[4] / (4 * cal[1]), 3)
+        cal_8_32 = round(cal[32] / (4 * cal[8]), 3)
 
         out = {
             "metric": "index-build scaling efficiency, N->4N cores",
@@ -247,7 +265,14 @@ def main():
                 "build_docs_per_sec_32": tp[32],
                 "efficiency_1_to_4": round(eff_1_4, 3),
                 "efficiency_8_to_32": round(eff_8_32, 3),
-                "hw_pure_cpu_efficiency_8_to_32": cal_eff,
+                "hw_pure_cpu_efficiency_1_to_4": cal_1_4,
+                "hw_pure_cpu_efficiency_8_to_32": cal_8_32,
+                "efficiency_1_to_4_host_normalized": round(
+                    eff_1_4 / cal_1_4, 3
+                ) if cal_1_4 else None,
+                "efficiency_8_to_32_host_normalized": round(
+                    eff_8_32 / cal_8_32, 3
+                ) if cal_8_32 else None,
             },
             "sf": args.sf_dir.rstrip("/").split("sf")[-1],
             "detail": results,

@@ -967,6 +967,32 @@ FROM per_sess GROUP BY user_id ORDER BY user_id""",
 FROM events ORDER BY event_id LIMIT 50""",
     )
 
+    def _funcquery(spark, sf):
+        # the function-query PARSER registry (ValueSourceParser.java names):
+        # two nested expressions compiled to Catalyst columns
+        from ..functions.funcquery import compile_func
+
+        ev = _events(spark, sf)
+        c1 = compile_func("recip(abs(sub(value,50)),1,100,1)", ev)
+        c2 = compile_func("if(gt(value,50),product(value,2),linear(value,3,7))", ev)
+        return (
+            ev.select(
+                "event_id",
+                F.round(c1.cast("double") * 1000).cast("long").alias("recip_milli"),
+                F.round(c2.cast("double") * 1000).cast("long").alias("cond_milli"),
+            )
+            .orderBy("event_id")
+            .limit(50)
+        )
+
+    R["funcquery_registry"] = (
+        _funcquery,
+        """SELECT event_id,
+       CAST(ROUND(100.0 / (abs(value - 50) * 1 + 1) * 1000) AS BIGINT) AS recip_milli,
+       CAST(ROUND(CASE WHEN value > 50 THEN value * 2 ELSE value * 3 + 7 END * 1000) AS BIGINT) AS cond_milli
+FROM events ORDER BY event_id LIMIT 50""",
+    )
+
     # ---- generic relational coverage (facet/stats machinery at TPC-H shape) ----
     R["tpch_pricing_summary"] = (
         lambda spark, sf: (
