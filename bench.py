@@ -203,6 +203,8 @@ def main():
     ap.add_argument("--scaling", action="store_true", help="run at 1/4/8/32 cores, report efficiency")
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--legs", default=None,
+                    help="custom 'N,4N' core pair for --scaling (e.g. '2,8')")
     args = ap.parse_args()
 
     if args.scaling:
@@ -215,10 +217,11 @@ def main():
         # leg to whatever window it landed in. Cycle 1->4->8->32 per round
         # and keep the best throughput per leg — each leg then samples
         # every time window.
+        legs = tuple(int(x) for x in args.legs.split(",")) if args.legs else (1, 4, 8, 32)
         results = {}
-        tp = {c: 0.0 for c in (1, 4, 8, 32)}
+        tp = {c: 0.0 for c in legs}
         for _round in range(max(args.repeats, 2)):
-            for c in (1, 4, 8, 32):
+            for c in legs:
                 r = subprocess.run(
                     [sys.executable, __file__, "--cores", str(c), "--sf-dir",
                      args.sf_dir, "--docs", str(args.docs), "--build-only",
@@ -230,6 +233,37 @@ def main():
                 if d["build_docs_per_sec"] > tp[c]:
                     tp[c] = d["build_docs_per_sec"]
                     results[c] = d
+        if legs != (1, 4, 8, 32):
+            # custom N -> 4N pair (exactly two legs)
+            n, n4 = legs
+            eff = tp[n4] / (4 * tp[n])
+            from multiprocessing import Pool
+
+            cal = {}
+            for nproc in legs:
+                best = None
+                for _ in range(max(args.repeats, 2)):
+                    t0 = time.time()
+                    with Pool(nproc) as p:
+                        p.map(busy, range(max(nproc * 4, 16)))
+                    t = max(nproc * 4, 16) / (time.time() - t0)
+                    best = t if best is None else max(best, t)
+                cal[nproc] = best
+            cal_eff = round(cal[n4] / (4 * cal[n]), 3)
+            print(json.dumps({
+                "metric": f"index-build scaling efficiency, {n}->{n4} cores",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "queries": {
+                    f"build_docs_per_sec_{n}": tp[n],
+                    f"build_docs_per_sec_{n4}": tp[n4],
+                    f"efficiency_{n}_to_{n4}": round(eff, 3),
+                    f"hw_pure_cpu_efficiency_{n}_to_{n4}": cal_eff,
+                    f"efficiency_{n}_to_{n4}_host_normalized": round(eff / cal_eff, 3),
+                },
+                "sf": args.sf_dir.rstrip("/").split("sf")[-1],
+            }))
+            return
         eff_1_4 = tp[4] / (4 * tp[1])
         eff_8_32 = tp[32] / (4 * tp[8])
 
