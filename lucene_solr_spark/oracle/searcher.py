@@ -187,29 +187,48 @@ class OracleSearcher:
 
     def _phrase_freqs(self, clause: Clause) -> tuple[np.ndarray, np.ndarray]:
         """Phrase freq per doc: exact alignments, or summed sloppyFreq when
-        clause.slop > 0 (shared kernel, search/sloppy.py)."""
-        plists = []
-        for t in clause.terms:
-            p = self.postings.get(t)
-            if p is None:
+        clause.slop > 0 (shared kernel, search/sloppy.py). Position slots
+        may carry alternatives (MultiPhraseQuery): a slot matches at the
+        union of its alternatives' positions."""
+        alts = clause.alts if getattr(clause, "alts", None) else [
+            [t] for t in clause.terms
+        ]
+        slot_posting: list[list] = []
+        for alist in alts:
+            ps = [self.postings[t] for t in alist if t in self.postings]
+            if not ps:
                 return np.zeros(0, np.int64), np.zeros(0, np.int64)
-            plists.append(p)
-        # intersect doc lists
-        ids = plists[0][0]
-        for p in plists[1:]:
-            ids = ids[np.isin(ids, p[0], assume_unique=True)]
+            slot_posting.append(ps)
+        # intersect per-slot doc unions
+        ids = None
+        for ps in slot_posting:
+            u = (
+                ps[0][0]
+                if len(ps) == 1
+                else np.unique(np.concatenate([p[0] for p in ps]))
+            )
+            ids = u if ids is None else ids[np.isin(ids, u, assume_unique=True)]
         out_ids, out_freqs = [], []
         offsets = clause.offsets
+
+        def slot_positions(ps, d):
+            arrs = []
+            for (doc_list, _tf, pos_lists) in ps:
+                j = int(np.searchsorted(doc_list, d))
+                if j < len(doc_list) and doc_list[j] == d:
+                    arrs.append(pos_lists[j])
+            if not arrs:
+                return np.zeros(0, np.int64)
+            return arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+
         if clause.slop > 0:
             from ..search.sloppy import sloppy_phrase_freq
 
+            slot_keys = ["|".join(a) for a in alts]
             for d in ids:
-                pls = []
-                for (doc_list, _tf, pos_lists) in plists:
-                    j = int(np.searchsorted(doc_list, d))
-                    pls.append(pos_lists[j])
+                pls = [slot_positions(ps, d) for ps in slot_posting]
                 f = sloppy_phrase_freq(pls, offsets, clause.slop,
-                                       terms=clause.terms)
+                                       terms=slot_keys)
                 if f > 0:
                     out_ids.append(d)
                     out_freqs.append(f)
@@ -217,9 +236,8 @@ class OracleSearcher:
                     np.array(out_freqs, dtype=np.float64))
         for d in ids:
             base = None
-            for (doc_list, _tf, pos_lists), off in zip(plists, offsets):
-                j = int(np.searchsorted(doc_list, d))
-                cur = pos_lists[j] - off
+            for ps, off in zip(slot_posting, offsets):
+                cur = slot_positions(ps, d) - off
                 base = cur if base is None else base[np.isin(base, cur, assume_unique=True)]
                 if len(base) == 0:
                     break

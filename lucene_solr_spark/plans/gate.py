@@ -216,6 +216,41 @@ def _registry():
         _phrase_sql("table", "hash", 10),
     )
 
+    R["multi_phrase_topk"] = (
+        lambda spark, sf: _engine_topk(spark, sf, '"merge|window hash"', "OR", 10),
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+ph AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('merge', 'window') AND b.term = 'hash'
+  GROUP BY a.doc_id
+),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('merge', 'window', 'hash') GROUP BY term),
+idfsum AS (
+  SELECT sum(ln(1 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5))) AS widf
+  FROM dfr
+),
+scores AS (
+  SELECT ph.doc_id,
+         i.widf * {K1 + 1} * ph.freq
+           / (ph.freq + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) AS score
+  FROM ph JOIN qdl q ON ph.doc_id = q.doc_id
+  CROSS JOIN consts c CROSS JOIN idfsum i
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     def _stemmed_topk(spark, sf):
         # english-analyzer index: query 'merging' stems to 'merg', matching
         # docs whose indexed 'merge' also stemmed to 'merg'. On this corpus

@@ -206,7 +206,7 @@ def _score_segment(
             c = clauses[i]
             if c.kind == "term" and c.terms[0] not in rows:
                 return _empty_pdf()
-            if c.kind == "phrase" and any(t not in rows for t in c.terms):
+            if c.kind == "phrase" and not _phrase_present(c, rows):
                 return _empty_pdf()
             if c.kind == "term_set" and not any(t in rows for t in c.terms):
                 return _empty_pdf()
@@ -255,7 +255,7 @@ def _score_segment(
             i
             for i, c in enumerate(clauses)
             if (c.kind == "term" and c.terms[0] in rows)
-            or (c.kind == "phrase" and all(t in rows for t in c.terms))
+            or (c.kind == "phrase" and _phrase_present(c, rows))
             or (c.kind == "term_set" and any(t in rows for t in c.terms))
         ]
         if not present:
@@ -269,7 +269,8 @@ def _score_segment(
                 # constant-score clause: the score IS the bound
                 ubs[i] = float(wv_by_clause[i])
             else:
-                r0 = min((rows[t] for t in c.terms), key=lambda r: r.df)
+                r0 = min((rows[t] for t in c.terms if t in rows),
+                         key=lambda r: r.df)
                 if getattr(c, "slop", 0) > 0:
                     # sloppy freq sums 1/(dist+1) over minimal windows — one
                     # window per advanced position — so it can EXCEED any
@@ -277,7 +278,8 @@ def _score_segment(
                     # bound: freq <= sum of the clause terms' tfs; score the
                     # summed global block-max tfs at the min-df term's most
                     # favorable (largest) norm byte.
-                    freq_ub = sum(int(rows[t].skip_max_tf.max()) for t in c.terms)
+                    freq_ub = sum(int(rows[t].skip_max_tf.max())
+                                  for t in c.terms if t in rows)
                     ubs[i] = float(
                         bm25.score_freqs(
                             np.full(len(r0.skip_max_norm), freq_ub, np.int64),
@@ -285,8 +287,18 @@ def _score_segment(
                         ).max()
                     )
                 else:
-                    # exact phrase: freq = alignment count <= min-df term tf
-                    ubs[i] = float(r0.ub(cache, wv_by_clause[i]))
+                    # exact phrase: freq = alignment count <= the cheapest
+                    # slot's union tf; BM25 tf-saturation is concave with
+                    # score(0)=0, hence subadditive, so summing the slot's
+                    # per-alternative bounds stays valid for MultiPhrase
+                    slots = _phrase_slots(c)
+                    cheapest = min(
+                        ([rows[t] for t in sl if t in rows] for sl in slots),
+                        key=lambda rs: sum(r.df for r in rs),
+                    )
+                    ubs[i] = float(
+                        sum(r.ub(cache, wv_by_clause[i]) for r in cheapest)
+                    )
         order = sorted(present, key=lambda i: -ubs[i])
         acc_ids = np.zeros(0, np.int64)
         acc_sc = np.zeros(0, np.float32)
@@ -367,7 +379,7 @@ def _score_segment(
             if not c.required:
                 opt_count += m
         else:
-            if all(t in rows for t in c.terms):
+            if _phrase_present(c, rows):
                 ids_p, freqs = _phrase_freqs(c, rows, cand_ids)
                 if len(ids_p):
                     pos = np.searchsorted(cand_ids, ids_p)
@@ -481,28 +493,54 @@ def _set_union_ids(clause, rows) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
+def _phrase_slots(clause) -> list[list[str]]:
+    """Per-position term alternatives: [[t]] per slot for plain phrases,
+    clause.alts for MultiPhraseQuery."""
+    alts = getattr(clause, "alts", None)
+    return alts if alts else [[t] for t in clause.terms]
+
+
+def _phrase_present(clause, rows) -> bool:
+    """A phrase is evaluable iff every position slot has >= 1 alternative
+    in this segment (MultiPhraseQuery.java: a position's terms OR)."""
+    return all(any(t in rows for t in s) for s in _phrase_slots(clause))
+
+
 def _phrase_freqs(clause, rows, cand_ids):
-    """Exact phrase match over (candidate) docs: returns (ids, freqs)."""
-    plist = [rows[t] for t in clause.terms]
+    """Exact (multi-)phrase match over (candidate) docs: (ids, freqs)."""
+    slots = _phrase_slots(clause)
+    slot_rows: list[list[_Row]] = []
+    for alist in slots:
+        rs = [rows[t] for t in alist if t in rows]
+        if not rs:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        slot_rows.append(rs)
     if cand_ids is None:
-        ids, _ = min(plist, key=lambda r: r.df).decode_all()
+        j = min(range(len(slot_rows)),
+                key=lambda i: sum(r.df for r in slot_rows[i]))
+        parts = [r.decode_all()[0] for r in slot_rows[j]]
+        ids = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
     else:
         ids = cand_ids
-    for r in plist:
-        _, tfs = r.lookup(ids)
-        ids = ids[tfs > 0]
+    for rs in slot_rows:
+        present = np.zeros(len(ids), dtype=bool)
+        for r in rs:
+            _, tfs = r.lookup(ids)
+            present |= tfs > 0
+        ids = ids[present]
         if len(ids) == 0:
             return ids, np.zeros(0, np.int64)
     offsets = clause.offsets
     if getattr(clause, "slop", 0) > 0:
         from .sloppy import sloppy_phrase_freq
 
-        pos_arrays = [r.positions_for(ids) for r in plist]
+        slot_pos = [_slot_positions(rs, ids) for rs in slot_rows]
+        slot_keys = ["|".join(a) for a in slots]
         out_ids, out_freqs = [], []
         for j in range(len(ids)):
             f = sloppy_phrase_freq(
-                [arrs[j] for arrs in pos_arrays], offsets, clause.slop,
-                terms=clause.terms,
+                [sp[j] for sp in slot_pos], offsets, clause.slop,
+                terms=slot_keys,
             )
             if f > 0:
                 out_ids.append(ids[j])
@@ -512,23 +550,37 @@ def _phrase_freqs(clause, rows, cand_ids):
     # exact phrase, fully vectorized (ExactPhraseScorer.java:137-177 as
     # batch set-intersections): encode every occurrence as a single int64
     # key  doc_index * M + (pos - offset + bias)  — keys are sorted because
-    # positions are doc-major ascending — then intersect the k key arrays;
+    # positions are doc-major ascending — then intersect the per-slot key
+    # arrays (a slot's keys = union over its alternatives);
     # per-doc freq = how many surviving keys fall in each doc
     bias = max(offsets)
-    flats = []
-    countss = []
+    slot_parts: list[list[tuple[np.ndarray, np.ndarray]]] = []
     maxpos = 0
-    for r in plist:
-        counts, flat = r.positions_flat(ids)
-        if len(flat):
-            maxpos = max(maxpos, int(flat.max()))
-        flats.append(flat)
-        countss.append(counts)
+    for rs in slot_rows:
+        parts = []
+        for r in rs:
+            _, tfs = r.lookup(ids)
+            m = tfs > 0
+            sub = ids[m]
+            if len(sub) == 0:
+                continue
+            counts, flat = r.positions_flat(sub)
+            if len(flat):
+                maxpos = max(maxpos, int(flat.max()))
+            doc_of_pos = np.repeat(np.flatnonzero(m).astype(np.int64), counts)
+            parts.append((doc_of_pos, flat))
+        slot_parts.append(parts)
     m_stride = np.int64(maxpos + bias + 2)
     inter = None
-    for r_i, (counts, flat, off) in enumerate(zip(countss, flats, offsets)):
-        doc_of_pos = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        keys = doc_of_pos * m_stride + (flat - off + bias)
+    for parts, off in zip(slot_parts, offsets):
+        key_arrays = [
+            doc_of_pos * m_stride + (flat - off + bias)
+            for doc_of_pos, flat in parts
+        ]
+        if len(key_arrays) == 1:
+            keys = key_arrays[0]
+        else:
+            keys = np.unique(np.concatenate(key_arrays))
         inter = keys if inter is None else np.intersect1d(
             inter, keys, assume_unique=True
         )
@@ -536,6 +588,26 @@ def _phrase_freqs(clause, rows, cand_ids):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
     docs_j, freqs = np.unique(inter // m_stride, return_counts=True)
     return ids[docs_j], freqs.astype(np.int64)
+
+
+def _slot_positions(rs: list, ids: np.ndarray) -> list[np.ndarray]:
+    """Per-candidate position arrays for one slot: union over alternatives
+    (absent docs get empty arrays)."""
+    out: list[np.ndarray | None] = [None] * len(ids)
+    for r in rs:
+        _, tfs = r.lookup(ids)
+        m = tfs > 0
+        sub = ids[m]
+        if len(sub) == 0:
+            continue
+        plists = r.positions_for(sub)
+        for q, j in enumerate(np.flatnonzero(m)):
+            out[j] = (
+                plists[q]
+                if out[j] is None
+                else np.unique(np.concatenate([out[j], plists[q]]))
+            )
+    return [o if o is not None else np.zeros(0, np.int64) for o in out]
 
 
 def _empty_pdf() -> pd.DataFrame:
@@ -697,6 +769,11 @@ class SparkSearcher:
             if c.required:
                 if c.kind == "term_set":
                     if all(stats.get(t, 0) == 0 for t in c.terms):
+                        return empty
+                elif c.kind == "phrase" and getattr(c, "alts", None):
+                    if any(
+                        all(stats.get(t, 0) == 0 for t in sl) for sl in c.alts
+                    ):
                         return empty
                 elif any(stats.get(t, 0) == 0 for t in c.terms):
                     return empty
@@ -1040,7 +1117,7 @@ def _explain_segment(searcher: "SparkSearcher", q: Query, docid: int) -> dict:
                 freq = int(tfs[0])
             idf_v = idf_by_term[clause.terms[0]]
         else:
-            if all(t in rows for t in clause.terms):
+            if _phrase_present(clause, rows):
                 ids_p, freqs = _phrase_freqs(clause, rows, lid)
                 if len(ids_p):
                     # keep sloppy freq fractional: flooring it would break

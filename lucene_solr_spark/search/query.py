@@ -32,6 +32,11 @@ class Clause:
     required: bool = False
     boost: float = 1.0  # query-time boost (weight = idf * boost, BM25Stats.normalize)
     slop: int = 0  # phrase proximity (PhraseQuery.setSlop; 0 = exact)
+    # MultiPhraseQuery (search/MultiPhraseQuery.java): alternatives per
+    # phrase position ("a|b c" -> [[a, b], [c]]). None for plain phrases;
+    # when set, `terms` holds the flattened alternatives (stats/scan list)
+    # and the weight sums idfs over ALL alternatives, as the reference does.
+    alts: list[list[str]] | None = None
 
 
 @dataclass
@@ -75,6 +80,42 @@ def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Quer
         if phrase is not None:
             boost = float(pboost) if pboost else 1.0
             slop = int(pslop) if pslop else 0
+            if "|" in phrase:
+                # MultiPhraseQuery syntax: "a|b c" = (a OR b) then c.
+                # Each alternative analyzes independently; a slot whose
+                # alternatives all analyze away drops the clause.
+                slots: list[list[str]] = []
+                ok = True
+                for word in phrase.split():
+                    alts_here: list[str] = []
+                    for alt in word.split("|"):
+                        t = analyze_one(alt, analyzer=analyzer)
+                        if t:
+                            alts_here.append(t[0][0])
+                    if not alts_here:
+                        ok = False
+                        break
+                    slots.append(sorted(set(alts_here)))
+                if not ok or not slots:
+                    continue
+                if len(slots) == 1 and len(slots[0]) == 1:
+                    clauses.append(
+                        Clause("term", [slots[0][0]],
+                               required=required_default, boost=boost)
+                    )
+                else:
+                    clauses.append(
+                        Clause(
+                            "phrase",
+                            [t for s in slots for t in s],
+                            offsets=list(range(len(slots))),
+                            required=required_default,
+                            boost=boost,
+                            slop=slop,
+                            alts=slots,
+                        )
+                    )
+                continue
             toks = analyze_one(phrase, analyzer=analyzer)
             if not toks:
                 continue
