@@ -281,6 +281,34 @@ agg AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
 SELECT term, df FROM agg WHERE levenshtein(term, 'part') <= 1 ORDER BY term""",
     )
 
+    def _terms_on_index(spark, sf):
+        # TermsComponent from the index DICTIONARY (no re-tokenization):
+        # the postings table IS (term, df, ttf)
+        s = gate_searcher(spark, sf)
+        return s.terms("s", 30)
+
+    R["terms_component_on_index"] = (
+        _terms_on_index,
+        f"""{TOKS},
+agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+        FROM toks WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df, ttf FROM agg ORDER BY df DESC, term LIMIT 30""",
+    )
+
+    def _sorted_topk(spark, sf):
+        # EarlyTerminatingSortingCollector analog: index sort order (url
+        # == zero-padded doc_id) -> per-partition take-k, no full scan
+        s = gate_searcher(spark, sf)
+        return s.docs_sorted_topk(15).select(
+            F.col("docid").alias("doc_id"), "url"
+        )
+
+    R["sorted_docs_topk"] = (
+        _sorted_topk,
+        """SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url
+FROM documents ORDER BY doc_id LIMIT 15""",
+    )
+
     # ---- facets / stats / grouping ----------------------------------------
     R["facet_field_lang"] = (
         lambda spark, sf: C.facet_field(_docs(spark, sf), "dup", "lang"),

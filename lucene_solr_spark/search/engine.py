@@ -651,6 +651,11 @@ class SparkSearcher:
         if cache:
             self._postings = self._postings.persist()
         self._docmap_paths = docmap_paths
+        # term-stats cache: a searcher is bound to one immutable manifest
+        # generation, so global df per term never changes — repeated terms
+        # skip the stats job entirely (the SolrIndexSearcher statistics
+        # cache; drops warm queries from two Spark jobs to one)
+        self._stats_cache: dict[str, int] = {}
 
     def docmap(self) -> DataFrame:
         """Docmap with globalized docids: segment-local id + manifest
@@ -739,11 +744,9 @@ class SparkSearcher:
                 "skip_off", "skip_max_tf", "skip_max_norm",
             )
 
-        # stage 1: global statistics (collectionStatistics/termStatistics)
-        stats = {
-            r["term"]: int(r["df"])
-            for r in prows.groupBy("term").agg(F.sum("df").alias("df")).collect()
-        }
+        # stage 1: global statistics (collectionStatistics/termStatistics),
+        # served from the searcher-lifetime cache where possible
+        stats = self._term_stats(terms)
         idf_by_term = {
             t: bm25.idf(stats.get(t, 0), self.max_doc) for t in terms
         }
@@ -870,6 +873,83 @@ class SparkSearcher:
             .orderBy(F.desc("cnt"), "facet")
             .limit(limit)
         )
+
+    def _term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term, cached for the searcher's lifetime (valid:
+        one searcher == one manifest generation). Only uncached terms pay
+        the aggregation job."""
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            rows = (
+                self._postings.where(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = got.get(t, 0)
+        return {t: self._stats_cache[t] for t in terms}
+
+    def terms(self, prefix: str = "", limit: int = 30) -> DataFrame:
+        """TermsComponent served from the INDEX DICTIONARY (solr/core/.../
+        handler/component/TermsComponent.java): the postings table already
+        holds (term, df, ttf), so this is a pruned dictionary scan — no
+        corpus re-tokenization. Prefix pushes into the term-sorted parquet
+        row groups."""
+        t = self._postings
+        if prefix:
+            t = t.where(F.col("term").startswith(prefix))
+        return (
+            t.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .orderBy(F.desc("df"), "term")
+            .limit(limit)
+        )
+
+    def docs_sorted_topk(self, k: int = 10) -> DataFrame:
+        """EarlyTerminatingSortingCollector analog (lucene/misc/.../
+        EarlyTerminatingSortingCollector.java): the index IS sorted by url
+        (docid == global url rank), so top-k by the index sort order is a
+        per-partition take-k + merge (Spark TakeOrderedAndProject) — no
+        full scan, no score computation."""
+        return self.docmap().orderBy("docid").limit(k)
+
+    def search_highlighted(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = 10,
+        mode: str = "OR",
+        window: int = 10,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        **kw,
+    ) -> pd.DataFrame:
+        """Top-k search + analyzed snippets for the winners (the Solr
+        hl=true flow): only the k result docs join back to the document
+        table (broadcast) and pay snippet string work — the same two-phase
+        shape as field fetch."""
+        from ..functions.components import analyzed_snippets
+
+        q = parse_query(query, mode, analyzer=self.analyzer)
+        qterms = {t for c in q.clauses if c.kind in ("term", "phrase")
+                  for t in c.terms}
+        top = self.search(query, k=k, mode=mode, with_url=False, **kw)
+        rows = (
+            docs.join(
+                F.broadcast(top.select(F.col("docid").alias(id_col), "score")),
+                id_col,
+            )
+            .select(id_col, "score", text_col)
+            .toPandas()
+            .sort_values("score", ascending=False)
+            .reset_index(drop=True)
+        )
+        rows["snippet"] = analyzed_snippets(
+            rows[text_col], qterms, analyzer=self.analyzer, window=window
+        )
+        return rows[[id_col, "score", "snippet"]]
 
     def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
         """PrefixQuery term expansion over the sorted terms dictionary
@@ -1064,12 +1144,8 @@ def _explain_segment(searcher: "SparkSearcher", q: Query, docid: int) -> dict:
     norm_byte = int(norms[local])
 
     terms = sorted(set(q.all_terms))
-    # global stats (same two-phase shape as search, scoped to explain)
-    stats = {
-        r["term"]: int(r["df"])
-        for r in searcher._postings.where(F.col("term").isin(terms))
-        .groupBy("term").agg(F.sum("df").alias("df")).collect()
-    }
+    # global stats (same two-phase shape as search, shared stats cache)
+    stats = searcher._term_stats(terms)
     idf_by_term = {t: bm25.idf(stats.get(t, 0), searcher.max_doc) for t in terms}
     cache = bm25.norm_cache(
         bm25.avg_field_length(searcher.sum_ttf, searcher.max_doc)

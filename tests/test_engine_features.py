@@ -56,3 +56,71 @@ def test_prefix_expansion_and_constant_score(searcher, oracle_small):
     ids_e = searcher.matching_docids(terms_e[:5]).toPandas()["docid"].to_numpy()
     ids_o = oracle_small.matching_docids(terms_o[:5])
     np.testing.assert_array_equal(ids_e, ids_o)
+
+
+def test_stats_cache_and_warm_search(spark, small_index, oracle_small):
+    """Warm repeated query: identical results, stats job skipped."""
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    cold = s.search_pdf("babe roro", k=10)
+    assert "babe" in s._stats_cache and "roro" in s._stats_cache
+    warm = s.search_pdf("babe roro", k=10)
+    np.testing.assert_array_equal(cold["docid"].to_numpy(), warm["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        cold["score"].to_numpy(np.float32), warm["score"].to_numpy(np.float32)
+    )
+    exp = oracle_small.search("babe roro", 10, "OR")
+    np.testing.assert_array_equal(warm["docid"].to_numpy(), exp["docid"].to_numpy())
+
+
+def test_terms_component_on_index(spark, small_index, pages_small):
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    got = s.terms("ba", 20).toPandas()
+    flat = tokenize_series(pages_small["text"])
+    sub = flat[flat["term"].astype(str).str.startswith("ba")]
+    exp = (
+        sub.groupby("term", observed=True)
+        .agg(df=("doc_idx", "nunique"), ttf=("doc_idx", "size"))
+        .reset_index()
+        # cast away the Categorical: its sort order is dictionary order,
+        # not lexicographic (the _factorize_sorted lesson)
+        .assign(term=lambda d: d["term"].astype(str))
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(20)
+    )
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["df"].tolist() == exp["df"].tolist()
+    assert got["ttf"].tolist() == exp["ttf"].tolist()
+
+
+def test_docs_sorted_topk(spark, small_index, pages_small):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    got = s.docs_sorted_topk(7).toPandas()
+    urls = sorted(pages_small["url"].tolist())[:7]
+    assert got["url"].tolist() == urls
+    assert got["docid"].tolist() == list(range(7))
+
+
+def test_search_highlighted(spark, small_index, pages_small):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    pd2 = pages_small[["url", "text"]].copy()
+    urls = pd2["url"].to_numpy()
+    rank = np.empty(len(urls), np.int64)
+    rank[np.argsort(urls)] = np.arange(len(urls))
+    pd2["doc_id"] = rank  # engine docid == global url rank
+    docs = spark.createDataFrame(pd2[["doc_id", "text"]])
+    out = s.search_highlighted("babe", docs, k=5, id_col="doc_id")
+    assert len(out) == 5
+    assert all("<em>babe</em>" in sn for sn in out["snippet"])
