@@ -805,8 +805,9 @@ class SparkSearcher:
             topk = self.docmap().join(F.broadcast(topk), "docid", "inner")
         from pyspark.sql import Window
 
-        # constant partition key: only <= k rows reach this window, and the
-        # explicit spec silences the single-partition WindowExec warning
+        # single-partition by design: only <= k already-merged rows reach
+        # this window (the constant key is folded away by Catalyst; the
+        # WindowExec notice is silenced at the logger in session.py)
         w = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("docid"))
         cols = ["rank", "docid"] + (["url"] if with_url else []) + ["score"]
         return (

@@ -41,4 +41,16 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # the final-rank window runs over <= k already-merged rows by design
+    # (TopScoreDocCollector's merged page); WindowExec's single-partition
+    # warning is intentional there and pure noise — silence that one
+    # logger, nothing else
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend differences are non-fatal
     return spark
