@@ -178,6 +178,7 @@ def _score_segment(
     count_only: bool = False,
     fqq: Query | None = None,
     all_hits: bool = False,
+    fset_bc=None,
 ) -> pd.DataFrame:
     seg_name = pdf["segment_id"].iloc[0]
     meta = seg_meta[seg_name]
@@ -197,6 +198,19 @@ def _score_segment(
     fset: np.ndarray | None = None
     if fqq is not None:
         fset = _filter_docset(fqq, rows, meta["max_doc"])
+        if len(fset) == 0:
+            return _empty_pdf()
+    if fset_bc is not None:
+        # filterCache path: slice this segment's range out of the cached
+        # GLOBAL docid set (sorted), rebase to local ids
+        g = fset_bc.value if hasattr(fset_bc, "value") else fset_bc
+        lo = int(np.searchsorted(g, doc_base))
+        hi = int(np.searchsorted(g, doc_base + meta["max_doc"]))
+        local = g[lo:hi] - doc_base
+        fset = (
+            local if fset is None
+            else fset[np.isin(fset, local, assume_unique=True)]
+        )
         if len(fset) == 0:
             return _empty_pdf()
 
@@ -656,6 +670,9 @@ class SparkSearcher:
         # skip the stats job entirely (the SolrIndexSearcher statistics
         # cache; drops warm queries from two Spark jobs to one)
         self._stats_cache: dict[str, int] = {}
+        # filterCache (SolrIndexSearcher.java:151-153 filterCache): fq ->
+        # materialized global docid set, evaluated once per searcher
+        self._filter_cache: dict[str, object] = {}
 
     def docmap(self) -> DataFrame:
         """Docmap with globalized docids: segment-local id + manifest
@@ -679,6 +696,7 @@ class SparkSearcher:
         after: tuple | None = None,
         min_should_match: int = 0,
         fq: str | Query | None = None,
+        fq_docids=None,
         dismax_tie: float | None = None,
         _count_only: bool = False,
         _all_hits: bool = False,
@@ -695,6 +713,9 @@ class SparkSearcher:
         FilteredQuery.java:41-70): a boolean query whose doc-set restricts
         candidates BEFORE scoring, contributing nothing to the score.
         Strings parse with AND semantics; wildcard/regexp allowed.
+        fq_docids is the filterCache fast path: a broadcast (or array) of
+        SORTED global docids from cached_filter() — the set intersects
+        candidates exactly like fq but costs no per-query evaluation.
 
         dismax_tie switches clause combination from BooleanQuery sum to
         DisjunctionMaxQuery max + tie * rest (DisjunctionMaxQuery.java:45-54).
@@ -783,11 +804,12 @@ class SparkSearcher:
 
         seg_meta = self.seg_meta
         qq, wv, idfs, cch, kk, pr = q, wv_by_clause, idf_by_term, cache, k, prune
-        aft, cnt, fqc, allh = after, _count_only, fqq, _all_hits
+        aft, cnt, fqc, allh, fbc = after, _count_only, fqq, _all_hits, fq_docids
 
         def run(key, pdf):
             return _score_segment(
-                pdf, qq, seg_meta, wv, idfs, cch, kk, pr, aft, cnt, fqc, allh
+                pdf, qq, seg_meta, wv, idfs, cch, kk, pr, aft, cnt, fqc, allh,
+                fbc,
             )
 
         # stage 2: per-segment partial top-k (parallel leaves, mergeable state)
@@ -818,6 +840,41 @@ class SparkSearcher:
 
     def search_pdf(self, query, k: int = 10, mode: str = "OR", **kw) -> pd.DataFrame:
         return self.search(query, k, mode, **kw).toPandas()
+
+    def search_with_timeout(
+        self, query, timeout_s: float, k: int = 10, mode: str = "OR", **kw
+    ) -> tuple[pd.DataFrame | None, bool]:
+        """TimeLimitingCollector analog (search/TimeLimitingCollector.java),
+        at Spark's natural granularity: the query executes under its own
+        job group (job groups are thread-local) and a watchdog cancels the
+        group at the deadline. Returns (result, timed_out). On timeout the
+        result is None — Spark cancels whole jobs, which matches the
+        reference's greedy=false mode (no partial page)."""
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"search-timeout-{uuid.uuid4().hex[:8]}"
+        df = self.search(query, k=k, mode=mode, **kw)
+        out: dict = {}
+
+        def run():
+            sc.setJobGroup(group, "time-limited search", interruptOnCancel=True)
+            try:
+                out["pdf"] = df.toPandas()
+            except Exception as e:  # cancelled jobs surface as exceptions
+                out["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(30)
+            return None, True
+        if "err" in out:
+            return None, True
+        return out["pdf"], False
 
     def explain(self, query: str | Query, docid: int, mode: str = "OR") -> dict:
         """Lucene explain(): per-clause scoring breakdown whose total is
@@ -874,6 +931,29 @@ class SparkSearcher:
             .orderBy(F.desc("cnt"), "facet")
             .limit(limit)
         )
+
+    def cached_filter(self, fq: str, max_docs: int = 5_000_000):
+        """Solr filterCache analog: evaluate the filter query ONCE, keep the
+        sorted global docid set, and let subsequent searches reuse it via a
+        Spark broadcast (search(fq_docids=...)). Bounded by ``max_docs`` —
+        an unbounded doc-set at 10^12 docs must stay as an in-kernel fq
+        (pass fq= instead), so oversize sets raise rather than silently
+        materialize."""
+        entry = self._filter_cache.get(fq)
+        if entry is not None:
+            return entry
+        ids = np.array(
+            [r["docid"] for r in self.matching(fq, mode="AND").collect()],
+            dtype=np.int64,
+        )
+        if len(ids) > max_docs:
+            raise ValueError(
+                f"filter set {len(ids)} docs exceeds max_docs={max_docs}; "
+                "use fq= (in-kernel) for unbounded filters"
+            )
+        bc = self.spark.sparkContext.broadcast(ids)
+        self._filter_cache[fq] = bc
+        return bc
 
     def _term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global df per term, cached for the searcher's lifetime (valid:

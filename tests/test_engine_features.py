@@ -124,3 +124,19 @@ def test_search_highlighted(spark, small_index, pages_small):
     out = s.search_highlighted("babe", docs, k=5, id_col="doc_id")
     assert len(out) == 5
     assert all("<em>babe</em>" in sn for sn in out["snippet"])
+
+
+def test_search_with_timeout(spark, small_index):
+    """TimeLimitingCollector analog: generous budget completes, a
+    sub-millisecond budget cancels the job group."""
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    pdf, timed_out = s.search_with_timeout("babe roro", timeout_s=120, k=5)
+    assert not timed_out and len(pdf) == 5
+    pdf2, timed_out2 = s.search_with_timeout("babe babaso", timeout_s=1e-4, k=5)
+    assert timed_out2 and pdf2 is None
+    # the searcher stays healthy after a cancellation
+    pdf3, timed_out3 = s.search_with_timeout("babe", timeout_s=120, k=3)
+    assert not timed_out3 and len(pdf3) == 3

@@ -127,3 +127,27 @@ def test_dismax_tie_zero_is_pure_max(searcher, oracle_small):
     np.testing.assert_array_equal(
         res["docid"].to_numpy(), np.array([d for d, _ in order])
     )
+
+
+def test_filter_cache_equivalent_to_inline_fq(searcher):
+    """cached_filter + fq_docids == inline fq, bit-identical; second use
+    hits the cache (no re-evaluation)."""
+    inline = searcher.search_pdf("babe", k=10, fq="roro")
+    bc = searcher.cached_filter("roro")
+    cached = searcher.search_pdf("babe", k=10, fq_docids=bc)
+    np.testing.assert_array_equal(
+        inline["docid"].to_numpy(), cached["docid"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        inline["score"].to_numpy(np.float32), cached["score"].to_numpy(np.float32)
+    )
+    assert searcher.cached_filter("roro") is bc  # cache hit, same broadcast
+    # composes with an additional inline fq (intersection)
+    both = searcher.search_pdf("babe", k=5000, fq="babaso", fq_docids=bc)
+    expect = searcher.search_pdf("babe", k=5000, fq="babaso roro")
+    assert set(both["docid"]) == set(expect["docid"])
+
+
+def test_filter_cache_size_guard(searcher):
+    with pytest.raises(ValueError, match="max_docs"):
+        searcher.cached_filter("babe", max_docs=3)
