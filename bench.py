@@ -150,6 +150,17 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
         lat2.append(dt)
     p50_docs = statistics.median(lat2)
 
+    # warm repeats: term stats now served from the searcher cache, so the
+    # two-job query drops to one (the filterCache/statistics-cache story)
+    warm = []
+    for name, q, mode, k in BENCH_QUERIES[:4]:
+        t0 = time.time()
+        searcher.search(q, k=k, mode=mode, with_url=False).collect()
+        dt = time.time() - t0
+        queries[f"{name}_warm"] = round(dt, 3)
+        warm.append(dt)
+    queries["warm_p50"] = round(statistics.median(warm), 3)
+
     G = gate.queries()
     for name in [
         "simhash16",
