@@ -105,6 +105,81 @@ def ivf_topk(
     )
 
 
+def _pair_cos(va, vb):
+    """Cosine between two array columns, all JVM-side (zip_with/aggregate)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def cosine_pairs_exact(
+    emb: DataFrame, threshold_milli: int = 300, max_id: int | None = None
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) pairs with cosine >=
+    threshold. All-pairs is O(n^2) — the ``max_id`` bound exists because
+    this is the small-scale oracle profile; production uses
+    cosine_near_dup_pairs (LSH-bucketed) below."""
+    sub = emb
+    if max_id is not None:
+        sub = sub.where(F.col("vec_id") < max_id)
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cm = F.round(_pair_cos(F.col("ea"), F.col("eb")) * 1000).cast("long")
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cm.alias("cos_milli"))
+        .where(F.col("cos_milli") >= threshold_milli)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold_milli: int = 900,
+    n_planes: int = 12,
+    seed: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: random-hyperplane LSH buckets ->
+    exact cosine verify WITHIN buckets only (one shuffle on the bucket key,
+    quadratic work bounded per bucket by ``max_bucket``). High-cosine pairs
+    collide with probability (1 - theta/pi)^n_planes, so recall targets
+    pick n_planes; missed pairs are the documented LSH trade."""
+    from pyspark.sql import Window
+
+    b = lsh_bucket_np(emb, n_planes, seed)
+    w = Window.partitionBy("bucket")
+    b = b.withColumn("bsz", F.count("*").over(w)).where(
+        F.col("bsz") <= max_bucket
+    ).drop("bsz")
+    withv = b.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withv.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    bb = withv.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    cm = F.round(_pair_cos(F.col("ea"), F.col("eb")) * 1000).cast("long")
+    return (
+        a.join(bb, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cm.alias("cos_milli"))
+        .where(F.col("cos_milli") >= threshold_milli)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def lsh_bucket_np(emb: DataFrame, n_planes: int = 16, seed: int = 3) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (numpy profile): bucket =
     sign-bit pattern of n_planes projections. Candidate generation =

@@ -681,6 +681,59 @@ SELECT doc_id,
             THEN 'en' ELSE 'other' END AS lang_guess
 FROM t ORDER BY doc_id""",
     )
+    R["emb_cosine_near_dup"] = (
+        lambda spark, sf: S.cosine_pairs_exact(_emb(spark, sf), 300, 120),
+        """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+              unnest(embedding)::DOUBLE AS v FROM sub),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM ex GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+         FROM ex a JOIN ex b ON a.dim = b.dim AND a.vec_id < b.vec_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(ROUND(1000 * dot / (na.nn * nb.nn)) AS BIGINT) AS cos_milli
+FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+WHERE ROUND(1000 * dot / (na.nn * nb.nn)) >= 300
+ORDER BY id_a, id_b""",
+    )
+
+    from ..functions import curation as CU
+
+    R["curation_pipeline"] = (
+        lambda spark, sf: CU.curation_summary(_docs(spark, sf), 450, "en"),
+        f"""{TOKS},{_SHINGLES},{_MINHASH},
+qt AS (
+  SELECT doc_id, source, length(text) AS n_chars_calc,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         x -> x IN ({_STOPLIST}))) AS n_stop
+  FROM documents),
+quality AS (
+  SELECT doc_id, n_tokens,
+         ROUND(1000 * (
+           0.4 * least((n_chars_calc / greatest(n_tokens, 1)) / 8.0, 1.0)
+         + 0.3 * (n_distinct / greatest(n_tokens, 1))
+         + 0.3 * least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0))) AS quality_milli,
+         ROUND(1000.0 * n_stop / greatest(n_tokens, 1)) AS stop_milli
+  FROM qt),
+keepq AS (SELECT doc_id, n_tokens FROM quality
+          WHERE quality_milli >= 450 AND stop_milli >= 80),
+sigs AS (SELECT doc_id, md5(text) AS sig FROM documents),
+firsts AS (SELECT sig, min(doc_id) AS keep_doc FROM sigs GROUP BY sig),
+dedup1 AS (SELECT k.doc_id, k.n_tokens FROM keepq k
+           JOIN sigs s USING (doc_id)
+           JOIN firsts f ON s.sig = f.sig AND k.doc_id = f.keep_doc),
+neardrop AS (SELECT DISTINCT b.doc_id AS doc_id
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+survivors AS (SELECT * FROM dedup1
+              WHERE doc_id NOT IN (SELECT doc_id FROM neardrop))
+SELECT d.source AS grp, count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS sum_tokens
+FROM survivors s JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY grp""",
+    )
+
     R["fingerprint"] = (
         lambda spark, sf: X.fingerprint(_docs(spark, sf)),
         f"""{TOKS},

@@ -226,3 +226,45 @@ def test_block_join_parent_modes(spark):
         parents, children, "pid", "flag = 1", "val", "total", 10
     ).collect()
     assert {r["pid"]: r["score_cents"] for r in tot} == {1: 4000, 2: 500}
+
+
+def test_cosine_near_dup_lsh_vs_exact(spark):
+    """LSH-bucketed near-dup recall vs the exact profile: planted
+    near-identical vectors MUST collide; overall recall reported sane."""
+    import pandas as pd
+
+    from lucene_solr_spark.functions import similarity as S
+
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # planted near-dups: tiny perturbations of vectors 0 and 1
+    for j, src in [(100, 0), (101, 0), (102, 1)]:
+        v = base[src] + rng.standard_normal(32).astype(np.float32) * 0.01
+        rows.append({"vec_id": j, "embedding": v.tolist()})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs_exact(emb, 990).collect()
+    }
+    assert {(0, 100), (0, 101), (1, 102), (100, 101)} <= exact
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(emb, 990, n_planes=8).collect()
+    }
+    # high-cosine pairs (cos ~ 0.9999) collide with prob ~(1-theta/pi)^8 ~ 1
+    assert lsh == exact
+    # cos values agree with the exact profile where both report a pair
+    assert lsh <= exact
+
+
+def test_curation_pipeline_monotone(spark):
+    from lucene_solr_spark.functions import curation as CU
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    strict = CU.curate_docids(docs, min_quality_milli=600).count()
+    loose = CU.curate_docids(docs, min_quality_milli=300).count()
+    assert 0 < strict <= loose <= docs.count()
+    summ = CU.curation_summary(docs, 450, "en").toPandas()
+    assert (summ["n_docs"] > 0).all()
+    assert (summ["sum_tokens"] >= summ["n_docs"]).all()
