@@ -105,6 +105,110 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame, n_cells: int = 16, iters: int = 5, seed: int = 7
+) -> tuple[np.ndarray, list[float]]:
+    """Lloyd's k-means for the IVF coarse quantizer, Spark-native.
+
+    The centroid matrix is tiny (n_cells x dim) and lives driver-side;
+    each iteration is ONE scan (mapInPandas partial sums per cell x dim)
+    plus ONE small shuffle (groupBy(cell, dim), <= n_cells*dim rows per
+    partition). At 100 TB that's iters x (scan + KB-scale shuffle) — the
+    standard distributed Lloyd shape. Returns (centroids, inertia per
+    iteration); init is the seeded first-k sample (k-means|| would slot in
+    here unchanged).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    init = (
+        emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+    )
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init])
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("inertia", T.DoubleType()),
+    ])
+    inertias: list[float] = []
+    for _ in range(iters):
+        Cb = C  # captured by value per iteration
+
+        def partials(it):
+            for pdf in it:
+                M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                # squared distances via ||x||^2 - 2xC' + ||c||^2
+                d2 = (
+                    (M * M).sum(1)[:, None]
+                    - 2.0 * (M @ Cb.T)
+                    + (Cb * Cb).sum(1)[None, :]
+                )
+                cell = d2.argmin(1)
+                inert = float(d2[np.arange(len(M)), cell].sum())
+                rows = []
+                for c in np.unique(cell):
+                    m = cell == c
+                    s = M[m].sum(0)
+                    for dim in range(M.shape[1]):
+                        rows.append((int(c), dim, float(s[dim]), int(m.sum()), 0.0))
+                rows.append((-1, -1, 0.0, 0, inert))
+                yield pd.DataFrame(rows, columns=["cell", "dim", "s", "n", "inertia"])
+
+        agg = (
+            emb.select("embedding")
+            .mapInPandas(partials, schema)
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"),
+                 F.sum("inertia").alias("inertia"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = np.zeros(n_cells)
+        sums = np.zeros_like(C)
+        total_inertia = 0.0
+        for r in agg:
+            if r["cell"] < 0:
+                total_inertia += float(r["inertia"])
+                continue
+            sums[r["cell"], r["dim"]] = float(r["s"])
+            counts[r["cell"]] = max(counts[r["cell"]], int(r["n"]))
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        C = newC
+        inertias.append(total_inertia)
+    return C, inertias
+
+
+def kmeans_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Assign each vector its nearest k-means cell (the IVF partition key:
+    write the corpus partitioned by this column and the probe semi-join
+    becomes partition pruning)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Cb = np.asarray(centroids, dtype=np.float64)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (M * M).sum(1)[:, None] - 2.0 * (M @ Cb.T)
+                + (Cb * Cb).sum(1)[None, :]
+            )
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": d2.argmin(1).astype(np.int32),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
 def _pair_cos(va, vb):
     """Cosine between two array columns, all JVM-side (zip_with/aggregate)."""
     dot = F.aggregate(

@@ -268,3 +268,30 @@ def test_curation_pipeline_monotone(spark):
     summ = CU.curation_summary(docs, 450, "en").toPandas()
     assert (summ["n_docs"] > 0).all()
     assert (summ["sum_tokens"] >= summ["n_docs"]).all()
+
+
+def test_kmeans_ivf_end_to_end(spark):
+    """Lloyd's iterations: inertia non-increasing; IVF over k-means cells
+    reaches high recall vs brute force with modest nprobe."""
+    from lucene_solr_spark.functions import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    C, inertias = S.kmeans_centroids(emb, n_cells=8, iters=4, seed=7)
+    assert all(
+        b <= a * 1.0000001 for a, b in zip(inertias, inertias[1:])
+    ), inertias
+    assigned = emb.join(S.kmeans_assign(emb, C), "vec_id")
+    # every cell non-degenerate
+    sizes = assigned.groupBy("cell").count().toPandas()
+    assert sizes["count"].min() >= 1
+
+    qvec = [r["embedding"] for r in emb.where("vec_id = 7").collect()][0]
+    brute = [r["vec_id"] for r in S.brute_force_topk(emb, qvec, 10, 7).collect()]
+    cents = S.ivf_centroids(assigned, "cell")
+    ivf = [
+        r["vec_id"]
+        for r in S.ivf_topk(assigned, qvec, 10, 4, "cell", 7, centroids=cents).collect()
+    ]
+    recall = len(set(brute) & set(ivf)) / 10.0
+    assert recall >= 0.8, (recall, brute, ivf)
