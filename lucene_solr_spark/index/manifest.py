@@ -42,6 +42,23 @@ def read_current(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+def read_generation(index_dir: str, generation: int) -> dict | None:
+    """Time travel: open a SPECIFIC snapshot generation. Valid because
+    segment directories are immutable and never deleted by commits — any
+    previously published manifest stays fully readable (the Iceberg
+    snapshot-id read / Lucene SegmentInfos time-travel property)."""
+    p = os.path.join(index_dir, f"manifest_{generation}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def generations(index_dir: str) -> list[int]:
+    """All published snapshot generations, ascending."""
+    return _generations(index_dir)
+
+
 def commit(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
     """Atomically publish a new snapshot listing ``segments``.
 

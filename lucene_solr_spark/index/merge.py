@@ -65,10 +65,15 @@ def plan_merges(
     segs_per_tier: float = DEFAULT_SEGS_PER_TIER,
     floor_bytes: int = DEFAULT_FLOOR_BYTES,
     max_merged_bytes: int = DEFAULT_MAX_MERGED_BYTES,
+    max_concurrent: int = 4,
 ) -> list[list[str]]:
     """Return groups of segment_ids to merge (possibly empty).
 
     Adjacent-window variant of TieredMergePolicy.findMerges (:291-425).
+    Like the reference's ConcurrentMergeScheduler keeping several merges
+    in flight (maxMergeCount), up to ``max_concurrent`` DISJOINT windows
+    are returned per round, best score first — each executes as an
+    independent Spark task in one job.
     """
     segs = sorted(segments, key=lambda s: s["doc_base"])
     sizes = {s["segment_id"]: _floored(int(s["postings_bytes"]), floor_bytes) for s in segs}
@@ -94,9 +99,9 @@ def plan_merges(
     if len(segs) <= allowed or len(eligible) < 2:
         return []
 
-    # scan adjacent windows, score, take best (:380-425,449-491)
-    best, best_score = None, None
+    # scan adjacent windows, score (:380-425,449-491)
     n = len(eligible)
+    windows: list[tuple[float, int, int, list[str]]] = []
     for lo in range(n):
         acc = 0
         group = []
@@ -116,10 +121,25 @@ def plan_merges(
                 szs = [sizes[g["segment_id"]] for g in group]
                 skew = max(szs) / sum(szs)
                 score = skew * (sum(szs) ** 0.05)
-                if best_score is None or score < best_score:
-                    best_score = score
-                    best = [g["segment_id"] for g in group]
-    return [best] if best else []
+                windows.append(
+                    (score, lo, hi, [g["segment_id"] for g in group])
+                )
+    # greedy best-first selection of DISJOINT windows; stop when merging
+    # the selected groups would already satisfy the budget
+    windows.sort(key=lambda w: w[0])
+    taken: list[list[str]] = []
+    used: set[int] = set()
+    remaining = len(segs)
+    for _score, lo, hi, ids in windows:
+        if len(taken) >= max_concurrent or remaining <= allowed:
+            break
+        span = set(range(lo, hi + 1))
+        if span & used:
+            continue
+        used |= span
+        taken.append(ids)
+        remaining -= len(ids) - 1
+    return taken
 
 
 def _rebased_chunk(row, off: int, base: int) -> dict:

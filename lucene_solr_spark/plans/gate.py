@@ -980,6 +980,18 @@ FROM win w JOIN best b ON w.doc_id = b.doc_id AND w.m = b.best_m
 GROUP BY w.doc_id, b.best_m ORDER BY w.doc_id LIMIT 25""",
     )
 
+    def _span_near_unordered(spark, sf):
+        # unordered span-near (distinct-occurrence minimal windows). The
+        # sweep's window enumeration is not expressible in set-based SQL,
+        # so this is a rows-only gate; exact semantics are pinned by the
+        # kernel tests (test_spans.py) and the engine parity test.
+        s = gate_searcher(spark, sf)
+        return s.span_near("table hash", slop=2, ordered=False).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    R["span_near_unordered"] = (_span_near_unordered, None)
+
     R["sort_by_field_topk"] = (
         lambda spark, sf: C.sort_by_field_topk(_docs(spark, sf), "merge", "n_chars", 10),
         f"""{TOKS},

@@ -637,12 +637,28 @@ class SparkSearcher:
     caching; repeated queries then scan memory instead of parquet.
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = False,
+        generation: int | None = None,
+    ):
         self.spark = spark
         self.index_dir = index_dir
-        self.man = manifest_mod.read_current(index_dir)
+        # generation= is time travel (Iceberg snapshot-id read): segments
+        # are immutable and commits never delete them, so any published
+        # manifest opens a fully consistent historical view
+        self.man = (
+            manifest_mod.read_current(index_dir)
+            if generation is None
+            else manifest_mod.read_generation(index_dir, generation)
+        )
         if self.man is None:
-            raise FileNotFoundError(f"no manifest in {index_dir}")
+            raise FileNotFoundError(
+                f"no manifest in {index_dir}"
+                + (f" at generation {generation}" if generation else "")
+            )
         self.max_doc = self.man["fieldstats"]["max_doc"]
         # the index's analyzer (manifest-recorded): queries MUST analyze
         # with the same chain or stemmed terms would never match

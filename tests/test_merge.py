@@ -111,3 +111,50 @@ def test_force_merge_single_segment(spark, pages_small, oracle_small):
     np.testing.assert_array_equal(
         res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
     )
+
+
+def test_plan_merges_multiple_disjoint_groups():
+    """ConcurrentMergeScheduler analog: several DISJOINT windows per round,
+    best score first, never overshooting the tier budget."""
+    from lucene_solr_spark.index.merge import plan_merges
+
+    segs = [
+        {"segment_id": f"s{i}", "doc_base": i * 100, "max_doc": 100,
+         "postings_bytes": 50_000}
+        for i in range(16)
+    ]
+    groups = plan_merges(segs, max_merge_at_once=4, segs_per_tier=2.0,
+                         floor_bytes=4096, max_concurrent=4)
+    assert len(groups) >= 2
+    flat = [s for g in groups for s in g]
+    assert len(flat) == len(set(flat))  # disjoint
+    for g in groups:
+        ids = sorted(int(s[1:]) for s in g)
+        assert ids == list(range(ids[0], ids[0] + len(ids)))  # adjacent
+
+
+def test_time_travel_snapshot_reads(spark, pages_small, oracle_small):
+    """A merge publishes a new generation; the PRE-merge generation stays
+    readable and rank-identical (immutable segments, MVCC)."""
+    from lucene_solr_spark.index import manifest as mf
+    from lucene_solr_spark.index.merge import force_merge
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx = os.path.join(CACHE, "idx_time_travel")
+    man0 = _build(spark, pages_small, idx, 6)
+    g0 = man0["generation"]
+    man1 = force_merge(spark, idx, max_segments=1)
+    assert man1["generation"] > g0
+    assert g0 in mf.generations(idx)
+
+    old = SparkSearcher(spark, idx, generation=g0)
+    new = SparkSearcher(spark, idx)
+    assert len(old.man["segments"]) == 6
+    assert len(new.man["segments"]) == 1
+    exp = oracle_small.search("babe roro", 10, "OR")
+    for s in (old, new):
+        res = s.search_pdf("babe roro", k=10)
+        np.testing.assert_array_equal(res["docid"].to_numpy(), exp["docid"].to_numpy())
+        np.testing.assert_array_equal(
+            res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
+        )
