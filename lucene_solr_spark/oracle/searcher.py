@@ -128,7 +128,7 @@ class OracleSearcher:
             }
         )
 
-    def _matched_scores(self, q) -> tuple[np.ndarray, np.ndarray]:
+    def _matched_scores(self, q, parent_boost: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
         cache = self._cache()
         scores = np.zeros(self.max_doc, dtype=np.float32)
         matched = np.zeros(self.max_doc, dtype=bool)
@@ -138,7 +138,19 @@ class OracleSearcher:
 
         none = np.zeros(self.max_doc, dtype=bool)
         for clause in q.clauses:
-            if clause.kind == "term":
+            if clause.kind == "bool":
+                # nested BooleanQuery: recursive matched/scores over the
+                # full doc space; boost multiplies down the tree
+                sub_m, sub_s = self._matched_scores(
+                    clause.sub, parent_boost * clause.boost
+                )
+                if not sub_m.any():
+                    if clause.required:
+                        return none, scores
+                    continue
+                doc_list = np.flatnonzero(sub_m)
+                s = sub_s[doc_list]
+            elif clause.kind == "term":
                 p = self.postings.get(clause.terms[0])
                 if p is None:
                     if clause.required:
@@ -146,7 +158,8 @@ class OracleSearcher:
                     continue
                 doc_list, tf_list, _ = p
                 wv = bm25.weight_value(
-                    bm25.idf(len(doc_list), self.max_doc), boost=clause.boost
+                    bm25.idf(len(doc_list), self.max_doc),
+                    boost=clause.boost * parent_boost,
                 )
                 s = bm25.score_freqs(tf_list, self.norm_bytes[doc_list], cache, wv)
             elif clause.kind == "phrase":
@@ -160,7 +173,7 @@ class OracleSearcher:
                     idf_sum = np.float32(
                         idf_sum + bm25.idf(self.df(t), self.max_doc)
                     )
-                wv = bm25.weight_value(idf_sum, boost=clause.boost)
+                wv = bm25.weight_value(idf_sum, boost=clause.boost * parent_boost)
                 s = bm25.score_freqs(freqs, self.norm_bytes[doc_list], cache, wv)
             else:
                 raise ValueError(clause.kind)

@@ -216,6 +216,38 @@ def _registry():
         _phrase_sql("table", "hash", 10),
     )
 
+    R["nested_bool_topk"] = (
+        # '(merge window)^2 dup': the group's boost multiplies its members'
+        # weights (BooleanQuery-within-BooleanQuery; weights are linear in
+        # boost so the oracle applies the factor per term)
+        lambda spark, sf: _engine_topk(spark, sf, "(merge window)^2 dup", "OR", 10),
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('merge', 'window', 'dup') GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('merge', 'window', 'dup') GROUP BY term),
+persco AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.term IN ('merge', 'window') THEN 2.0 ELSE 1.0 END
+           * ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+           * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) AS s
+  FROM tf JOIN dfr USING (term)
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c),
+agg AS (SELECT doc_id, sum(s) AS score FROM persco GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     R["multi_phrase_topk"] = (
         lambda spark, sf: _engine_topk(spark, sf, '"merge|window hash"', "OR", 10),
         f"""

@@ -226,6 +226,7 @@ def _score_segment(
                 return _empty_pdf()
         term_req = [i for i in required_idx if clauses[i].kind == "term"]
         set_req = [i for i in required_idx if clauses[i].kind == "term_set"]
+        bool_req = [i for i in required_idx if clauses[i].kind == "bool"]
         phrase_req = [i for i in required_idx if clauses[i].kind == "phrase"]
         order = sorted(term_req, key=lambda i: rows[clauses[i].terms[0]].df)
         if order:
@@ -252,6 +253,15 @@ def _score_segment(
                 cand_ids = cand_ids[np.isin(cand_ids, union, assume_unique=True)]
             if len(cand_ids) == 0:
                 return _empty_pdf()
+        for i in bool_req:
+            # required nested group: intersect its boolean doc-set
+            sub_set = _filter_docset(clauses[i].sub, rows, meta["max_doc"])
+            if cand_ids is None:
+                cand_ids = sub_set
+            else:
+                cand_ids = cand_ids[np.isin(cand_ids, sub_set, assume_unique=True)]
+            if len(cand_ids) == 0:
+                return _empty_pdf()
         for i in phrase_req:
             ids_p, _f = _phrase_freqs(clauses[i], rows, cand_ids)
             cand_ids = ids_p
@@ -271,6 +281,7 @@ def _score_segment(
             if (c.kind == "term" and c.terms[0] in rows)
             or (c.kind == "phrase" and _phrase_present(c, rows))
             or (c.kind == "term_set" and any(t in rows for t in c.terms))
+            or c.kind == "bool"  # nested: evaluated via its doc-set
         ]
         if not present:
             return _empty_pdf()
@@ -279,6 +290,10 @@ def _score_segment(
             c = clauses[i]
             if c.kind == "term":
                 ubs[i] = float(rows[c.terms[0]].ub(cache, wv_by_clause[i]))
+            elif c.kind == "bool":
+                # nested groups disable pruning (search() forces
+                # prune=False); 0 only orders the accumulation
+                ubs[i] = 0.0
             elif c.kind == "term_set":
                 # constant-score clause: the score IS the bound
                 ubs[i] = float(wv_by_clause[i])
@@ -332,6 +347,11 @@ def _score_segment(
             if c.kind == "term":
                 ids, tfs = rows[c.terms[0]].decode_all()
                 s = bm25.score_freqs(tfs, norms[ids], cache, wv_by_clause[i])
+            elif c.kind == "bool":
+                # candidates = the group's boolean doc-set; scores are
+                # recomputed in the rescore phase (pruning is off)
+                ids = _filter_docset(c.sub, rows, meta["max_doc"])
+                s = np.zeros(len(ids), np.float32)
             elif c.kind == "term_set":
                 ids = _set_union_ids(c, rows)
                 s = np.full(len(ids), np.float32(wv_by_clause[i]), np.float32)
@@ -384,6 +404,15 @@ def _score_segment(
                 matched_any |= m
                 if not c.required:
                     opt_count += m
+        elif c.kind == "bool":
+            sub_s, sub_m = _score_subquery(
+                c.sub, rows, cand_ids, norms, cache, wv_by_clause[i]
+            )
+            if sub_m.any():
+                contrib[sub_m] = sub_s[sub_m]
+            matched_any |= sub_m
+            if not c.required:
+                opt_count += sub_m
         elif c.kind == "term_set":
             union = _set_union_ids(c, rows)
             m = np.isin(cand_ids, union, assume_unique=True)
@@ -448,11 +477,17 @@ def _filter_docset(fqq: Query, rows: dict, max_doc: int) -> np.ndarray:
 
     Solr's fq / cached DocSet semantics (SolrIndexSearcher.java:151-153,
     getProcessedFilter): boolean structure only, no scores. Required clauses
-    intersect, optional clauses union, prohibited terms subtract; a purely
+    intersect, optional clauses union (with the min_should_match quota),
+    prohibited terms subtract, nested bool clauses recurse; a purely
     negative fq is implicitly '*:* minus ...' (Solr's top-level-negative
     rewrite), hence the max_doc universe."""
 
     def clause_ids(c, within):
+        if c.kind == "bool":
+            sub = _filter_docset(c.sub, rows, max_doc)
+            if within is None:
+                return sub
+            return within[np.isin(within, sub, assume_unique=True)]
         if c.kind == "term":
             r = rows.get(c.terms[0])
             if r is None:
@@ -467,7 +502,7 @@ def _filter_docset(fqq: Query, rows: dict, max_doc: int) -> np.ndarray:
                 return u
             return within[np.isin(within, u, assume_unique=True)]
         # phrase
-        if any(t not in rows for t in c.terms):
+        if not _phrase_present(c, rows):
             return np.zeros(0, np.int64)
         ids, _ = _phrase_freqs(c, rows, within)
         return ids
@@ -480,12 +515,24 @@ def _filter_docset(fqq: Query, rows: dict, max_doc: int) -> np.ndarray:
             s = clause_ids(c, s)
             if len(s) == 0:
                 return s
+        if opt and fqq.min_should_match:
+            parts = [clause_ids(c, s) for c in opt]
+            cat = np.concatenate([p for p in parts if len(p)] or
+                                 [np.zeros(0, np.int64)])
+            u, cnt = np.unique(cat, return_counts=True)
+            quota = u[cnt >= fqq.min_should_match]
+            s = s[np.isin(s, quota, assume_unique=True)]
     elif opt:
         parts = [clause_ids(c, None) for c in opt]
         parts = [p for p in parts if len(p)]
         if not parts:
             return np.zeros(0, np.int64)
-        s = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        if fqq.min_should_match and len(parts) > 1:
+            cat = np.concatenate(parts)
+            u, cnt = np.unique(cat, return_counts=True)
+            s = u[cnt >= fqq.min_should_match]
+        else:
+            s = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
     else:
         s = np.arange(max_doc, dtype=np.int64)  # pure-negative fq
     for t in fqq.must_not:
@@ -494,6 +541,76 @@ def _filter_docset(fqq: Query, rows: dict, max_doc: int) -> np.ndarray:
             _, tfs = r.lookup(s)
             s = s[tfs == 0]
     return s
+
+
+def _score_subquery(
+    q: Query,
+    rows: dict,
+    cand_ids: np.ndarray,
+    norms: np.ndarray,
+    cache: np.ndarray,
+    wv_list: list,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score a nested bool clause over the candidate ids: returns
+    (float32 scores, matched mask). Same clause-order float32 accumulation
+    as the top level, with the sub-scope's own required/mm/must_not
+    semantics enforced per doc (BooleanQuery-within-BooleanQuery)."""
+    n = len(cand_ids)
+    total = np.zeros(n, dtype=np.float32)
+    matched_any = np.zeros(n, dtype=bool)
+    opt_count = np.zeros(n, dtype=np.int32)
+    req_count = np.zeros(n, dtype=np.int32)
+    n_req = 0
+    for i, c in enumerate(q.clauses):
+        contrib = np.zeros(n, dtype=np.float32)
+        m = np.zeros(n, dtype=bool)
+        if c.kind == "bool":
+            sub_s, sub_m = _score_subquery(
+                c.sub, rows, cand_ids, norms, cache, wv_list[i]
+            )
+            m = sub_m
+            contrib[m] = sub_s[m]
+        elif c.kind == "term":
+            r = rows.get(c.terms[0])
+            if r is not None:
+                _, tfs = r.lookup(cand_ids)
+                m = tfs > 0
+                if m.any():
+                    contrib[m] = bm25.score_freqs(
+                        tfs[m], norms[cand_ids[m]], cache, wv_list[i]
+                    )
+        elif c.kind == "term_set":
+            union = _set_union_ids(c, rows)
+            m = np.isin(cand_ids, union, assume_unique=True)
+            if m.any():
+                contrib[m] = np.float32(wv_list[i])
+        else:  # phrase
+            if _phrase_present(c, rows):
+                ids_p, freqs = _phrase_freqs(c, rows, cand_ids)
+                if len(ids_p):
+                    pos = np.searchsorted(cand_ids, ids_p)
+                    contrib[pos] = bm25.score_freqs(
+                        freqs, norms[ids_p], cache, wv_list[i]
+                    )
+                    m[pos] = True
+        matched_any |= m
+        if c.required:
+            n_req += 1
+            req_count += m
+        else:
+            opt_count += m
+        total = (total + contrib).astype(np.float32)
+    ok = matched_any
+    if n_req:
+        ok = ok & (req_count == n_req)
+    if q.min_should_match:
+        ok = ok & (opt_count >= q.min_should_match)
+    for t in q.must_not:
+        r = rows.get(t)
+        if r is not None:
+            _, tfs = r.lookup(cand_ids)
+            ok = ok & (tfs == 0)
+    return total, ok
 
 
 def _set_union_ids(clause, rows) -> np.ndarray:
@@ -505,6 +622,40 @@ def _set_union_ids(clause, rows) -> np.ndarray:
     if len(parts) == 1:
         return parts[0]
     return np.unique(np.concatenate(parts))
+
+
+def _query_has(q: Query, kinds: tuple) -> bool:
+    """True if any clause (at any nesting depth) has one of the kinds."""
+    for c in q.clauses:
+        if c.kind in kinds:
+            return True
+        if c.kind == "bool" and c.sub is not None and _query_has(c.sub, kinds):
+            return True
+    return False
+
+
+def _weights_for(q: Query, idf_by_term: dict, parent_boost: float = 1.0) -> list:
+    """Per-clause weight values, mirroring the clause tree: nested bool
+    clauses get a nested list; boosts multiply down the tree
+    (BooleanQuery boost propagation)."""
+    out: list = []
+    for c in q.clauses:
+        if c.kind == "bool":
+            out.append(_weights_for(c.sub, idf_by_term, parent_boost * c.boost))
+        elif c.kind == "term":
+            out.append(
+                bm25.weight_value(
+                    idf_by_term[c.terms[0]], boost=c.boost * parent_boost
+                )
+            )
+        elif c.kind == "term_set":
+            out.append(np.float32(c.boost * parent_boost))
+        else:
+            s = np.float32(0.0)
+            for t in c.terms:
+                s = np.float32(s + idf_by_term[t])
+            out.append(bm25.weight_value(s, boost=c.boost * parent_boost))
+    return out
 
 
 def _phrase_slots(clause) -> list[list[str]]:
@@ -745,7 +896,12 @@ class SparkSearcher:
         if (
             after is not None or q.min_should_match or _count_only
             or q.dismax_tie is not None or _all_hits
+            or _query_has(q, ("bool",))
         ):
+            # nested groups score recursively in the rescore phase; the
+            # MaxScore bounds are not propagated through group scopes, so
+            # pruning is disabled (CommonTermsQuery-style adaptivity still
+            # applies to flat queries)
             prune = False
         spark = self.spark
         empty = spark.createDataFrame(
@@ -753,15 +909,13 @@ class SparkSearcher:
         )
         if not q.clauses:
             return empty
-        if any(c.kind in ("wildcard", "regexp") for c in q.clauses):
+        if _query_has(q, ("wildcard", "regexp")):
             q = self._rewrite_multiterm(q)
             if q is None:
                 return empty
         fqq = (parse_query(fq, "AND", analyzer=self.analyzer)
                if isinstance(fq, str) else fq)
-        if fqq is not None and any(
-            c.kind in ("wildcard", "regexp") for c in fqq.clauses
-        ):
+        if fqq is not None and _query_has(fqq, ("wildcard", "regexp")):
             fqq = self._rewrite_multiterm(fqq)
             if fqq is None:
                 return empty
@@ -772,8 +926,8 @@ class SparkSearcher:
         prows = self._postings.where(F.col("term").isin(terms))
         # prune the positions columns unless a phrase clause needs them:
         # cuts both the parquet scan and the Arrow transfer into the UDF
-        needs_pos = any(c.kind == "phrase" for c in q.clauses) or (
-            fqq is not None and any(c.kind == "phrase" for c in fqq.clauses)
+        needs_pos = _query_has(q, ("phrase",)) or (
+            fqq is not None and _query_has(fqq, ("phrase",))
         )
         if not needs_pos:
             prows = prows.select(
@@ -787,26 +941,15 @@ class SparkSearcher:
         idf_by_term = {
             t: bm25.idf(stats.get(t, 0), self.max_doc) for t in terms
         }
-        wv_by_clause = []
-        for c in q.clauses:
-            if c.kind == "term":
-                wv_by_clause.append(
-                    bm25.weight_value(idf_by_term[c.terms[0]], boost=c.boost)
-                )
-            elif c.kind == "term_set":
-                # ConstantScoreQuery: score == boost, no idf/tf/norm
-                wv_by_clause.append(np.float32(c.boost))
-            else:
-                s = np.float32(0.0)
-                for t in c.terms:
-                    s = np.float32(s + idf_by_term[t])
-                wv_by_clause.append(bm25.weight_value(s, boost=c.boost))
+        wv_by_clause = _weights_for(q, idf_by_term)
         avgdl = bm25.avg_field_length(self.sum_ttf, self.max_doc)
         cache = bm25.norm_cache(avgdl)
 
         # required clause with zero global df -> no results (TermQuery semantics)
         for c in q.clauses:
             if c.required:
+                if c.kind == "bool":
+                    continue  # nested: evaluated per segment
                 if c.kind == "term_set":
                     if all(stats.get(t, 0) == 0 for t in c.terms):
                         return empty
@@ -1123,6 +1266,21 @@ class SparkSearcher:
 
         out = []
         for c in q.clauses:
+            if c.kind == "bool":
+                sub = (
+                    self._rewrite_multiterm(c.sub)
+                    if _query_has(c.sub, ("wildcard", "regexp"))
+                    else c.sub
+                )
+                if sub is None:
+                    if c.required:
+                        return None
+                    continue
+                from .query import Clause as _Cl
+
+                out.append(_Cl("bool", [], required=c.required,
+                               boost=c.boost, sub=sub))
+                continue
             # constant-score rewrite is a doc-set union, not scoring clauses,
             # so no BooleanQuery.maxClauseCount-style cap applies (Lucene's
             # CONSTANT_SCORE_REWRITE builds a BitSet over all matching terms)
@@ -1255,10 +1413,32 @@ def _explain_segment(searcher: "SparkSearcher", q: Query, docid: int) -> dict:
     rows = {r["term"]: _Row(r) for _, r in tbl.iterrows()}
     lid = np.array([local], dtype=np.int64)
 
+    wv_all = _weights_for(q, idf_by_term)
     details = []
     total = np.float32(0.0)
     matched = False
-    for clause in q.clauses:
+    for ci, clause in enumerate(q.clauses):
+        if clause.kind == "bool":
+            sub_s, sub_m = _score_subquery(
+                clause.sub, rows, lid, norms, cache, wv_all[ci]
+            )
+            member = bool(sub_m[0])
+            contrib = sub_s[0] if member else np.float32(0.0)
+            matched = matched or member
+            total = np.float32(total + contrib)
+            details.append(
+                {
+                    "clause": f"({len(clause.sub.clauses)} sub-clauses)",
+                    "kind": "bool",
+                    "freq": int(member),
+                    "idf": 0.0,
+                    "boost": clause.boost,
+                    "weight_value": 0.0,
+                    "norm_byte": norm_byte,
+                    "score": float(contrib),
+                }
+            )
+            continue
         if clause.kind == "term_set":
             member = False
             for t in clause.terms:

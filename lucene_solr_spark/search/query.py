@@ -37,6 +37,9 @@ class Clause:
     # when set, `terms` holds the flattened alternatives (stats/scan list)
     # and the weight sums idfs over ALL alternatives, as the reference does.
     alts: list[list[str]] | None = None
+    # nested BooleanQuery (kind == "bool"): the parenthesized sub-query
+    # ("(a b)^2 +c"); terms is empty, the sub-query carries the clauses
+    sub: "Query | None" = None
 
 
 @dataclass
@@ -53,31 +56,86 @@ class Query:
 
     @property
     def all_terms(self) -> list[str]:
-        out = [t for c in self.clauses for t in c.terms]
+        out: list[str] = []
+        for c in self.clauses:
+            if c.kind == "bool" and c.sub is not None:
+                out.extend(c.sub.all_terms)
+            else:
+                out.extend(c.terms)
         out.extend(self.must_not)
         return out
 
 
-_SEGMENT_RE = re.compile(r"\"([^\"]*)\"|(\S+)")
-# "phrase"~slop^boost / term^boost syntax (Lucene query parser)
-_BOOSTED_SEGMENT_RE = re.compile(
-    r"\"([^\"]*)\"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\S+)"
+# token stream: quoted phrase (w/ ~slop ^boost), /regexp/ (w/ prefix +
+# and ^boost; parens allowed INSIDE the slashes), group open (w/ +/-
+# prefix), group close (w/ ^boost), bare word
+_TOKENIZER = re.compile(
+    r"\"[^\"]*\"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?"
+    r"|[+\-]?/[^/\s]+/(?:\^\d+(?:\.\d+)?)?"
+    r"|[+\-]?\("
+    r"|\)(?:\^\d+(?:\.\d+)?)?"
+    r"|[^\s()]+"
 )
+_PHRASE_TOKEN_RE = re.compile(r"^\"([^\"]*)\"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
+_GROUP_CLOSE_RE = re.compile(r"^\)(?:\^(\d+(?:\.\d+)?))?$")
 _BOOST_SUFFIX_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
 def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Query:
-    """Parse free text with optional "quoted phrases", +required, -prohibited.
+    """Parse free text with optional "quoted phrases", +required, -prohibited,
+    and parenthesized sub-queries: '(a b)^2 +(c "d e")' builds nested
+    BooleanQuery clauses (BooleanQuery within BooleanQuery,
+    search/BooleanQuery.java — the standard QueryParser grouping).
 
     mode="AND" makes every non-phrase, non-prefixed clause required
-    (conjunctive); mode="OR" leaves them optional (disjunctive).
+    (conjunctive) at EVERY nesting level; mode="OR" leaves them optional.
+    Negated groups ('-(...)') are not supported — push the '-' onto the
+    inner terms instead.
     """
+    tokens = _TOKENIZER.findall(text)
+    q, _boost, _i = _parse_group(tokens, 0, mode, analyzer, depth=0)
+    return q
+
+
+def _parse_group(
+    tokens: list[str], i: int, mode: str, analyzer: str, depth: int
+) -> tuple[Query, float, int]:
     required_default = mode.upper() == "AND"
     clauses: list[Clause] = []
     must_not: list[str] = []
-    for m in _BOOSTED_SEGMENT_RE.finditer(text):
-        phrase, pslop, pboost, word = m.group(1), m.group(2), m.group(3), m.group(4)
-        if phrase is not None:
+    while i < len(tokens):
+        tok = tokens[i]
+        mclose = _GROUP_CLOSE_RE.match(tok)
+        if mclose:
+            i += 1
+            if depth == 0:
+                continue  # stray ')' at top level: ignore
+            return (
+                Query(clauses, must_not),
+                float(mclose.group(1)) if mclose.group(1) else 1.0,
+                i,
+            )
+        if tok in ("(", "+("):
+            sub, gboost, i = _parse_group(tokens, i + 1, mode, analyzer, depth + 1)
+            if sub.clauses or sub.must_not:
+                clauses.append(
+                    Clause(
+                        "bool", [],
+                        required=(tok == "+(") or required_default,
+                        boost=gboost,
+                        sub=sub,
+                    )
+                )
+            continue
+        if tok == "-(":
+            raise ValueError(
+                "negated groups ('-(...)') are not supported; "
+                "negate the inner terms instead"
+            )
+        i += 1
+        pm = _PHRASE_TOKEN_RE.match(tok)
+        if pm is not None:
+            phrase, pslop, pboost = pm.group(1), pm.group(2), pm.group(3)
             boost = float(pboost) if pboost else 1.0
             slop = int(pslop) if pslop else 0
             if "|" in phrase:
@@ -136,6 +194,7 @@ def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Quer
                     )
                 )
         else:
+            word = tok
             req = required_default
             neg = False
             boost = 1.0
@@ -169,4 +228,5 @@ def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Quer
                     must_not.append(t)
                 else:
                     clauses.append(Clause("term", [t], required=req, boost=boost))
-    return Query(clauses, must_not)
+    # end of token stream (also closes an unterminated group leniently)
+    return Query(clauses, must_not), 1.0, i
