@@ -590,6 +590,28 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
         """SELECT md5(text) AS sig, count(*) AS cnt, min(doc_id) AS keep_doc
 FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY sig""",
     )
+
+    def _dedup_exact_planted(spark, sf):
+        # the raw testdata has no exact duplicates (the gate above matches
+        # on the empty set), so this variant PLANTS deterministic copies of
+        # the first 5 docs under shifted ids — a positive-signal check of
+        # the same groupBy-signature plan
+        docs = _docs(spark, sf).select("doc_id", "text")
+        copies = (
+            docs.where(F.col("doc_id") < 5)
+            .select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+        )
+        return D.exact_duplicate_groups(docs.unionAll(copies))
+
+    R["dedup_exact_planted"] = (
+        _dedup_exact_planted,
+        """WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5)
+SELECT md5(text) AS sig, count(*) AS cnt, min(doc_id) AS keep_doc
+FROM planted GROUP BY 1 HAVING count(*) > 1 ORDER BY sig""",
+    )
     R["dedup_prefix"] = (
         lambda spark, sf: D.prefix_duplicate_groups(_docs(spark, sf), 80),
         """SELECT md5(substr(text, 1, 80)) AS sig, count(*) AS cnt, min(doc_id) AS keep_doc
