@@ -327,6 +327,47 @@ agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 SELECT term, df, ttf FROM agg ORDER BY df DESC, term LIMIT 30""",
     )
 
+    def _suggest_on_index(spark, sf):
+        s = gate_searcher(spark, sf)
+        return s.suggest("s", 5)
+
+    R["suggest_on_index"] = (
+        _suggest_on_index,
+        f"""{TOKS}
+SELECT term, CAST(count(*) AS BIGINT) AS ttf FROM toks
+WHERE term LIKE 's%' GROUP BY term
+ORDER BY ttf DESC, term LIMIT 5""",
+    )
+
+    def _spellcheck_on_index(spark, sf):
+        s = gate_searcher(spark, sf)
+        return s.spellcheck("windo", 3)
+
+    R["spellcheck_on_index"] = (
+        _spellcheck_on_index,
+        f"""{TOKS},
+agg AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df, CAST(levenshtein(term, 'windo') AS INT) AS dist
+FROM agg WHERE levenshtein(term, 'windo') <= 2
+ORDER BY dist, df DESC, term LIMIT 3""",
+    )
+
+    def _mlt_on_engine(spark, sf):
+        # MoreLikeThis through the engine: seed 'dup dup window hash' ->
+        # interesting terms {dup, window, hash} (all pass the tf*idf cut)
+        # -> BM25 OR query on the segment index
+        s = gate_searcher(spark, sf)
+        res = s.more_like_this("dup dup window hash", k=10)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    R["mlt_on_engine"] = (
+        _mlt_on_engine,
+        _bm25_sql(["dup", "window", "hash"], 10, False),
+    )
+
     def _sorted_topk(spark, sf):
         # EarlyTerminatingSortingCollector analog: index sort order (url
         # == zero-padded doc_id) -> per-partition take-k, no full scan

@@ -1147,6 +1147,71 @@ class SparkSearcher:
             .limit(limit)
         )
 
+    def suggest(self, prefix: str, n: int = 5) -> DataFrame:
+        """Suggester/autocomplete from the INDEX DICTIONARY (lucene/suggest/
+        AnalyzingSuggester over stored weights): prefix pushes into the
+        term-sorted parquet; weight = total term frequency."""
+        return (
+            self._postings.where(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("ttf").alias("ttf"))
+            .orderBy(F.desc("ttf"), F.asc("term"))
+            .limit(n)
+        )
+
+    def spellcheck(self, wrong: str, n: int = 3, max_dist: int = 2) -> DataFrame:
+        """DirectSpellChecker over the index dictionary (lucene/suggest/.../
+        DirectSpellChecker.java semantics: nearest dictionary terms by edit
+        distance, more frequent first). A length pre-filter bounds the
+        levenshtein scan (|len(term) - len(wrong)| <= max_dist — the same
+        pruning the reference's FST automaton achieves structurally)."""
+        L = len(wrong)
+        return (
+            self._postings
+            .where(F.length("term").between(L - max_dist, L + max_dist))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(wrong)))
+            .where(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
+    def more_like_this(
+        self, seed_text: str, k: int = 10, max_query_terms: int = 10,
+        min_tf: int = 1,
+    ) -> DataFrame:
+        """MoreLikeThis through the engine (queries/src/java/org/apache/
+        lucene/queries/mlt/MoreLikeThis.java: retrieveTerms -> interesting
+        terms ranked by tf*idf -> OR query). The seed analyzes driver-side
+        with the index's analyzer; idf comes from the cached term stats;
+        the resulting disjunction runs the normal BM25 path (MaxScore
+        pruning applies)."""
+        from collections import Counter
+
+        from ..analysis import analyze_one
+        from .query import Clause
+
+        toks = [t for t, _ in analyze_one(seed_text, analyzer=self.analyzer)]
+        tf = Counter(toks)
+        cand = [t for t, c in tf.items() if c >= min_tf]
+        if not cand:
+            return self.search("", k=k)
+        stats = self._term_stats(sorted(cand))
+        scored = []
+        for t in cand:
+            df = stats.get(t, 0)
+            if df == 0:
+                continue
+            idf = float(bm25.idf(df, self.max_doc))
+            scored.append((tf[t] * idf, t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        terms = [t for _, t in scored[:max_query_terms]]
+        if not terms:
+            return self.search("", k=k)
+        q = Query([Clause("term", [t]) for t in terms])
+        return self.search(q, k=k, mode="OR")
+
     def docs_sorted_topk(self, k: int = 10) -> DataFrame:
         """EarlyTerminatingSortingCollector analog (lucene/misc/.../
         EarlyTerminatingSortingCollector.java): the index IS sorted by url

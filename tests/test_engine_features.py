@@ -140,3 +140,46 @@ def test_search_with_timeout(spark, small_index):
     # the searcher stays healthy after a cancellation
     pdf3, timed_out3 = s.search_with_timeout("babe", timeout_s=120, k=3)
     assert not timed_out3 and len(pdf3) == 3
+
+
+def test_suggest_and_spellcheck_on_index(spark, small_index, pages_small):
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    got = s.suggest("ba", 5).toPandas()
+    flat = tokenize_series(pages_small["text"])
+    sub = flat[flat["term"].astype(str).str.startswith("ba")]
+    exp = (
+        sub.groupby("term", observed=True).size().rename("ttf").reset_index()
+        .assign(term=lambda d: d["term"].astype(str))
+        .sort_values(["ttf", "term"], ascending=[False, True]).head(5)
+    )
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["ttf"].tolist() == exp["ttf"].tolist()
+
+    # spellcheck: a 1-edit typo of a common term must surface it first
+    top_term = exp["term"].iloc[0]
+    wrong = top_term[:-1] + ("x" if top_term[-1] != "x" else "y")
+    sc = s.spellcheck(wrong, 3).toPandas()
+    assert len(sc) >= 1
+    assert sc["dist"].iloc[0] <= 2
+    assert (sc["dist"].is_monotonic_increasing)
+
+
+def test_more_like_this_engine(spark, small_index, oracle_small, pages_small):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    seed = pages_small["text"].iloc[0]
+    mlt = s.more_like_this(seed, k=10, max_query_terms=5).toPandas()
+    assert len(mlt) == 10
+    # the seed document itself should rank at/near the top (classic MLT
+    # sanity: a doc is most like itself)
+    urls = pages_small["url"].to_numpy()
+    rank = np.empty(len(urls), np.int64)
+    rank[np.argsort(urls)] = np.arange(len(urls))
+    seed_docid = int(rank[0])
+    assert seed_docid in set(mlt["docid"].tolist()[:5])
