@@ -840,6 +840,9 @@ class SparkSearcher:
         # filterCache (SolrIndexSearcher.java:151-153 filterCache): fq ->
         # materialized global docid set, evaluated once per searcher
         self._filter_cache: dict[str, object] = {}
+        # queryResultCache (SolrIndexSearcher.java:155): (query, k, ...) ->
+        # collected result page; valid for the searcher's lifetime
+        self._result_cache: dict[tuple, pd.DataFrame] = {}
 
     def docmap(self) -> DataFrame:
         """Docmap with globalized docids: segment-local id + manifest
@@ -997,8 +1000,27 @@ class SparkSearcher:
             .orderBy("rank")
         )
 
-    def search_pdf(self, query, k: int = 10, mode: str = "OR", **kw) -> pd.DataFrame:
-        return self.search(query, k, mode, **kw).toPandas()
+    def search_pdf(
+        self, query, k: int = 10, mode: str = "OR", use_cache: bool = False,
+        **kw,
+    ) -> pd.DataFrame:
+        """Collected result page. ``use_cache=True`` is the
+        queryResultCache: identical (query, k, mode, fq, ...) requests
+        within one searcher return the cached page without any Spark job —
+        valid because a searcher pins one immutable snapshot."""
+        if use_cache:
+            key = (
+                str(query), k, mode, str(kw.get("fq")),
+                kw.get("dismax_tie"), kw.get("min_should_match", 0),
+                kw.get("after"), bool(kw.get("prune", True)),
+            )
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                return hit.copy()
+        pdf = self.search(query, k, mode, **kw).toPandas()
+        if use_cache:
+            self._result_cache[key] = pdf.copy()
+        return pdf
 
     def search_with_timeout(
         self, query, timeout_s: float, k: int = 10, mode: str = "OR", **kw

@@ -151,3 +151,79 @@ def test_filter_cache_equivalent_to_inline_fq(searcher):
 def test_filter_cache_size_guard(searcher):
     with pytest.raises(ValueError, match="max_docs"):
         searcher.cached_filter("babe", max_docs=3)
+
+
+def test_query_result_cache(searcher):
+    """queryResultCache: identical request returns the identical page
+    without re-execution; different k is a different cache entry."""
+    a = searcher.search_pdf("babe roro", k=10, use_cache=True)
+    b = searcher.search_pdf("babe roro", k=10, use_cache=True)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
+    c = searcher.search_pdf("babe roro", k=3, use_cache=True)
+    assert len(c) == 3
+    # cached copy is defensive: mutating the returned frame is safe
+    b.loc[:, "score"] = 0.0
+    d = searcher.search_pdf("babe roro", k=10, use_cache=True)
+    assert (d["score"].to_numpy(np.float32) > 0).any()
+
+
+def test_dismax_with_fq(searcher, oracle_small):
+    """DisMax combination composes with fq restriction."""
+    a = _scores(oracle_small, "babe")
+    b = _scores(oracle_small, "babaso")
+    fq_docs = set(_scores(oracle_small, "roro"))
+    tie = np.float32(0.2)
+    exp = {}
+    for d in (set(a) | set(b)) & fq_docs:
+        sa = np.float32(a.get(d, np.float32(0.0)))
+        sb = np.float32(b.get(d, np.float32(0.0)))
+        sm = np.float32(sa + sb)
+        mx = max(sa, sb)
+        exp[d] = np.float32(mx + np.float32(tie * np.float32(sm - mx)))
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    res = searcher.search_pdf("babe babaso", k=10, dismax_tie=0.2, fq="roro")
+    np.testing.assert_array_equal(
+        res["docid"].to_numpy(), np.array([d for d, _ in order])
+    )
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(np.float32),
+        np.array([s for _, s in order], np.float32),
+    )
+
+
+def test_mm_with_fq(searcher, oracle_small):
+    """min_should_match quota composes with fq."""
+    a = set(_scores(oracle_small, "babe"))
+    b = set(_scores(oracle_small, "roro"))
+    c = set(_scores(oracle_small, "babaso"))
+    fq_docs = set(_scores(oracle_small, "bani"))
+    expected = {
+        d for d in (a | b | c) & fq_docs
+        if sum(d in s for s in (a, b, c)) >= 2
+    }
+    res = searcher.search_pdf(
+        "babe roro babaso", k=5000, min_should_match=2, fq="bani"
+    )
+    assert set(res["docid"]) == expected
+
+
+def test_nested_with_dismax(searcher, oracle_small):
+    """A group inside a DisMax query: the group is one dismax arm."""
+    res = searcher.search_pdf("(babe roro) babaso", k=10, dismax_tie=0.0)
+    # pure max of {group sum, babaso}
+    a = _scores(oracle_small, "babe")
+    b = _scores(oracle_small, "roro")
+    c = _scores(oracle_small, "babaso")
+    exp = {}
+    for d in set(a) | set(b) | set(c):
+        grp = np.float32(
+            np.float32(a.get(d, np.float32(0.0))) + np.float32(b.get(d, np.float32(0.0)))
+        ) if (d in a or d in b) else np.float32(0.0)
+        exp[d] = max(grp, np.float32(c.get(d, np.float32(0.0))))
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    np.testing.assert_array_equal(
+        res["docid"].to_numpy(), np.array([d for d, _ in order])
+    )
