@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     ("q_phrase", '"table hash"', "OR", 10),
     ("q_not", "merge -dup", "OR", 10),
     ("q_top100", "batch merge", "OR", 100),
+    # round-2 query surface
+    ("q_nested", "(merge window)^2 dup", "OR", 10),
+    ("q_wildcard", "win* dup", "OR", 10),
+    ("q_sloppy", '"table hash"~3', "OR", 10),
 ]
 
 # reference-style query mix over the synthetic pages corpus
