@@ -327,6 +327,105 @@ agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 SELECT term, df, ttf FROM agg ORDER BY df DESC, term LIMIT 30""",
     )
 
+    def _percolate(spark, sf):
+        # percolation (memory-index pattern): every doc tested against a
+        # registered query set — term, exact phrase, and conjunction
+        from ..search.memory import percolate
+
+        return percolate(
+            _docs(spark, sf),
+            ["dup", '"table hash"', "+merge +window"],
+        )
+
+    R["percolate_queries"] = (
+        _percolate,
+        f"""{TOKS},
+q0 AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+q1 AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'table' AND b.term = 'hash'),
+q2 AS (SELECT doc_id FROM toks WHERE term = 'merge'
+       INTERSECT SELECT doc_id FROM toks WHERE term = 'window')
+SELECT doc_id, CAST(query_id AS INT) AS query_id FROM (
+  SELECT doc_id, 0 AS query_id FROM q0
+  UNION ALL SELECT doc_id, 1 FROM q1
+  UNION ALL SELECT doc_id, 2 FROM q2)
+ORDER BY doc_id, query_id""",
+    )
+
+    def _knn_classify(spark, sf):
+        # KNearestNeighborClassifier: MLT top-k neighbors vote on 'lang'
+        from ..functions.classify import knn_classify
+
+        s = gate_searcher(spark, sf)
+        return knn_classify(s, _docs(spark, sf), "dup dup window hash",
+                            "lang", 10)
+
+    # neighbors = BM25 top-10 of {dup, window, hash} (the MLT-selected
+    # terms for this seed), then vote by lang
+    R["knn_classify_lang"] = (
+        _knn_classify,
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('dup', 'window', 'hash') GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('dup', 'window', 'hash') GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+              * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) ) AS score
+  FROM tf JOIN dfr USING (term)
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+),
+top AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT d.lang AS label, count(*) AS votes
+FROM documents d JOIN top USING (doc_id)
+GROUP BY d.lang ORDER BY votes DESC, label""",
+    )
+
+    def _nb_classify(spark, sf):
+        # SimpleNaiveBayesClassifier: per-class priors + add-one-smoothed
+        # term likelihoods from the token relation; seed bag
+        # [dup, dup, window, hash] (all terms in-vocabulary here, so the
+        # unseen-term mass is zero on this corpus)
+        from ..functions.classify import naive_bayes_classify, naive_bayes_model
+
+        m = naive_bayes_model(_docs(spark, sf), "lang")
+        return naive_bayes_classify(m, ["dup", "dup", "window", "hash"])
+
+    R["naive_bayes_lang"] = (
+        _nb_classify,
+        f"""{TOKS},
+lab AS (SELECT doc_id, lang AS label FROM documents),
+tl AS (SELECT l.label, t.term FROM toks t JOIN lab l USING (doc_id)),
+vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+ct AS (SELECT label, count(*) AS n_tok FROM tl GROUP BY label),
+cd AS (SELECT label, count(*) AS n_docs FROM lab GROUP BY label),
+nd AS (SELECT count(*) AS n FROM documents),
+tc AS (SELECT label, term, count(*) AS cnt FROM tl GROUP BY label, term),
+seed(term, tf) AS (VALUES ('dup', 2), ('window', 1), ('hash', 1)),
+matched AS (
+  SELECT tc.label, sum(seed.tf * ln((tc.cnt + 1.0) / (ct.n_tok + vocab.v)))
+         AS s_matched
+  FROM seed JOIN tc USING (term) JOIN ct USING (label) CROSS JOIN vocab
+  GROUP BY tc.label)
+SELECT cd.label AS label,
+       CAST(ROUND((ln(cd.n_docs * 1.0 / nd.n) + coalesce(m.s_matched, 0)) * 1000)
+            AS BIGINT) AS score_milli
+FROM cd CROSS JOIN nd LEFT JOIN matched m ON cd.label = m.label
+ORDER BY score_milli DESC, label""",
+    )
+
     def _suggest_on_index(spark, sf):
         s = gate_searcher(spark, sf)
         return s.suggest("s", 5)

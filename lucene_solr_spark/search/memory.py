@@ -1,0 +1,94 @@
+"""Single-document in-memory index + percolation.
+
+lucene/memory/ MemoryIndex indexes ONE document into RAM so queries can be
+matched against it — the percolator pattern (reverse search: a stream of
+documents, each tested against a registered query set). The pandas oracle
+searcher already IS an exact in-memory engine sharing every scoring
+kernel, so:
+
+- MemoryIndex wraps a one-document OracleSearcher (match + score).
+- percolate() runs the registered queries over a document STREAM as one
+  mapInPandas: each Arrow batch is indexed once (a batch-level memory
+  index — strictly better than per-doc), every query runs against it, and
+  (doc, query) match rows stream out. Queries ship in the closure
+  (broadcast), documents never leave their partition — the percolation
+  shape that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, types as T
+
+
+class MemoryIndex:
+    """One-document in-memory index (MemoryIndex.java semantics: analyze,
+    hold postings in RAM, answer match/score queries)."""
+
+    def __init__(self, text: str, analyzer: str = "standard"):
+        from ..oracle import OracleSearcher
+
+        self._o = OracleSearcher(
+            pd.DataFrame({"url": ["doc"], "text": [text]}), analyzer=analyzer
+        )
+
+    def matches(self, query: str, mode: str = "OR") -> bool:
+        return self._o.count(query, mode) > 0
+
+    def score(self, query: str, mode: str = "OR") -> float:
+        df = self._o.search(query, 1, mode)
+        return float(df["score"].iloc[0]) if len(df) else 0.0
+
+
+def percolate(
+    docs: DataFrame,
+    queries: list[str],
+    analyzer: str = "standard",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "OR",
+) -> DataFrame:
+    """Match every document against every registered query.
+
+    Returns (doc_id, query_id) rows for each (document, query) match,
+    ordered by (doc_id, query_id). Queries support the full parser surface
+    minus dictionary rewrites (wildcard/regexp need a terms dictionary,
+    which a percolation batch intentionally does not build)."""
+    from ..oracle import OracleSearcher
+
+    qs = list(queries)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("query_id", T.IntegerType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            # batch-level memory index: url = zero-padded batch position so
+            # oracle docids == positions
+            frame = pd.DataFrame({
+                "url": [f"{i:09d}" for i in range(len(pdf))],
+                "text": pdf[text_col].to_numpy(),
+            })
+            o = OracleSearcher(frame, analyzer=analyzer)
+            ids = pdf[id_col].to_numpy()
+            out_doc, out_q = [], []
+            for qi, q in enumerate(qs):
+                from .query import parse_query
+
+                matched, _ = o._matched_scores(parse_query(q, mode, analyzer))
+                import numpy as np
+
+                for j in np.flatnonzero(matched):
+                    out_doc.append(int(ids[j]))
+                    out_q.append(qi)
+            yield pd.DataFrame({"doc_id": out_doc, "query_id": out_q})
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(run, schema)
+        .orderBy("doc_id", "query_id")
+    )
