@@ -327,6 +327,41 @@ agg AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 SELECT term, df, ttf FROM agg ORDER BY df DESC, term LIMIT 30""",
     )
 
+    def _geo_radius(spark, sf):
+        # spatial filter-then-verify over DETERMINISTIC coords derived from
+        # doc_id (the testdata has no geo columns; the derivation is
+        # identical in Spark and SQL): bbox prefilter + exact haversine
+        from ..functions.spatial import geo_within_radius
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            ((F.col("doc_id") * 37 % 180) - 90 + F.lit(0.5)).cast("double").alias("lat"),
+            ((F.col("doc_id") * 91 % 360) - 180 + F.lit(0.5)).cast("double").alias("lon"),
+        )
+        hits = geo_within_radius(docs, "lat", "lon", 10.0, 20.0, 2000.0)
+        return hits.select(
+            "doc_id",
+            F.round(F.col("dist_km")).cast("long").alias("dist_km_int"),
+        ).orderBy("doc_id")
+
+    R["geo_radius_filter"] = (
+        _geo_radius,
+        """WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 37 % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST((doc_id * 91 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(lat - 10.0) / 2), 2)
+           + cos(radians(10.0)) * cos(radians(lat))
+             * pow(sin(radians(lon - 20.0) / 2), 2))) AS dist
+  FROM pts)
+SELECT doc_id, CAST(ROUND(dist) AS BIGINT) AS dist_km_int
+FROM d WHERE dist <= 2000.0 ORDER BY doc_id""",
+    )
+
     def _percolate(spark, sf):
         # percolation (memory-index pattern): every doc tested against a
         # registered query set — term, exact phrase, and conjunction

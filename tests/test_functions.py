@@ -295,3 +295,55 @@ def test_kmeans_ivf_end_to_end(spark):
     ]
     recall = len(set(brute) & set(ivf)) / 10.0
     assert recall >= 0.8, (recall, brute, ivf)
+
+
+def test_geo_within_radius_correct_and_pruned(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.functions.spatial import (
+        geo_within_radius,
+        grid_cell,
+        haversine_km,
+    )
+    from pyspark.sql import functions as F
+
+    pts = pd.DataFrame({
+        "pid": range(6),
+        "lat": [0.0, 0.0, 0.0, 52.5, 89.9, -33.9],
+        "lon": [0.0, 1.0, 10.0, 13.4, 0.0, 151.2],
+    })
+    df = spark.createDataFrame(pts)
+    # 1 deg of longitude at the equator ~ 111.19 km
+    near = geo_within_radius(df, "lat", "lon", 0.0, 0.0, 150.0).collect()
+    assert {r["pid"] for r in near} == {0, 1}
+    assert near[0]["dist_km"] == 0.0
+    assert abs(near[1]["dist_km"] - 111.19) < 0.5
+    # bbox prefilter is conservative: result identical to exact-only filter
+    exact = df.withColumn(
+        "d", haversine_km(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0))
+    ).where("d <= 150.0").count()
+    assert exact == len(near)
+    # polar query must not lose points to a degenerate lon bbox
+    polar = geo_within_radius(df, "lat", "lon", 89.0, 179.0, 500.0).collect()
+    assert {r["pid"] for r in polar} == {4}
+    # grid cells: same cell for nearby points, distinct for far ones
+    cells = df.select("pid", grid_cell(F.col("lat"), F.col("lon"), 5.0).alias("c")).collect()
+    by = {r["pid"]: r["c"] for r in cells}
+    assert by[0] == by[1]
+    assert by[0] != by[3]
+
+
+def test_geo_antimeridian_wrap(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.functions.spatial import geo_within_radius
+
+    pts = pd.DataFrame({
+        "pid": [0, 1, 2],
+        "lat": [0.0, 0.0, 0.0],
+        "lon": [179.5, -179.5, 170.0],
+    })
+    df = spark.createDataFrame(pts)
+    # query at the antimeridian: both sides within ~111 km of (0, 180)
+    hits = geo_within_radius(df, "lat", "lon", 0.0, 179.9, 150.0).collect()
+    assert {r["pid"] for r in hits} == {0, 1}

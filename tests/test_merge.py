@@ -158,3 +158,41 @@ def test_time_travel_snapshot_reads(spark, pages_small, oracle_small):
         np.testing.assert_array_equal(
             res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32)
         )
+
+
+def test_replicate_index(spark, pages_small, oracle_small):
+    """Replicator: full copy, rank-identical replica, incremental second
+    pass copies nothing, NRT append then replicate copies only new segs."""
+    from lucene_solr_spark.index.replicate import replicate
+    from lucene_solr_spark.search.engine import SparkSearcher
+    from lucene_solr_spark.streaming.incremental import append_batch
+
+    src = os.path.join(CACHE, "idx_repl_src")
+    dst = os.path.join(CACHE, "idx_repl_dst")
+    shutil.rmtree(dst, ignore_errors=True)
+    _build(spark, pages_small.iloc[:1500], src, 4)
+
+    r1 = replicate(src, dst)
+    assert len(r1["copied"]) == 4 and not r1["skipped"]
+    exp = SparkSearcher(spark, src).search_pdf("babe roro", k=10)
+    got = SparkSearcher(spark, dst).search_pdf("babe roro", k=10)
+    np.testing.assert_array_equal(exp["docid"].to_numpy(), got["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        exp["score"].to_numpy(np.float32), got["score"].to_numpy(np.float32)
+    )
+
+    r2 = replicate(src, dst)
+    assert not r2["copied"] and len(r2["skipped"]) == 4  # incremental no-op
+
+    # NRT append on the source -> only the new segments travel
+    batch = pages_small.iloc[1500:1600]
+    append_batch(spark, spark.createDataFrame(batch[["url", "text"]]), src, 1,
+                 num_segments=1)
+    r3 = replicate(src, dst)
+    assert len(r3["copied"]) == 1 and len(r3["skipped"]) == 4
+    s_src = SparkSearcher(spark, src)
+    s_dst = SparkSearcher(spark, dst)
+    assert s_src.max_doc == s_dst.max_doc == 1600
+    a = s_src.search_pdf("babe", k=10)
+    b = s_dst.search_pdf("babe", k=10)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
