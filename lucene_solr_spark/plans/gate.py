@@ -216,6 +216,28 @@ def _registry():
         _phrase_sql("table", "hash", 10),
     )
 
+    def _search_after_page2(spark, sf):
+        # IndexSearcher.searchAfter: page 2 anchored at page 1's last
+        # (score, docid) — oracle equivalent is OFFSET 10
+        s = gate_searcher(spark, sf)
+        p1 = s.search("dup merge window", k=10, mode="OR",
+                      with_url=False).collect()
+        last = p1[-1]
+        res = s.search("dup merge window", k=10, mode="OR", with_url=False,
+                       after=(float(last["score"]), int(last["docid"])))
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    R["bm25_search_after_page2"] = (
+        _search_after_page2,
+        _bm25_sql(["dup", "merge", "window"], 10, False).replace(
+            "ORDER BY score DESC, doc_id LIMIT 10",
+            "ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10",
+        ),
+    )
+
     R["nested_bool_topk"] = (
         # '(merge window)^2 dup': the group's boost multiplies its members'
         # weights (BooleanQuery-within-BooleanQuery; weights are linear in
