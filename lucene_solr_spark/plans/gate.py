@@ -685,6 +685,43 @@ FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
 ORDER BY doc_id""",
     )
 
+    def _stats_on_hits(spark, sf):
+        # StatsComponent over the engine's DocSet (with an fq, the everyday
+        # Solr stats request shape)
+        s = gate_searcher(spark, sf)
+        return s.stats_field("dup merge", _docs(spark, sf), "n_chars",
+                             facet_col="lang", fq="window")
+
+    R["stats_on_engine_hits"] = (
+        _stats_on_hits,
+        f"""{TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('dup', 'merge')),
+fqs AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT d.lang AS facet, count(*) AS cnt,
+       min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_v,
+       CAST(ROUND(avg(d.n_chars) * 1000) AS BIGINT) AS mean_milli
+FROM documents d
+JOIN hits USING (doc_id) JOIN fqs USING (doc_id)
+GROUP BY d.lang ORDER BY facet""",
+    )
+
+    def _grouping_on_hits(spark, sf):
+        s = gate_searcher(spark, sf)
+        return s.grouping_topk("dup", _docs(spark, sf), "source", "n_chars", 2)
+
+    R["grouping_on_engine_hits"] = (
+        _grouping_on_hits,
+        f"""{TOKS},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'),
+j AS (SELECT d.source, d.doc_id, d.n_chars,
+      row_number() OVER (PARTITION BY d.source
+                         ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM documents d JOIN hits USING (doc_id))
+SELECT source AS grp, doc_id, n_chars AS sort_v, CAST(rn AS INT) AS rn
+FROM j WHERE rn <= 2 ORDER BY grp, rn""",
+    )
+
     def _facet_on_hits(spark, sf):
         # facet.field over the ENGINE's DocSet (SimpleFacets.java:256-369),
         # not a re-tokenized relation: hits come from the segment index

@@ -1169,6 +1169,64 @@ class SparkSearcher:
             .limit(limit)
         )
 
+    def stats_field(
+        self,
+        query: str | Query,
+        docs: DataFrame,
+        field: str,
+        facet_col: str | None = None,
+        mode: str = "OR",
+        fq: str | Query | None = None,
+    ) -> DataFrame:
+        """StatsComponent over the ENGINE's DocSet (solr/core/.../handler/
+        component/StatsComponent.java computes over the query's result
+        set): min/max/sum/mean/stddev of ``field`` for matching docs,
+        optionally per ``facet_col``."""
+        hits = self.matching(query, mode=mode, fq=fq).select(
+            F.col("docid").alias("doc_id")
+        )
+        j = docs.join(hits, "doc_id")
+        keys = [F.col(facet_col).alias("facet")] if facet_col else []
+        out = j.groupBy(*keys).agg(
+            F.count("*").alias("cnt"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.round(F.avg(field) * 1000).cast("long").alias("mean_milli"),
+        )
+        return out.orderBy("facet") if facet_col else out
+
+    def grouping_topk(
+        self,
+        query: str | Query,
+        docs: DataFrame,
+        group_col: str,
+        sort_col: str,
+        k: int = 2,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """Grouping (two-pass) over the ENGINE's DocSet: top-k docs per
+        group by a field sort (Solr group=true over the query result,
+        solr/core/.../search/Grouping.java)."""
+        from pyspark.sql import Window
+
+        hits = self.matching(query, mode=mode).select(
+            F.col("docid").alias("doc_id")
+        )
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc(sort_col), F.asc("doc_id")
+        )
+        return (
+            docs.join(hits, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(
+                F.col(group_col).alias("grp"), "doc_id",
+                F.col(sort_col).alias("sort_v"), F.col("rn").cast("int"),
+            )
+            .orderBy("grp", "rn")
+        )
+
     def suggest(self, prefix: str, n: int = 5) -> DataFrame:
         """Suggester/autocomplete from the INDEX DICTIONARY (lucene/suggest/
         AnalyzingSuggester over stored weights): prefix pushes into the
