@@ -132,3 +132,68 @@ def test_analyzer_oracle_equivalence_property(n_docs, seed):
     np.testing.assert_array_equal(hy["doc_idx"].to_numpy(), rg[0])
     np.testing.assert_array_equal(np.asarray(hy["term"].astype(str)), rg[1])
     np.testing.assert_array_equal(hy["pos"].to_numpy(), rg[2])
+
+
+@given(st.integers(2, 5), st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_bulk_merge_rebase_stitch_property(n_sources, seed):
+    """Round-2 merge fast path: _rebased_chunk (block-0-only re-encode) +
+    stitch decodes identically to the concatenation of the source decodes,
+    for random per-source postings with positions."""
+    from types import SimpleNamespace
+
+    from lucene_solr_spark.index.merge import _rebased_chunk
+
+    rng = np.random.default_rng(seed)
+    offs = [0]
+    sources = []
+    for si in range(n_sources):
+        max_doc = int(rng.integers(5, 600))
+        df = int(rng.integers(1, max_doc + 1))
+        docids = np.sort(rng.choice(max_doc, df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 6, df).astype(np.int64)
+        pos = np.concatenate([
+            np.sort(rng.choice(1000, t, replace=False)) for t in tfs
+        ])
+        enc = codec.encode_term_postings(docids, tfs, positions=pos)
+        sources.append((docids, tfs, pos, enc))
+        offs.append(offs[-1] + max_doc)
+
+    chunks = []
+    last = -1
+    for si, (_d, _t, _p, enc) in enumerate(sources):
+        row = SimpleNamespace(
+            df=enc["df"], ttf=enc["ttf"], blocks=enc["blocks"],
+            positions=enc["positions"], skip_off=enc["skip_off"],
+            skip_last=enc["skip_last"], skip_pos_off=enc["skip_pos_off"],
+            skip_max_tf=enc["skip_max_tf"], skip_max_norm=enc["skip_max_norm"],
+        )
+        ch = _rebased_chunk(row, offs[si], last)
+        last = int(np.asarray(ch["skip_last"])[-1])
+        chunks.append(ch)
+    merged = codec.stitch_term_chunks(chunks)
+
+    got_d, got_t = codec.decode_blocks(
+        merged["blocks"], merged["df"],
+        np.asarray(merged["skip_off"], np.int64),
+        np.asarray(merged["skip_last"], np.int64),
+    )
+    exp_d = np.concatenate([d + offs[si] for si, (d, _t, _p, _e) in enumerate(sources)])
+    exp_t = np.concatenate([t for (_d, t, _p, _e) in sources])
+    np.testing.assert_array_equal(got_d, exp_d)
+    np.testing.assert_array_equal(got_t, exp_t)
+
+    # positions: decode per block through the stitched skip metadata
+    sp = np.asarray(merged["skip_pos_off"], np.int64)
+    so = np.asarray(merged["skip_off"], np.int64)
+    sl = np.asarray(merged["skip_last"], np.int64)
+    exp_pos = np.concatenate([p for (_d, _t, p, _e) in sources])
+    got_pos = []
+    lo = 0
+    for bi in range(len(sl)):
+        bd, bt = codec.decode_blocks(merged["blocks"], merged["df"], so, sl,
+                                     np.array([bi]))
+        pl = codec.decode_positions_for_block(merged["positions"], bt, sp[bi])
+        got_pos.extend(pl)
+        lo += len(bd)
+    np.testing.assert_array_equal(np.concatenate(got_pos), exp_pos)
