@@ -59,9 +59,11 @@ def _varint_nbytes(v: np.ndarray) -> np.ndarray:
         if not m.any():
             return n
         n += m
-        if int(t) >= 1 << 56:
+        if int(t) >= 1 << 63:
+            # values >= 2^63 need the full 10 LEB128 bytes; no further
+            # threshold exists inside uint64, so stop here
             return n
-        t = np.uint64(int(t) << 7)
+        t = np.uint64(min(int(t) << 7, 1 << 63))
 
 
 def varint_encode(vals: np.ndarray) -> bytes:

@@ -34,6 +34,18 @@ def _dir_size(p: str) -> int:
     return total
 
 
+def _dir_filespec(p: str) -> set:
+    """Per-file (relative name, size) set — the reference's revision diff
+    compares files by name+size, not an aggregate byte count, so a
+    same-total-size but divergent destination is repaired, not skipped."""
+    spec = set()
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            full = os.path.join(root, f)
+            spec.add((os.path.relpath(full, p), os.path.getsize(full)))
+    return spec
+
+
 def replicate(src_index: str, dst_index: str) -> dict:
     """Bring ``dst_index`` up to ``src_index``'s current snapshot.
 
@@ -47,7 +59,7 @@ def replicate(src_index: str, dst_index: str) -> dict:
     for seg in man["segments"]:
         src = os.path.join(src_index, seg["path"])
         dst = os.path.join(dst_index, seg["path"])
-        if os.path.isdir(dst) and _dir_size(dst) == _dir_size(src):
+        if os.path.isdir(dst) and _dir_filespec(dst) == _dir_filespec(src):
             skipped.append(seg["segment_id"])
             continue
         tmp = dst + ".reptmp"

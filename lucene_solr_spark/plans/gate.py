@@ -1456,7 +1456,43 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
     )
 
-    return R
+    return _reorder(R)
+
+
+# Entries the driver's correctness gate has NOT yet produced a green row for
+# (the gate consumes registry entries in dict order and may cap the count, so
+# never-checked operators must occupy the head slots).  Round-2's driver run
+# checked the first 50 of 73 entries; these 23 had only local gate-mimic runs.
+# New round-3 gates are appended here as they are written so they also land in
+# the checked window.
+_PRIORITY = [
+    "bm25_mm_2of3", "total_hits_or",
+    "wildcard_match_docs", "wildcard_infix_docs", "wildcard_qmark_docs",
+    "regexp_terms_df", "wildcard_scored_topk",
+    "span_near_ordered", "span_near_unordered",
+    "highlight_best_window", "highlight_snippets",
+    "sort_by_field_topk", "suggest_autocomplete", "spellcheck",
+    "function_query_topk", "more_like_this", "rescore_topk",
+    "tumbling_window_counts", "sessionize_users", "running_value_sum",
+    "funcquery_registry", "tpch_pricing_summary", "tpch_top_customers",
+]
+
+# One representative of each already-driver-green family rides along in the
+# head window so a regression there is still caught by the driver.
+_GREEN_REPRESENTATIVES = [
+    "bm25_term_topk", "bm25_phrase_topk", "nested_bool_topk",
+    "multi_phrase_topk", "stemmed_term_topk", "bm25_filtered_topk",
+    "dismax_topk", "facet_field_lang", "grouping_top2_per_source",
+    "dedup_exact_planted", "minhash_lsh_pairs", "ann_ivf_cosine",
+    "curation_pipeline",
+]
+
+
+def _reorder(R):
+    head = [k for k in _PRIORITY if k in R]
+    head += [k for k in _GREEN_REPRESENTATIVES if k in R and k not in head]
+    tail = [k for k in R if k not in head]
+    return {k: R[k] for k in head + tail}
 
 
 _R = None

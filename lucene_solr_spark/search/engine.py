@@ -33,6 +33,7 @@ search/ParallelSearchStrategy.java:38-137):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -625,7 +626,11 @@ def _set_union_ids(clause, rows) -> np.ndarray:
 
 
 def _query_has(q: Query, kinds: tuple) -> bool:
-    """True if any clause (at any nesting depth) has one of the kinds."""
+    """True if any clause (at any nesting depth) has one of the kinds.
+    Prohibited multi-term patterns count as their kind too (they need the
+    same dictionary rewrite as positive wildcard/regexp clauses)."""
+    if any(k in kinds for k, _pat in getattr(q, "must_not_patterns", ())):
+        return True
     for c in q.clauses:
         if c.kind in kinds:
             return True
@@ -1009,8 +1014,19 @@ class SparkSearcher:
         within one searcher return the cached page without any Spark job —
         valid because a searcher pins one immutable snapshot."""
         if use_cache:
+            # fq_docids carries an arbitrary pre-computed doc set; two
+            # requests with the same query text but different doc sets must
+            # not collide, so the set's content fingerprint is part of the key.
+            fqd = kw.get("fq_docids")
+            if fqd is not None:
+                arr = np.asarray(fqd.value if hasattr(fqd, "value") else fqd,
+                                 dtype=np.int64)
+                fqd_key = ("fqd", int(arr.size),
+                           hashlib.md5(np.sort(arr).tobytes()).hexdigest())
+            else:
+                fqd_key = None
             key = (
-                str(query), k, mode, str(kw.get("fq")),
+                str(query), k, mode, str(kw.get("fq")), fqd_key,
                 kw.get("dismax_tie"), kw.get("min_should_match", 0),
                 kw.get("after"), bool(kw.get("prune", True)),
             )
@@ -1054,7 +1070,10 @@ class SparkSearcher:
             t.join(30)
             return None, True
         if "err" in out:
-            return None, True
+            # The deadline never fired and we issued no cancel, so this is a
+            # genuine query failure (bad query, executor error), not a
+            # timeout — surface it instead of misreporting timed_out=True.
+            raise out["err"]
         return out["pdf"], False
 
     def explain(self, query: str | Query, docid: int, mode: str = "OR") -> dict:
@@ -1441,9 +1460,18 @@ class SparkSearcher:
                     return None
                 continue
             out.append(Clause("term_set", terms, required=c.required, boost=c.boost))
+        # prohibited patterns ('-foo*') expand into plain must_not terms:
+        # an empty expansion just prohibits nothing
+        mn = list(q.must_not)
+        for kind, pat in getattr(q, "must_not_patterns", ()):
+            mn.extend(
+                self.expand_wildcard(pat, max_expansions=1 << 20)
+                if kind == "wildcard"
+                else self.expand_regexp(pat, max_expansions=1 << 20)
+            )
         if not out:
             return None
-        return Query(out, q.must_not, q.min_should_match)
+        return Query(out, mn, q.min_should_match, dismax_tie=q.dismax_tie)
 
     def span_near(
         self, text: str, slop: int = 0, ordered: bool = True

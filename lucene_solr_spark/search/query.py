@@ -53,6 +53,11 @@ class Query:
     # when set, score = max(clause scores) + tie * (sum of the others)
     # instead of the BooleanQuery sum
     dismax_tie: float | None = None
+    # prohibited multi-term patterns ("-foo*", "-/re/"): (kind, pattern)
+    # pairs, kind in {"wildcard", "regexp"}, expanded against the terms
+    # dictionary at rewrite time into must_not terms (a MultiTermQuery
+    # under a MUST_NOT occur)
+    must_not_patterns: list = field(default_factory=list)
 
     @property
     def all_terms(self) -> list[str]:
@@ -103,6 +108,7 @@ def _parse_group(
     required_default = mode.upper() == "AND"
     clauses: list[Clause] = []
     must_not: list[str] = []
+    must_not_patterns: list = []
     while i < len(tokens):
         tok = tokens[i]
         mclose = _GROUP_CLOSE_RE.match(tok)
@@ -111,13 +117,13 @@ def _parse_group(
             if depth == 0:
                 continue  # stray ')' at top level: ignore
             return (
-                Query(clauses, must_not),
+                Query(clauses, must_not, must_not_patterns=must_not_patterns),
                 float(mclose.group(1)) if mclose.group(1) else 1.0,
                 i,
             )
         if tok in ("(", "+("):
             sub, gboost, i = _parse_group(tokens, i + 1, mode, analyzer, depth + 1)
-            if sub.clauses or sub.must_not:
+            if sub.clauses or sub.must_not or sub.must_not_patterns:
                 clauses.append(
                     Clause(
                         "bool", [],
@@ -210,15 +216,21 @@ def _parse_group(
             # patterns are NOT analyzed (QueryParserBase.getWildcardQuery
             # semantics), only lowercased; the searcher rewrites them
             # against the terms dictionary at search time.
-            if not neg and len(word) > 1 and word.startswith("/") and word.endswith("/"):
-                clauses.append(
-                    Clause("regexp", [word[1:-1].lower()], required=req, boost=boost)
-                )
+            if len(word) > 1 and word.startswith("/") and word.endswith("/"):
+                if neg:
+                    must_not_patterns.append(("regexp", word[1:-1].lower()))
+                else:
+                    clauses.append(
+                        Clause("regexp", [word[1:-1].lower()], required=req, boost=boost)
+                    )
                 continue
-            if not neg and ("*" in word or "?" in word):
-                clauses.append(
-                    Clause("wildcard", [word.lower()], required=req, boost=boost)
-                )
+            if "*" in word or "?" in word:
+                if neg:
+                    must_not_patterns.append(("wildcard", word.lower()))
+                else:
+                    clauses.append(
+                        Clause("wildcard", [word.lower()], required=req, boost=boost)
+                    )
                 continue
             toks = analyze_one(word, analyzer=analyzer)
             if not toks:
@@ -229,4 +241,4 @@ def _parse_group(
                 else:
                     clauses.append(Clause("term", [t], required=req, boost=boost))
     # end of token stream (also closes an unterminated group leniently)
-    return Query(clauses, must_not), 1.0, i
+    return Query(clauses, must_not, must_not_patterns=must_not_patterns), 1.0, i

@@ -90,3 +90,15 @@ def test_decode_postings_rows_bulk_roundtrip():
     )
     exp_pos = np.concatenate([p for r in rows for p in r[2]])
     np.testing.assert_array_equal(got_pos, exp_pos)
+
+
+def test_varint_roundtrip_10_byte_values():
+    # uint64 values >= 2^63 need 10 LEB128 bytes; the threshold loop must
+    # count the final round (latent corruption guard — codec.py _varint_nbytes)
+    v = np.array(
+        [(1 << 56) - 1, 1 << 56, (1 << 63) - 1, 1 << 63, (1 << 64) - 1, 5],
+        dtype=np.uint64,
+    )
+    enc = codec.varint_encode(v)
+    out = codec.varint_decode(enc, count=len(v)).astype(np.uint64)
+    np.testing.assert_array_equal(out, v)

@@ -183,3 +183,31 @@ def test_more_like_this_engine(spark, small_index, oracle_small, pages_small):
     rank[np.argsort(urls)] = np.arange(len(urls))
     seed_docid = int(rank[0])
     assert seed_docid in set(mlt["docid"].tolist()[:5])
+
+
+def test_search_with_timeout_reraises_real_errors(spark, small_index):
+    """A genuine query failure inside the worker thread must surface as an
+    exception, not be misreported as (None, timed_out=True)."""
+    from pyspark.sql import functions as F
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing_search(*a, **k):
+        df = spark.range(1)
+        from pyspark.sql.functions import udf
+
+        @udf("int")
+        def blow(x):
+            raise ValueError("executor failure")
+
+        return df.select(blow(F.col("id")).alias("docid"))
+
+    s.search = failing_search
+    with pytest.raises(Exception) as ei:
+        s.search_with_timeout("babe", timeout_s=120, k=5)
+    assert "executor failure" in str(ei.value) or "PythonException" in type(ei.value).__name__

@@ -227,3 +227,28 @@ def test_nested_with_dismax(searcher, oracle_small):
     np.testing.assert_array_equal(
         res["docid"].to_numpy(), np.array([d for d, _ in order])
     )
+
+
+def test_query_result_cache_keyed_by_fq_docids(searcher):
+    """Two use_cache=True requests with the same query text but different
+    filter doc-sets must not collide (cache key includes the doc-set
+    fingerprint)."""
+    bc_ro = searcher.cached_filter("roro")
+    bc_ba = searcher.cached_filter("babaso")
+    plain = searcher.search_pdf("babe", k=10, use_cache=True)
+    a = searcher.search_pdf("babe", k=10, use_cache=True, fq_docids=bc_ro)
+    b = searcher.search_pdf("babe", k=10, use_cache=True, fq_docids=bc_ba)
+    # each equals its uncached twin
+    np.testing.assert_array_equal(
+        a["docid"].to_numpy(),
+        searcher.search_pdf("babe", k=10, fq_docids=bc_ro)["docid"].to_numpy(),
+    )
+    np.testing.assert_array_equal(
+        b["docid"].to_numpy(),
+        searcher.search_pdf("babe", k=10, fq_docids=bc_ba)["docid"].to_numpy(),
+    )
+    np.testing.assert_array_equal(
+        plain["docid"].to_numpy(),
+        searcher.search_pdf("babe", k=10)["docid"].to_numpy(),
+    )
+    assert set(a["docid"]) != set(plain["docid"])

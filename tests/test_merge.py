@@ -196,3 +196,33 @@ def test_replicate_index(spark, pages_small, oracle_small):
     a = s_src.search_pdf("babe", k=10)
     b = s_dst.search_pdf("babe", k=10)
     np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+
+
+def test_replicate_repairs_same_size_divergence(spark, pages_small, oracle_small):
+    """A destination segment with a renamed file but identical total byte
+    size must be repaired (reference revisions diff per-file name+size,
+    not aggregate bytes — an aggregate-size check would skip it)."""
+    import glob
+
+    from lucene_solr_spark.index import manifest as mf
+    from lucene_solr_spark.index.replicate import replicate
+
+    src = os.path.join(CACHE, "idx_repl2_src")
+    dst = os.path.join(CACHE, "idx_repl2_dst")
+    shutil.rmtree(dst, ignore_errors=True)
+    _build(spark, pages_small.iloc[:400], src, 2)
+    replicate(src, dst)
+
+    man = mf.read_current(dst)
+    seg = man["segments"][0]
+    segdir = os.path.join(dst, seg["path"])
+    files = sorted(
+        f for f in glob.glob(os.path.join(segdir, "**", "*"), recursive=True)
+        if os.path.isfile(f)
+    )
+    f0 = files[0]
+    os.rename(f0, f0 + ".x")  # same aggregate size, divergent content set
+
+    r = replicate(src, dst)
+    assert seg["segment_id"] in r["copied"]
+    assert os.path.exists(f0) and not os.path.exists(f0 + ".x")

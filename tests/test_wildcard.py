@@ -122,3 +122,36 @@ def test_wildcard_explain_matches_search(searcher):
     for _, r in res.iterrows():
         ex = searcher.explain("babe ro*", int(r["docid"]))
         assert np.float32(ex["total"]) == np.float32(r["score"])
+
+
+def test_negated_wildcard_prohibits_expansion(searcher, vocab_and_docs):
+    """'babe -ro*' prohibits every doc containing any ro-prefixed term
+    (MultiTermQuery under a MUST_NOT occur) — previously the parser
+    silently stripped the '*' and prohibited only the literal 'ro'."""
+    vocab, by_term = vocab_and_docs
+    res = searcher.search_pdf("babe -ro*", k=5000, mode="OR")
+    ro_docs = set().union(
+        *(by_term[t] for t in vocab if fnmatch.fnmatchcase(t, "ro*"))
+    )
+    assert set(res["docid"].tolist()) == by_term["babe"] - ro_docs
+    # scores identical to the plain query on the surviving docs
+    base = searcher.search_pdf("babe", k=5000, mode="OR")
+    base_by_doc = dict(zip(base["docid"], base["score"]))
+    for _, r in res.iterrows():
+        assert np.float32(r["score"]) == np.float32(base_by_doc[r["docid"]])
+
+
+def test_negated_regexp_prohibits_expansion(searcher, vocab_and_docs):
+    vocab, by_term = vocab_and_docs
+    pat = re.compile(r"ro.*")
+    res = searcher.search_pdf("babe -/ro.*/", k=5000, mode="OR")
+    ro_docs = set().union(
+        *(by_term[t] for t in vocab if pat.fullmatch(t))
+    )
+    assert set(res["docid"].tolist()) == by_term["babe"] - ro_docs
+
+
+def test_negated_wildcard_no_match_is_noop(searcher, vocab_and_docs):
+    _, by_term = vocab_and_docs
+    res = searcher.search_pdf("babe -zz*", k=5000, mode="OR")
+    assert set(res["docid"].tolist()) == by_term["babe"]
