@@ -1227,6 +1227,47 @@ FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
 ORDER BY doc_id""",
     )
 
+    # FuzzyQuery as a SCORED engine clause: 'sark~2' expands against the
+    # dictionary (classic levenshtein <= 2) into a nested boolean of boosted
+    # BM25 term clauses, boost = 1 - ed/min(|term|,|target|)
+    # (FuzzyQuery.java:54-56 + TopTermsRewrite.java:40-70). Expansions here:
+    # spark(0.75), part(0.5), sort(0.5).
+    R["fuzzy_scored_topk"] = (
+        lambda spark, sf: _engine_topk(spark, sf, "sark~2", "OR", 10),
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+topc AS (
+  SELECT term, df,
+         1.0 - levenshtein(term, 'sark')::DOUBLE / least(length(term), 4) AS boost
+  FROM dict
+  WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'sark') <= 2
+  ORDER BY boost DESC, term LIMIT 50
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM topc) GROUP BY doc_id, term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( t.boost * ln(1 + (c.n - t.df + 0.5) / (t.df + 0.5)) * {K1 + 1}
+              * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) ) AS score
+  FROM tf
+  JOIN topc t USING (term)
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     def _span_near(spark, sf):
         # ordered span-near: 'table' then 'hash' within slop 2, per-doc
         # match count (anchor = each 'hash' occurrence, chain = closest
@@ -1475,6 +1516,8 @@ _PRIORITY = [
     "function_query_topk", "more_like_this", "rescore_topk",
     "tumbling_window_counts", "sessionize_users", "running_value_sum",
     "funcquery_registry", "tpch_pricing_summary", "tpch_top_customers",
+    # round-3 additions (never driver-checked yet)
+    "fuzzy_scored_topk",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -904,7 +904,7 @@ class SparkSearcher:
         if (
             after is not None or q.min_should_match or _count_only
             or q.dismax_tie is not None or _all_hits
-            or _query_has(q, ("bool",))
+            or _query_has(q, ("bool", "fuzzy"))
         ):
             # nested groups score recursively in the rescore phase; the
             # MaxScore bounds are not propagated through group scopes, so
@@ -917,13 +917,13 @@ class SparkSearcher:
         )
         if not q.clauses:
             return empty
-        if _query_has(q, ("wildcard", "regexp")):
+        if _query_has(q, ("wildcard", "regexp", "fuzzy")):
             q = self._rewrite_multiterm(q)
             if q is None:
                 return empty
         fqq = (parse_query(fq, "AND", analyzer=self.analyzer)
                if isinstance(fq, str) else fq)
-        if fqq is not None and _query_has(fqq, ("wildcard", "regexp")):
+        if fqq is not None and _query_has(fqq, ("wildcard", "regexp", "fuzzy")):
             fqq = self._rewrite_multiterm(fqq)
             if fqq is None:
                 return empty
@@ -1082,7 +1082,7 @@ class SparkSearcher:
         invariant, test-framework/.../search/CheckHits.java)."""
         q = (parse_query(query, mode, analyzer=self.analyzer)
              if isinstance(query, str) else query)
-        if any(c.kind in ("wildcard", "regexp") for c in q.clauses):
+        if _query_has(q, ("wildcard", "regexp", "fuzzy")):
             q = self._rewrite_multiterm(q)
             if q is None:
                 return {"docid": int(docid), "matched": False,
@@ -1397,6 +1397,38 @@ class SparkSearcher:
         prefix = _re.match(r"^[^*?]*", pattern).group(0)
         return self._expand_regex(self.wildcard_to_regex(pattern), prefix, max_expansions)
 
+    def expand_fuzzy(
+        self, target: str, max_edits: int = 2, max_expansions: int = 50
+    ) -> list[tuple[str, float]]:
+        """FuzzyQuery expansion (search/FuzzyQuery.java:54-56): dictionary
+        terms within ``max_edits`` classic Levenshtein edits of ``target``
+        (transpositions=false profile — matches Spark/DuckDB levenshtein),
+        each with similarity boost 1 - ed / min(|term|, |target|)
+        (FuzzyTermsEnum's BoostAttribute). TopTermsRewrite cutoff: the
+        ``max_expansions`` highest-boost terms, ties by term order
+        (TopTermsRewrite.java:40-70's priority queue). The length pre-filter
+        (|len - target_len| <= max_edits) prunes the dictionary scan before
+        the JVM levenshtein runs, mirroring the Levenshtein automaton's
+        band restriction."""
+        tl = len(target)
+        rows = (
+            self._postings.select("term")
+            .where(F.length("term").between(tl - max_edits, tl + max_edits))
+            .distinct()
+            .withColumn("ed", F.levenshtein(F.col("term"), F.lit(target)))
+            .where(F.col("ed") <= max_edits)
+            .withColumn(
+                "boost",
+                F.lit(1.0)
+                - F.col("ed").cast("double")
+                / F.least(F.length("term"), F.lit(tl)).cast("double"),
+            )
+            .orderBy(F.desc("boost"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [(r["term"], float(r["boost"])) for r in rows]
+
     def expand_regexp(self, regex: str, max_expansions: int = 1024) -> list[str]:
         """RegexpQuery expansion: the pattern must match the ENTIRE term
         (search/RegexpQuery.java:43-47), hence the ^(?:...)$ anchoring."""
@@ -1433,7 +1465,7 @@ class SparkSearcher:
             if c.kind == "bool":
                 sub = (
                     self._rewrite_multiterm(c.sub)
-                    if _query_has(c.sub, ("wildcard", "regexp"))
+                    if _query_has(c.sub, ("wildcard", "regexp", "fuzzy"))
                     else c.sub
                 )
                 if sub is None:
@@ -1448,6 +1480,26 @@ class SparkSearcher:
             # constant-score rewrite is a doc-set union, not scoring clauses,
             # so no BooleanQuery.maxClauseCount-style cap applies (Lucene's
             # CONSTANT_SCORE_REWRITE builds a BitSet over all matching terms)
+            if c.kind == "fuzzy":
+                # FuzzyQuery: SCORED rewrite (TopTermsBlendedFreqScoring-
+                # Rewrite, search/TopTermsRewrite.java:40-70): top-N
+                # candidates by similarity boost become a nested boolean of
+                # boosted scored term clauses — per-expansion BM25, weight =
+                # idf * (1 - ed / min(|term|, |target|)), FuzzyTermsEnum's
+                # BoostAttribute. Deterministic clause order (-boost, term)
+                # fixes the float32 accumulation order.
+                cands = self.expand_fuzzy(c.terms[0], c.fuzzy_edits)
+                if not cands:
+                    if c.required:
+                        return None
+                    continue
+                sub = Query([
+                    Clause("term", [t], required=False, boost=b)
+                    for t, b in cands
+                ])
+                out.append(Clause("bool", [], required=c.required,
+                                  boost=c.boost, sub=sub))
+                continue
             if c.kind == "wildcard":
                 terms = self.expand_wildcard(c.terms[0], max_expansions=1 << 20)
             elif c.kind == "regexp":

@@ -40,6 +40,11 @@ class Clause:
     # nested BooleanQuery (kind == "bool"): the parenthesized sub-query
     # ("(a b)^2 +c"); terms is empty, the sub-query carries the clauses
     sub: "Query | None" = None
+    # FuzzyQuery (kind == "fuzzy", search/FuzzyQuery.java:54-56): max edit
+    # distance for the dictionary expansion ("term~2"); terms=[target].
+    # Classic Levenshtein (transpositions count as 2 edits — the reference's
+    # transpositions=false profile, matching Spark/DuckDB levenshtein()).
+    fuzzy_edits: int = 0
 
 
 @dataclass
@@ -84,6 +89,7 @@ _TOKENIZER = re.compile(
 _PHRASE_TOKEN_RE = re.compile(r"^\"([^\"]*)\"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
 _GROUP_CLOSE_RE = re.compile(r"^\)(?:\^(\d+(?:\.\d+)?))?$")
 _BOOST_SUFFIX_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZY_SUFFIX_RE = re.compile(r"~(\d)?$")
 
 
 def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Query:
@@ -230,6 +236,27 @@ def _parse_group(
                 else:
                     clauses.append(
                         Clause("wildcard", [word.lower()], required=req, boost=boost)
+                    )
+                continue
+            fm = _FUZZY_SUFFIX_RE.search(word)
+            if fm and len(word) > len(fm.group(0)):
+                # FuzzyQuery: 'term~' (default 2 edits), 'term~1', 'term~2'
+                # (QueryParserBase.getFuzzyQuery; edits capped at
+                # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE = 2)
+                edits = min(int(fm.group(1)) if fm.group(1) else 2, 2)
+                base = word[: fm.start()].lower()
+                if neg:
+                    raise ValueError(
+                        "negated fuzzy clauses ('-term~2') are not supported"
+                    )
+                if edits == 0:
+                    clauses.append(
+                        Clause("term", [base], required=req, boost=boost)
+                    )
+                else:
+                    clauses.append(
+                        Clause("fuzzy", [base], required=req, boost=boost,
+                               fuzzy_edits=edits)
                     )
                 continue
             toks = analyze_one(word, analyzer=analyzer)

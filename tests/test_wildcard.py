@@ -155,3 +155,68 @@ def test_negated_wildcard_no_match_is_noop(searcher, vocab_and_docs):
     _, by_term = vocab_and_docs
     res = searcher.search_pdf("babe -zz*", k=5000, mode="OR")
     assert set(res["docid"].tolist()) == by_term["babe"]
+
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[-1]
+
+
+def test_fuzzy_expansion_boosts(searcher, vocab_and_docs):
+    """expand_fuzzy == brute-force classic levenshtein over the vocab, boost
+    = 1 - ed/min(|term|,|target|), ordered (-boost, term), cutoff honored."""
+    vocab, _ = vocab_and_docs
+    target = "babe"
+    exp = searcher.expand_fuzzy(target, 2, max_expansions=10_000)
+    brute = sorted(
+        (
+            (t, 1.0 - _lev(t, target) / min(len(t), len(target)))
+            for t in vocab
+            if _lev(t, target) <= 2
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert exp == [(t, pytest.approx(b)) for t, b in brute]
+    cut = searcher.expand_fuzzy(target, 2, max_expansions=2)
+    assert cut == exp[:2]
+    default = searcher.expand_fuzzy(target, 2)  # TopTermsRewrite default 50
+    assert default == exp[:50]
+
+
+def test_fuzzy_scored_clause_matches_manual_boosted_query(searcher):
+    """'term~2' through the engine == the manually-expanded boosted boolean
+    (scored rewrite), bit-identical float32 scores."""
+    target = "babe"
+    cands = searcher.expand_fuzzy(target, 2)
+    assert len(cands) >= 2
+    manual = "(" + " ".join(f"{t}^{b}" for t, b in cands) + ")"
+    a = searcher.search_pdf(f"{target}~2", k=20)
+    b = searcher.search_pdf(manual, k=20)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
+
+
+def test_fuzzy_required_and_no_match(searcher, vocab_and_docs):
+    vocab, by_term = vocab_and_docs
+    got = searcher.search_pdf("+babe~1", k=5000)
+    exp_docs = set().union(
+        *(by_term[t] for t in vocab if _lev(t, "babe") <= 1)
+    )
+    assert set(got["docid"].tolist()) == exp_docs
+    assert len(searcher.search_pdf("+qqqqqq~1", k=5)) == 0
+    assert len(searcher.search_pdf("babe qqqqqq~1", k=5)) > 0
+
+
+def test_fuzzy_explain_matches_search(searcher):
+    res = searcher.search_pdf("babe~2", k=3)
+    for _, r in res.iterrows():
+        ex = searcher.explain("babe~2", int(r["docid"]))
+        assert np.float32(ex["total"]) == np.float32(r["score"])
