@@ -1321,6 +1321,107 @@ GROUP BY w.doc_id, b.best_m ORDER BY w.doc_id LIMIT 25""",
 
     R["span_near_unordered"] = (_span_near_unordered, None)
 
+    def _span_not(spark, sf):
+        # SpanNotQuery: ordered near('table','hash')~2 spans that do NOT
+        # overlap any 'join' occurrence (spans/SpanNotQuery.java), per-doc
+        # surviving span count
+        from ..search import spans as SP
+
+        s = gate_searcher(spark, sf)
+        node = SP.SpanNot(
+            SP.SpanNear((SP.SpanTerm("table"), SP.SpanTerm("hash")), 2, True),
+            SP.SpanTerm("join"),
+        )
+        return s.span_query(node).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    R["span_not_count"] = (
+        _span_not,
+        f"""{TOKS},
+anchors AS (
+  SELECT b.doc_id, b.pos AS p2,
+         (SELECT max(a.pos) FROM toks a
+          WHERE a.doc_id = b.doc_id AND a.term = 'table' AND a.pos < b.pos) AS p1
+  FROM toks b WHERE b.term = 'hash'
+),
+inc AS (SELECT doc_id, p1, p2 FROM anchors WHERE p1 IS NOT NULL AND p2 - p1 - 1 <= 2),
+keep AS (
+  SELECT i.doc_id, i.p1, i.p2 FROM inc i
+  WHERE NOT EXISTS (SELECT 1 FROM toks x
+                    WHERE x.doc_id = i.doc_id AND x.term = 'join'
+                      AND x.pos BETWEEN i.p1 AND i.p2)
+)
+SELECT doc_id, count(*) AS freq FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    )
+
+    def _span_or_near(spark, sf):
+        # SpanOrQuery nested under SpanNearQuery: near((table|sort), hash)~2
+        # ordered — the union sub-span composes before the chain
+        # (spans/SpanOrQuery.java under SpanNearQuery)
+        from ..search import spans as SP
+
+        s = gate_searcher(spark, sf)
+        node = SP.SpanNear(
+            (SP.SpanOr((SP.SpanTerm("table"), SP.SpanTerm("sort"))),
+             SP.SpanTerm("hash")),
+            2, True,
+        )
+        return s.span_query(node).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    R["span_or_near_count"] = (
+        _span_or_near,
+        f"""{TOKS},
+anchors AS (
+  SELECT b.doc_id, b.pos AS p2,
+         (SELECT max(a.pos) FROM toks a
+          WHERE a.doc_id = b.doc_id AND a.term IN ('table', 'sort')
+            AND a.pos < b.pos) AS p1
+  FROM toks b WHERE b.term = 'hash'
+),
+inc AS (SELECT doc_id FROM anchors WHERE p1 IS NOT NULL AND p2 - p1 - 1 <= 2)
+SELECT doc_id, count(*) AS freq FROM inc GROUP BY doc_id ORDER BY doc_id""",
+    )
+
+    def _span_first(spark, sf):
+        # SpanFirstQuery scored through SpanScorer: 'dup' occurrences ending
+        # at position <= 50, freq = count (unit widths), BM25 under idf(dup)
+        from ..search import spans as SP
+
+        s = gate_searcher(spark, sf)
+        node = SP.SpanFirst(SP.SpanTerm("dup"), 50)
+        return s.span_search(node, k=10).select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    R["span_first_topk"] = (
+        _span_first,
+        f"""{TOKS},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, count(*) AS tf FROM toks
+       WHERE term = 'dup' AND pos + 1 <= 50 GROUP BY doc_id),
+dfr AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'dup'),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+           * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) AS score
+  FROM tf JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c CROSS JOIN dfr
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     R["sort_by_field_topk"] = (
         lambda spark, sf: C.sort_by_field_topk(_docs(spark, sf), "merge", "n_chars", 10),
         f"""{TOKS},
@@ -1517,7 +1618,8 @@ _PRIORITY = [
     "tumbling_window_counts", "sessionize_users", "running_value_sum",
     "funcquery_registry", "tpch_pricing_summary", "tpch_top_customers",
     # round-3 additions (never driver-checked yet)
-    "fuzzy_scored_topk",
+    "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
+    "span_first_topk",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -702,10 +702,46 @@ def _phrase_freqs(clause, rows, cand_ids):
             return ids, np.zeros(0, np.int64)
     offsets = clause.offsets
     if getattr(clause, "slop", 0) > 0:
+        slot_keys = ["|".join(a) for a in slots]
+        if len(set(slot_keys)) == len(slot_keys):
+            # distinct slots: batched minimal-window sweep across ALL
+            # candidate docs at once (spans.sweep_windows_batch) — replaces
+            # the per-candidate-doc Python loop; float64 accumulation order
+            # matches the sequential kernel bit-for-bit
+            from .spans import SHIFT, sloppy_phrase_freqs_batch
+
+            bias = max(offsets)
+            arrs = []
+            for rs, off in zip(slot_rows, offsets):
+                keys_parts = []
+                for r in rs:
+                    _, tfs = r.lookup(ids)
+                    m = tfs > 0
+                    sub = ids[m]
+                    if len(sub) == 0:
+                        continue
+                    counts, flat = r.positions_flat(sub)
+                    doc_of_pos = np.repeat(
+                        np.flatnonzero(m).astype(np.int64), counts
+                    )
+                    keys_parts.append(
+                        doc_of_pos * SHIFT + (flat - off + bias)
+                    )
+                if len(keys_parts) == 1:
+                    arrs.append(keys_parts[0])
+                elif keys_parts:
+                    arrs.append(np.unique(np.concatenate(keys_parts)))
+                else:
+                    arrs.append(np.zeros(0, np.int64))
+            docs_j, freqs = sloppy_phrase_freqs_batch(
+                arrs, clause.slop, len(ids)
+            )
+            return ids[docs_j], freqs
+        # repeated slots ("b b"~2): per-doc sequential kernel with repeat
+        # reconciliation (SloppyPhraseScorer.advanceRpts analog)
         from .sloppy import sloppy_phrase_freq
 
         slot_pos = [_slot_positions(rs, ids) for rs in slot_rows]
-        slot_keys = ["|".join(a) for a in slots]
         out_ids, out_freqs = [], []
         for j in range(len(ids)):
             f = sloppy_phrase_freq(
@@ -778,6 +814,57 @@ def _slot_positions(rs: list, ids: np.ndarray) -> list[np.ndarray]:
                 else np.unique(np.concatenate([out[j], plists[q]]))
             )
     return [o if o is not None else np.zeros(0, np.int64) for o in out]
+
+
+def _span_candidates(node, rows: dict) -> np.ndarray:
+    """Candidate local docids for a span query: conjunction under near,
+    union under or, include side under not — the doc-level approximation
+    that gates position decoding (SpanWeight's ConjunctionDISI analog)."""
+    from . import spans as SP
+
+    empty = np.zeros(0, np.int64)
+    if isinstance(node, SP.SpanTerm):
+        r = rows.get(node.term)
+        return r.decode_all()[0] if r is not None else empty
+    if isinstance(node, SP.SpanOr):
+        parts = [_span_candidates(s, rows) for s in node.subs]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return empty
+        return np.unique(np.concatenate(parts))
+    if isinstance(node, SP.SpanNear):
+        out = None
+        for s in node.subs:
+            c = _span_candidates(s, rows)
+            out = c if out is None else np.intersect1d(c, out, assume_unique=True)
+            if len(out) == 0:
+                return out
+        return out if out is not None else empty
+    if isinstance(node, SP.SpanNot):
+        return _span_candidates(node.include, rows)
+    if isinstance(node, SP.SpanFirst):
+        return _span_candidates(node.match, rows)
+    raise TypeError(f"not a span query: {node!r}")
+
+
+def _span_posmap(node, rows: dict) -> dict:
+    """Per-term global position arrays (docid * SHIFT + pos) restricted to
+    the query's candidate docs."""
+    from . import spans as SP
+
+    cand = _span_candidates(node, rows)
+    posmap: dict = {}
+    for t in SP.span_terms(node):
+        r = rows.get(t)
+        if r is None or len(cand) == 0:
+            continue
+        _, tfs = r.lookup(cand)
+        sub = cand[tfs > 0]
+        if len(sub) == 0:
+            continue
+        counts, flat = r.positions_flat(sub)
+        posmap[t] = np.repeat(sub, counts) * SP.SHIFT + flat
+    return posmap
 
 
 def _empty_pdf() -> pd.DataFrame:
@@ -1534,17 +1621,26 @@ class SparkSearcher:
         simplifications). Returns (docid, freq) for docs with >= 1 span
         match, doc order."""
         from ..analysis import analyze_one
-        from .spans import span_near_count
+        from . import spans as SP
 
         terms = [t for t, _ in analyze_one(text, analyzer=self.analyzer)]
         empty = self.spark.createDataFrame([], "docid long, freq long")
         if not terms:
             return empty
+        if len(set(terms)) == len(terms) or ordered:
+            # distinct terms (or ordered, whose chain handles repeats):
+            # batched kernels via the span algebra — no per-doc Python loop
+            node = SP.SpanNear(
+                tuple(SP.SpanTerm(t) for t in terms), slop, ordered
+            )
+            return self.span_query(node)
         prows = self._postings.where(F.col("term").isin(sorted(set(terms))))
         seg_meta = self.seg_meta
         tlist, sl, od = terms, slop, ordered
 
         def run(key, pdf):
+            # repeated terms, unordered: sequential sweep with repeat
+            # reconciliation (NearSpansUnordered "with repeats" semantics)
             doc_base = seg_meta[pdf["segment_id"].iloc[0]]["doc_base"]
             rows = {t: _Row(r) for t, r in ((r["term"], r) for _, r in pdf.iterrows())}
             if any(t not in rows for t in tlist):
@@ -1560,7 +1656,7 @@ class SparkSearcher:
             pos_arrays = [rows[t].positions_for(ids) for t in tlist]
             out_ids, out_freqs = [], []
             for j in range(len(ids)):
-                f = span_near_count(
+                f = SP.span_near_count(
                     [arrs[j] for arrs in pos_arrays], sl, od, tlist
                 )
                 if f > 0:
@@ -1575,6 +1671,83 @@ class SparkSearcher:
             prows.groupBy("segment_id")
             .applyInPandas(run, "docid long, freq long")
             .orderBy("docid")
+        )
+
+    def span_query(self, node) -> DataFrame:
+        """Evaluate a span-algebra query (spans.SpanTerm/Near/Or/Not/First)
+        to per-doc span match counts: DataFrame(docid, freq), doc order.
+        Candidate docs are pre-filtered per the algebra (conjunction under
+        near, union under or, include side under not) before any position
+        decode, then the whole segment evaluates in one batched pass."""
+        from . import spans as SP
+
+        all_terms = sorted(SP.span_terms(node))
+        prows = self._postings.where(F.col("term").isin(all_terms))
+        seg_meta = self.seg_meta
+
+        def run(key, pdf):
+            doc_base = seg_meta[pdf["segment_id"].iloc[0]]["doc_base"]
+            rows = {r["term"]: _Row(r) for _, r in pdf.iterrows()}
+            posmap = _span_posmap(node, rows)
+            gs, _ge, _w = SP.eval_spans(node, posmap)
+            d, c = SP.span_doc_counts(gs)
+            return pd.DataFrame(
+                {"docid": (d + doc_base).astype(np.int64), "freq": c}
+            )
+
+        return (
+            prows.groupBy("segment_id")
+            .applyInPandas(run, "docid long, freq long")
+            .orderBy("docid")
+        )
+
+    def span_search(self, node, k: int = 10) -> DataFrame:
+        """SpanScorer top-k (spans/SpanScorer.java:48-60): per matching doc
+        freq = sum of sloppyFreq(width) = 1/(1+width) over spans (float32
+        accumulation in span order), scored with the BM25 kernel under the
+        span tree's summed-idf weight (SpanWeight.buildSimWeight collects
+        every term's statistics). Returns (rank, docid, score)."""
+        from . import spans as SP
+
+        all_terms = sorted(SP.span_terms(node))
+        stats = self._term_stats(all_terms)
+        idf_sum = np.float32(0.0)
+        for t in all_terms:
+            idf_sum = np.float32(idf_sum + bm25.idf(stats.get(t, 0), self.max_doc))
+        wv = bm25.weight_value(idf_sum)
+        avgdl = bm25.avg_field_length(self.sum_ttf, self.max_doc)
+        cache = bm25.norm_cache(avgdl)
+        prows = self._postings.where(F.col("term").isin(all_terms))
+        seg_meta = self.seg_meta
+
+        def run(key, pdf):
+            seg = seg_meta[pdf["segment_id"].iloc[0]]
+            doc_base = seg["doc_base"]
+            rows = {r["term"]: _Row(r) for _, r in pdf.iterrows()}
+            posmap = _span_posmap(node, rows)
+            gs, _ge, w = SP.eval_spans(node, posmap)
+            d, freqs = SP.span_doc_sloppy_freqs(gs, w, seg["max_doc"])
+            if len(d) == 0:
+                return _empty_pdf()
+            norms = _read_norms(seg["dir"])
+            sc = bm25.score_freqs(freqs, norms[d], cache, wv)
+            sel = np.lexsort((d, -sc))[:k]
+            return pd.DataFrame(
+                {"docid": (d[sel] + doc_base).astype(np.int64),
+                 "score": sc[sel].astype(np.float32)}
+            )
+
+        partial = prows.groupBy("segment_id").applyInPandas(
+            run, "docid long, score float"
+        )
+        topk = partial.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", "docid", "score")
+            .orderBy("rank")
         )
 
     def matching_docids(self, terms: list[str]) -> DataFrame:

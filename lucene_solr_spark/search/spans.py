@@ -95,3 +95,307 @@ def span_near_count(
     if ordered:
         return span_near_ordered_count(pos_lists, slop)
     return span_near_unordered_count(pos_lists, slop, terms)
+
+
+# ---------------------------------------------------------------------------
+# batched (cross-doc vectorized) kernels
+#
+# Global coordinates: gpos = docid * SHIFT + pos with SHIFT > any position,
+# so one sorted int64 array holds every candidate doc's positions and the
+# per-doc kernels below become whole-array numpy ops — no per-doc Python
+# loop (the same rewrite exact-phrase got in round 2).
+# ---------------------------------------------------------------------------
+
+SHIFT = np.int64(1) << 21  # > max field length (SmallFloat table caps at 2M)
+
+
+def near_ordered_spans_batch(
+    arrs: list[np.ndarray], slop: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ordered span-near over unit sub-spans, all docs at once.
+
+    arrs[j]: sorted global positions of clause j. A match anchors at each
+    occurrence of the LAST clause and greedily chains the closest strictly
+    preceding occurrence of each earlier clause (NearSpansOrdered's
+    shrinkToAfterShortestMatch width — spans.py header). A chain that
+    crosses a doc boundary lands in an earlier doc block and is dropped by
+    the same-doc check. Returns (gstart, gend, width) sorted by gend."""
+    k = len(arrs)
+    if any(len(a) == 0 for a in arrs):
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    anchors = arrs[-1]
+    if k == 1:
+        return anchors, anchors + 1, np.zeros(len(anchors), np.int64)
+    p = anchors
+    valid = np.ones(len(p), dtype=bool)
+    for j in range(k - 2, -1, -1):
+        idx = np.searchsorted(arrs[j], p) - 1  # closest strictly before
+        valid &= idx >= 0
+        p = arrs[j][np.maximum(idx, 0)]
+    width = (anchors - p) - (k - 1)
+    valid &= (p // SHIFT) == (anchors // SHIFT)
+    valid &= width <= slop
+    return p[valid], anchors[valid] + 1, width[valid]
+
+
+def sweep_windows_batch(
+    arrs: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized minimal-window sweep (PhrasePositions queue analog),
+    all docs at once — the batch form of the advance-the-minimum loop in
+    sloppy_phrase_freq / span_near_unordered_count (no repeat groups).
+
+    The sequential sweep retires elements in global sorted order (ties by
+    list index) and evaluates one window per retired element x from list i:
+    [x, max_j head_j] where head_j is list j's first unretired element.
+    head_j = first element >= x for j > i (its equal element, if any, is
+    not yet retired) and first element > x for j < i. An element whose
+    window lacks a same-doc head in some list was never evaluated by the
+    sequential sweep (that list exhausted first) and is marked invalid.
+
+    Returns (starts, maxheads, valid) aligned to elements in retire order
+    (sorted by (value, list index)) — callers derive dist/width and filter.
+    """
+    k = len(arrs)
+    vals = np.concatenate(arrs)
+    lidx = np.concatenate(
+        [np.full(len(a), j, dtype=np.int64) for j, a in enumerate(arrs)]
+    )
+    order = np.lexsort((lidx, vals))  # retire order
+    xv, xi = vals[order], lidx[order]
+    maxhead = xv.copy()
+    valid = np.ones(len(xv), dtype=bool)
+    xdoc = xv // SHIFT
+    for j in range(k):
+        a = arrs[j]
+        hl = np.searchsorted(a, xv, side="left")
+        hr = np.searchsorted(a, xv, side="right")
+        idx = np.where(j > xi, hl, hr)
+        take = xi != j
+        ok = take & (idx < len(a))
+        head = a[np.minimum(idx, len(a) - 1)]
+        ok &= (head // SHIFT) == xdoc
+        valid &= ~take | ok
+        np.maximum(maxhead, np.where(ok, head, -1), out=maxhead)
+    return xv, maxhead, valid
+
+
+def near_unordered_spans_batch(
+    arrs: list[np.ndarray], slop: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unordered span-near over unit sub-spans, all docs at once: minimal
+    windows with width (max - min) - (k - 1) <= slop. Requires DISTINCT
+    clause terms (repeat groups take the sequential kernel)."""
+    k = len(arrs)
+    if any(len(a) == 0 for a in arrs):
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    if k == 1:
+        a = arrs[0]
+        return a, a + 1, np.zeros(len(a), np.int64)
+    starts, maxheads, valid = sweep_windows_batch(arrs)
+    width = (maxheads - starts) - (k - 1)
+    valid = valid & (width <= slop)
+    return starts[valid], maxheads[valid] + 1, width[valid]
+
+
+def sloppy_phrase_freqs_batch(
+    arrs: list[np.ndarray], slop: int, max_doc_ord: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch sloppy-phrase frequency: arrs[j] = OFFSET-ADJUSTED global
+    positions of phrase slot j (gpos = docid * SHIFT + (pos - offset_j)),
+    distinct terms only. Returns (doc_ids, freqs float64) for docs with
+    freq > 0, summing sloppyFreq(dist) = 1/(dist+1) per qualifying window
+    in retire order — the same float64 accumulation order as the
+    sequential sweep, so results are bit-identical."""
+    k = len(arrs)
+    if any(len(a) == 0 for a in arrs):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if k == 1:
+        d, c = np.unique(arrs[0] // SHIFT, return_counts=True)
+        return d, c.astype(np.float64)
+    starts, maxheads, valid = sweep_windows_batch(arrs)
+    dist = maxheads - starts
+    m = valid & (dist <= slop)
+    if not m.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    contrib = 1.0 / (dist[m] + 1.0)
+    docs = starts[m] // SHIFT
+    freqs = np.zeros(max_doc_ord, dtype=np.float64)
+    # np.add.at accumulates sequentially in the given order; `m` preserves
+    # retire order, so per-doc sums match the sequential kernel bit-for-bit
+    np.add.at(freqs, docs, contrib)
+    d = np.flatnonzero(freqs > 0)
+    return d, freqs[d]
+
+
+# ---------------------------------------------------------------------------
+# span-query algebra (SpanTermQuery / SpanNearQuery / SpanOrQuery /
+# SpanNotQuery / SpanFirstQuery — lucene/core/src/java/org/apache/lucene/
+# search/spans/*.java), evaluated batch-wise over global coordinates
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SpanTerm:
+    term: str
+
+
+@dataclass(frozen=True)
+class SpanOr:
+    subs: tuple
+
+
+@dataclass(frozen=True)
+class SpanNear:
+    subs: tuple
+    slop: int = 0
+    ordered: bool = True
+
+
+@dataclass(frozen=True)
+class SpanNot:
+    """Include spans that do NOT overlap any exclude span, with the
+    reference's pre/post slack (SpanNotQuery.java:40-62: exclusion window
+    [start - pre, end + post))."""
+    include: object
+    exclude: object
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class SpanFirst:
+    """Spans of ``match`` ending at position <= ``end``
+    (SpanFirstQuery.java:40-62: spanPositionCheck end() <= end)."""
+    match: object
+    end: int
+
+
+def span_terms(node) -> set:
+    if isinstance(node, SpanTerm):
+        return {node.term}
+    if isinstance(node, SpanOr):
+        return set().union(*(span_terms(s) for s in node.subs))
+    if isinstance(node, SpanNear):
+        return set().union(*(span_terms(s) for s in node.subs))
+    if isinstance(node, SpanNot):
+        return span_terms(node.include) | span_terms(node.exclude)
+    if isinstance(node, SpanFirst):
+        return span_terms(node.match)
+    raise TypeError(f"not a span query: {node!r}")
+
+
+def positive_terms(node) -> set:
+    """Terms whose presence can produce a match (exclude sides excluded) —
+    the candidate-generation term set."""
+    if isinstance(node, SpanNot):
+        return positive_terms(node.include)
+    if isinstance(node, SpanTerm):
+        return {node.term}
+    if isinstance(node, SpanOr):
+        return set().union(*(positive_terms(s) for s in node.subs))
+    if isinstance(node, SpanNear):
+        return set().union(*(positive_terms(s) for s in node.subs))
+    if isinstance(node, SpanFirst):
+        return positive_terms(node.match)
+    raise TypeError(f"not a span query: {node!r}")
+
+
+def _sort_spans(gs, ge, w):
+    order = np.lexsort((ge, gs))
+    return gs[order], ge[order], w[order]
+
+
+def eval_spans(node, posmap: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Evaluate a span query against per-term global position arrays
+    (gpos = docid * SHIFT + pos). Returns (gstart, gend, width) sorted by
+    (gstart, gend); width feeds SpanScorer's sloppyFreq."""
+    z = np.zeros(0, np.int64)
+    if isinstance(node, SpanTerm):
+        g = posmap.get(node.term)
+        if g is None or len(g) == 0:
+            return z, z, z
+        return g, g + 1, np.zeros(len(g), np.int64)
+    if isinstance(node, SpanOr):
+        parts = [eval_spans(s, posmap) for s in node.subs]
+        gs = np.concatenate([p[0] for p in parts])
+        ge = np.concatenate([p[1] for p in parts])
+        w = np.concatenate([p[2] for p in parts])
+        return _sort_spans(gs, ge, w)
+    if isinstance(node, SpanNear):
+        arrs = []
+        for s in node.subs:
+            gs, ge, w = eval_spans(s, posmap)
+            if len(gs) and (np.any(ge - gs != 1) or np.any(w != 0)):
+                raise NotImplementedError(
+                    "span-near sub-clauses must be unit spans "
+                    "(SpanTerm or SpanOr of SpanTerms)"
+                )
+            arrs.append(gs)
+        if node.ordered:
+            gs, ge, w = near_ordered_spans_batch(arrs, node.slop)
+        else:
+            ks = [a.tobytes() for a in arrs]
+            if len(set(ks)) != len(ks):
+                raise NotImplementedError(
+                    "repeated identical sub-spans in unordered span-near "
+                    "need the sequential repeat-reconciliation kernel "
+                    "(SparkSearcher.span_near handles the flat case)"
+                )
+            gs, ge, w = near_unordered_spans_batch(arrs, node.slop)
+        return _sort_spans(gs, ge, w)
+    if isinstance(node, SpanNot):
+        gs, ge, w = eval_spans(node.include, posmap)
+        if len(gs) == 0:
+            return z, z, z
+        xs, xe, _xw = eval_spans(node.exclude, posmap)
+        if len(xs) == 0:
+            return gs, ge, w
+        # pre/post widen the include span's exclusion window, clamped to
+        # its doc block so the slack never reaches a neighboring doc
+        doc0 = (gs // SHIFT) * SHIFT
+        lo = np.maximum(gs - node.pre, doc0)
+        hi = np.minimum(ge + node.post, doc0 + SHIFT)
+        # overlap iff any exclude span has xs < hi and xe > lo: excludes
+        # sorted by xs; prefix-max of xe gives the largest end among
+        # excludes starting before hi (doc blocks are disjoint in global
+        # coords, so cross-doc spans can never falsely overlap)
+        pmax = np.maximum.accumulate(xe)
+        idx = np.searchsorted(xs, hi, side="left")
+        overlap = (idx > 0) & (pmax[np.maximum(idx - 1, 0)] > lo)
+        keep = ~overlap
+        return gs[keep], ge[keep], w[keep]
+    if isinstance(node, SpanFirst):
+        gs, ge, w = eval_spans(node.match, posmap)
+        keep = (ge % SHIFT) <= node.end
+        return gs[keep], ge[keep], w[keep]
+    raise TypeError(f"not a span query: {node!r}")
+
+
+def span_doc_counts(gs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, integer span counts) from global span starts."""
+    if len(gs) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    d, c = np.unique(gs // SHIFT, return_counts=True)
+    return d, c.astype(np.int64)
+
+
+def span_doc_sloppy_freqs(
+    gs: np.ndarray, w: np.ndarray, max_doc: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """SpanScorer frequency (SpanScorer.java:48-60): per doc,
+    freq += sloppyFreq(width) = 1/(1+width) accumulated in span order as
+    FLOAT32 — Java's float freq accumulator — so scores reproduce the
+    reference bit-for-bit."""
+    if len(gs) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    docs = gs // SHIFT
+    contrib = (np.float32(1.0) / (np.int64(1) + w).astype(np.float32)).astype(np.float32)
+    freqs = np.zeros(max_doc, dtype=np.float32)
+    np.add.at(freqs, docs, contrib)  # sequential adds in span order
+    d = np.flatnonzero(freqs > 0)
+    return d, freqs[d]

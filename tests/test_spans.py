@@ -137,3 +137,140 @@ def test_engine_span_near_parity(searcher, pages_small):
         res = searcher.span_near(f"{t1} {t2}", slop=slop, ordered=ordered).toPandas()
         got = dict(zip(res["docid"], res["freq"]))
         assert got == expected, (slop, ordered)
+
+
+# ---------------------------------------------------------------------------
+# batched kernels + span algebra (SpanOr/Not/First, SpanScorer)
+# ---------------------------------------------------------------------------
+
+
+def _mk_global(per_doc_lists, SHIFT):
+    k = len(per_doc_lists[0])
+    return [
+        np.concatenate([np.asarray(ls[j], np.int64) + d * SHIFT
+                        for d, ls in enumerate(per_doc_lists)])
+        for j in range(k)
+    ]
+
+
+def test_batch_kernels_match_sequential_random():
+    from lucene_solr_spark.search import spans as SP
+    from lucene_solr_spark.search.sloppy import sloppy_phrase_freq
+
+    rng = np.random.default_rng(7)
+    SHIFT = int(SP.SHIFT)
+    for _ in range(150):
+        k = int(rng.integers(2, 5))
+        ndocs = int(rng.integers(1, 5))
+        slop = int(rng.integers(0, 5))
+        per_doc = []
+        for _d in range(ndocs):
+            doclen = int(rng.integers(1, 25))
+            per_doc.append([
+                np.sort(rng.choice(doclen, size=min(int(rng.integers(1, 5)), doclen),
+                                   replace=False)).astype(np.int64)
+                for _ in range(k)
+            ])
+        arrs = _mk_global(per_doc, SHIFT)
+        gs, _ge, _w = SP.near_ordered_spans_batch(arrs, slop)
+        d_o, c_o = SP.span_doc_counts(gs)
+        om = dict(zip(d_o.tolist(), c_o.tolist()))
+        gs, _ge, _w = SP.near_unordered_spans_batch(arrs, slop)
+        d_u, c_u = SP.span_doc_counts(gs)
+        um = dict(zip(d_u.tolist(), c_u.tolist()))
+        offs = list(range(k))
+        adj = [
+            np.concatenate([np.asarray(ls[j], np.int64) - offs[j] + (k - 1)
+                            + d * SHIFT
+                            for d, ls in enumerate(per_doc)])
+            for j in range(k)
+        ]
+        d_s, f_s = SP.sloppy_phrase_freqs_batch(adj, slop, ndocs)
+        sm = dict(zip(d_s.tolist(), f_s.tolist()))
+        for d in range(ndocs):
+            assert om.get(d, 0) == SP.span_near_ordered_count(per_doc[d], slop)
+            assert um.get(d, 0) == SP.span_near_unordered_count(per_doc[d], slop)
+            assert sm.get(d, 0.0) == sloppy_phrase_freq(per_doc[d], offs, slop)
+
+
+def test_span_not_brute(searcher, pages_small):
+    """SpanNot(include=near(t1,t2), exclude=t3) == brute-force overlap
+    filter over analyzer positions."""
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import spans as SP
+
+    flat = tokenize_series(pages_small["text"])
+    urls = pages_small["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    counts = flat.groupby("term", observed=True).size().sort_values()
+    t1, t2, t3 = counts.index[-1], counts.index[-2], counts.index[-3]
+
+    pos = {
+        t: {d: np.sort(g["pos"].to_numpy())
+            for d, g in flat[flat["term"] == t].groupby("docid")}
+        for t in (t1, t2, t3)
+    }
+    slop = 3
+    exp = {}
+    for d in set(pos[t1]) & set(pos[t2]):
+        spans = []
+        for p2 in pos[t2][d]:
+            before = pos[t1][d][pos[t1][d] < p2]
+            if len(before) and (p2 - before[-1]) - 1 <= slop:
+                spans.append((int(before[-1]), int(p2) + 1))
+        ex = pos[t3].get(d, np.zeros(0, np.int64))
+        surv = [s for s in spans if not np.any((ex >= s[0]) & (ex < s[1]))]
+        if surv:
+            exp[d] = len(surv)
+
+    node = SP.SpanNot(
+        SP.SpanNear((SP.SpanTerm(t1), SP.SpanTerm(t2)), slop, True),
+        SP.SpanTerm(t3),
+    )
+    got = {r["docid"]: r["freq"] for r in searcher.span_query(node).collect()}
+    assert got == exp
+
+
+def test_span_first_and_or(searcher, pages_small):
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import spans as SP
+
+    flat = tokenize_series(pages_small["text"])
+    urls = pages_small["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    counts = flat.groupby("term", observed=True).size().sort_values()
+    t1, t2 = counts.index[-1], counts.index[-2]
+
+    # SpanFirst: count of t1 occurrences with pos+1 <= 4 per doc
+    n = 4
+    sub = flat[(flat["term"] == t1) & (flat["pos"] + 1 <= n)]
+    exp = sub.groupby("docid").size().to_dict()
+    got = {r["docid"]: r["freq"]
+           for r in searcher.span_query(SP.SpanFirst(SP.SpanTerm(t1), n)).collect()}
+    assert got == exp
+
+    # SpanOr: per-doc occurrence count of t1|t2
+    sub = flat[flat["term"].isin([t1, t2])]
+    exp = sub.groupby("docid").size().to_dict()
+    got = {r["docid"]: r["freq"]
+           for r in searcher.span_query(
+               SP.SpanOr((SP.SpanTerm(t1), SP.SpanTerm(t2)))).collect()}
+    assert got == exp
+
+
+def test_span_search_scoring_matches_term_query_on_unit_spans(searcher):
+    """span_search(SpanTerm(t)) == search(t): freq = tf, weight = idf —
+    SpanScorer degenerates to TermScorer on unit spans."""
+    from lucene_solr_spark.search import spans as SP
+
+    t = "babe"
+    a = searcher.span_search(SP.SpanTerm(t), k=10).toPandas()
+    b = searcher.search_pdf(t, k=10)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
