@@ -207,12 +207,33 @@ def _build_segment_pdf(texts: pd.Series, with_positions: bool = True, analyzer: 
     }
 
 
-def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray) -> int:
+# Lucene's Term is (field, text) (index/Term.java:33-41): extra analyzed
+# fields namespace their dictionary entries as  field + FIELD_SEP + text.
+# \x1f sorts below every printable char, so a field's terms form one
+# contiguous term-sorted run — per-field prefix pushdown stays intact.
+FIELD_SEP = "\x1f"
+
+
+def write_segment_files(
+    seg_dir: str, built: dict, urls: np.ndarray,
+    extra_built: dict[str, dict] | None = None,
+) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(seg_dir, exist_ok=True)
     postings = built["postings"]
+    if extra_built:
+        frames = [postings]
+        for fname, fb in extra_built.items():
+            fp = fb["postings"].copy()
+            fp["term"] = fname + FIELD_SEP + fp["term"].astype(str)
+            frames.append(fp)
+        postings = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values("term", kind="mergesort")
+            .reset_index(drop=True)
+        )
     # constant segment_id column (dictionary-encoded ≈ free): the query path
     # groups on it; a nondeterministic input_file_name() column would block
     # Catalyst from pushing the term predicate into the parquet scan
@@ -241,11 +262,18 @@ def write_segment_files(seg_dir: str, built: dict, urls: np.ndarray) -> int:
         row_group_size=4096,  # term-sorted -> min/max stats prune like a term index
     )
     n = len(urls)
+    # one row per field, the default "text" field FIRST (readers that take
+    # row 0 keep working); per-field norms + sum_len drive per-field BM25
+    fields = ["text"] + (list(extra_built) if extra_built else [])
+    builts = [built] + ([extra_built[f] for f in extra_built] if extra_built else [])
     norms_tbl = pa.table(
         {
-            "max_doc": pa.array([n], pa.int64()),
-            "sum_len": pa.array([built["sum_len"]], pa.int64()),
-            "norms": pa.array([built["norm_bytes"].tobytes()], pa.binary()),
+            "field": pa.array(fields, pa.string()),
+            "max_doc": pa.array([n] * len(fields), pa.int64()),
+            "sum_len": pa.array([b["sum_len"] for b in builts], pa.int64()),
+            "norms": pa.array(
+                [b["norm_bytes"].tobytes() for b in builts], pa.binary()
+            ),
         }
     )
     pq.write_table(norms_tbl, os.path.join(seg_dir, "norms.parquet"))
@@ -274,11 +302,17 @@ def build_index(
     seed: int = 42,
     analyzer: str = "standard",
     fail_after_partitions: int | None = None,
+    extra_fields: dict[str, str] | None = None,
 ) -> dict:
     """Build (or resume) an index over ``corpus`` and commit a manifest.
 
     ``fail_after_partitions`` injects a crash for resume tests: buckets with
     id >= the value are not built and the driver raises before commit.
+
+    ``extra_fields`` maps additional analyzed field names to corpus columns
+    (the multi-field schema of solr/example schema.xml:126-150): each field
+    gets its own namespaced dictionary run (FIELD_SEP), norms byte array,
+    and sum_len — per-field BM25 for edismax qf.
     """
     if num_segments is None:
         num_segments = spark.sparkContext.defaultParallelism
@@ -288,7 +322,11 @@ def build_index(
     except Exception:
         input_files = []
 
-    base_df = corpus.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+    extra_fields = extra_fields or {}
+    base_df = corpus.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("text"),
+        *[F.col(c).alias(f"__field_{f}") for f, c in extra_fields.items()],
+    )
     bounds = compute_bucket_bounds(base_df, "url", num_segments, seed=seed)
     n_buckets = len(bounds) + 1
     df = base_df.withColumn("pid", _bucket_id_col(bounds, F.col("url")))
@@ -315,7 +353,13 @@ def build_index(
                 meta["resumed"] = True
                 return pd.DataFrame([meta])[_LINEAGE_COLS]
         built = _build_segment_pdf(pdf["text"], analyzer=analyzer)
-        postings_bytes = write_segment_files(seg_dir, built, urls)
+        extra_built = {
+            f: _build_segment_pdf(pdf[f"__field_{f}"], analyzer=analyzer)
+            for f in extra_fields
+        }
+        postings_bytes = write_segment_files(
+            seg_dir, built, urls, extra_built=extra_built or None
+        )
         meta = {
             "segment_id": seg_id,
             "path": os.path.relpath(seg_dir, index_dir),

@@ -44,6 +44,16 @@ def check_segment(index_dir: str, seg: dict, sample_terms: int | None = None) ->
     post = pq.read_table(os.path.join(d, "postings.parquet")).to_pandas()
     norms_t = pq.read_table(os.path.join(d, "norms.parquet"))
     norms = np.frombuffer(norms_t["norms"][0].as_py(), dtype=np.uint8)
+    # per-field norms for namespaced multi-field terms (block-max bytes are
+    # computed against the TERM'S OWN field's norms)
+    from .build import FIELD_SEP
+
+    norms_by_field = {"text": norms}
+    if "field" in norms_t.column_names:
+        for i, fname in enumerate(norms_t["field"].to_pylist()):
+            norms_by_field[fname] = np.frombuffer(
+                norms_t["norms"][i].as_py(), dtype=np.uint8
+            )
     dm = pq.read_table(os.path.join(d, "docmap.parquet"))
 
     max_doc = seg["max_doc"]
@@ -110,8 +120,10 @@ def check_segment(index_dir: str, seg: dict, sample_terms: int | None = None) ->
                 int(np.asarray(r["skip_max_tf"])[bi]) == int(tfs[lo:hi].max()),
                 f"{sid}/{t}: skip_max_tf[{bi}]",
             )
+            t_field = t.split(FIELD_SEP, 1)[0] if FIELD_SEP in t else "text"
             _check(
-                int(np.asarray(r["skip_max_norm"])[bi]) == int(norms[ids[lo:hi]].max()),
+                int(np.asarray(r["skip_max_norm"])[bi])
+                == int(norms_by_field[t_field][ids[lo:hi]].max()),
                 f"{sid}/{t}: skip_max_norm[{bi}]",
             )
             # positions: decode block, verify counts + ascending
@@ -129,7 +141,17 @@ def check_segment(index_dir: str, seg: dict, sample_terms: int | None = None) ->
 
     out = {"segment_id": sid, "terms": len(post), "checked_terms": len(rows)}
     if sample_terms is None:
-        _check(total_ttf == seg["sum_len"], f"{sid}: sum(ttf) {total_ttf} != sum_len {seg['sum_len']}")
+        # multi-field segments (build.FIELD_SEP-namespaced runs) carry the
+        # extra fields' ttf too; sum_len covers the default text field only
+        from .build import FIELD_SEP
+
+        extra_ttf = int(
+            post.loc[post["term"].str.contains(FIELD_SEP, regex=False), "ttf"].sum()
+        )
+        _check(
+            total_ttf - extra_ttf == seg["sum_len"],
+            f"{sid}: sum(ttf) {total_ttf - extra_ttf} != sum_len {seg['sum_len']}",
+        )
     return out
 
 

@@ -87,6 +87,32 @@ def gate_searcher_english(spark: SparkSession, sf_dir: str):
     return SparkSearcher(spark, idx)
 
 
+def gate_searcher_fields(spark: SparkSession, sf_dir: str):
+    """Multi-field gate index: body = text, title = the first two
+    space-separated words of text (SQL-recomputable on both engines).
+    Exercises namespaced per-field postings, per-field norms/avgdl, and
+    edismax qf scoring."""
+    import hashlib
+
+    from ..index import manifest as mf
+    from ..index.build import build_index
+    from ..search.engine import SparkSearcher
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join(_CACHE, f"gate_index_qf_{key}")
+    if mf.read_current(idx) is None:
+        corpus = _docs(spark, sf_dir).select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"),
+            "text",
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, 2)
+            ).alias("title"),
+        )
+        build_index(spark, corpus, idx, num_segments=4, build_id="gate_qf",
+                    extra_fields={"title": "title"})
+    return SparkSearcher(spark, idx)
+
+
 def _engine_topk(spark, sf_dir, query, mode, k) -> DataFrame:
     s = gate_searcher(spark, sf_dir)
     res = s.search(query, k=k, mode=mode, with_url=False)
@@ -1321,6 +1347,76 @@ GROUP BY w.doc_id, b.best_m ORDER BY w.doc_id LIMIT 25""",
 
     R["span_near_unordered"] = (_span_near_unordered, None)
 
+    def _edismax_qf(spark, sf):
+        s = gate_searcher_fields(spark, sf)
+        res = s.edismax("dup merge", qf={"text": 1.0, "title": 3.0},
+                        tie=0.3, k=10)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    # oracle: per term, per field f in (text, title): BM25 with the FIELD's
+    # own dl/avgdl/df/idf and weight boost_f; per-term contribution =
+    # max + tie*(sum - max); document score = sum over terms
+    _TITLE_EXPR = "array_to_string((string_split(text, ' '))[1:2], ' ')"
+    R["edismax_qf_topk"] = (
+        _edismax_qf,
+        f"""
+WITH {sql_tokens_cte("documents")},
+ttoks_all AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({_TITLE_EXPR}), '[a-z0-9]+')) AS term
+  FROM documents
+),
+ttoks AS (SELECT * FROM ttoks_all WHERE term NOT IN ({sql_stoplist()})),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+tqdl AS (SELECT d.doc_id, nt.qlen FROM tdl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT sum(dl) FROM tdl)::DOUBLE / (SELECT count(*) FROM documents) AS tavgdl
+),
+qterms(term) AS (VALUES ('dup'), ('merge')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+ttf_r AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+          WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+tdfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttoks
+         WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+per AS (
+  SELECT COALESCE(tf.doc_id, ttf_r.doc_id) AS doc_id,
+         COALESCE(tf.term, ttf_r.term) AS term,
+         COALESCE(
+           1.0 * ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+             * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)), 0) AS s_text,
+         COALESCE(
+           3.0 * ln(1 + (c.n - tdfr.df + 0.5) / (tdfr.df + 0.5)) * {K1 + 1}
+             * ttf_r.tf / (ttf_r.tf + {K1} * ({1 - B} + {B} * tq.qlen / c.tavgdl)), 0) AS s_title
+  FROM tf
+  FULL OUTER JOIN ttf_r ON tf.doc_id = ttf_r.doc_id AND tf.term = ttf_r.term
+  LEFT JOIN dfr ON COALESCE(tf.term, ttf_r.term) = dfr.term
+  LEFT JOIN tdfr ON COALESCE(tf.term, ttf_r.term) = tdfr.term
+  LEFT JOIN qdl q ON COALESCE(tf.doc_id, ttf_r.doc_id) = q.doc_id
+  LEFT JOIN tqdl tq ON COALESCE(tf.doc_id, ttf_r.doc_id) = tq.doc_id
+  CROSS JOIN consts c
+),
+scores AS (
+  SELECT doc_id,
+         sum(greatest(s_text, s_title)
+             + 0.3 * (s_text + s_title - greatest(s_text, s_title))) AS score
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     def _span_not(spark, sf):
         # SpanNotQuery: ordered near('table','hash')~2 spans that do NOT
         # overlap any 'join' occurrence (spans/SpanNotQuery.java), per-doc
@@ -1619,7 +1715,7 @@ _PRIORITY = [
     "funcquery_registry", "tpch_pricing_summary", "tpch_top_customers",
     # round-3 additions (never driver-checked yet)
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
-    "span_first_topk",
+    "span_first_topk", "edismax_qf_topk",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -52,8 +52,31 @@ RESULT_SCHEMA = "docid long, score float"
 def _read_norms(seg_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
+    # row 0 is always the default "text" field (multi-field files append
+    # extra fields after it)
     t = pq.read_table(os.path.join(seg_dir, "norms.parquet"), columns=["norms"])
     return np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
+
+
+def _read_field_norms(seg_dir: str, field: str) -> tuple[np.ndarray, int]:
+    """(norm bytes, sum_len) for one analyzed field; single-field segments
+    (no 'field' column) only carry 'text'."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(seg_dir, "norms.parquet")
+    f = pq.ParquetFile(path)
+    names = f.schema_arrow.names
+    t = pq.read_table(path)
+    if "field" in names:
+        idx = t["field"].to_pylist().index(field)  # raises if absent
+    elif field == "text":
+        idx = 0
+    else:
+        raise KeyError(f"segment {seg_dir} has no field {field!r}")
+    return (
+        np.frombuffer(t["norms"][idx].as_py(), dtype=np.uint8),
+        int(t["sum_len"][idx].as_py()),
+    )
 
 
 class _Row:
@@ -929,6 +952,8 @@ class SparkSearcher:
         # skip the stats job entirely (the SolrIndexSearcher statistics
         # cache; drops warm queries from two Spark jobs to one)
         self._stats_cache: dict[str, int] = {}
+        self._field_sums: dict[str, int] = {}
+        self._multi_field: bool | None = None
         # filterCache (SolrIndexSearcher.java:151-153 filterCache): fq ->
         # materialized global docid set, evaluated once per searcher
         self._filter_cache: dict[str, object] = {}
@@ -1242,6 +1267,26 @@ class SparkSearcher:
         self._filter_cache[fq] = bc
         return bc
 
+    @property
+    def _dictionary(self):
+        """Default-field terms dictionary: on multi-field indexes the
+        postings table also holds namespaced ``field\\x1fterm`` runs, which
+        dictionary components (terms/suggest/spellcheck/wildcard/fuzzy
+        expansion) must not surface. Single-field indexes skip the extra
+        predicate."""
+        if self._multi_field is None:
+            import pyarrow.parquet as pq
+
+            d = next(iter(self.seg_meta.values()))["dir"]
+            self._multi_field = "field" in pq.ParquetFile(
+                os.path.join(d, "norms.parquet")
+            ).schema_arrow.names
+        if not self._multi_field:
+            return self._postings
+        from ..index.build import FIELD_SEP
+
+        return self._postings.where(~F.col("term").contains(FIELD_SEP))
+
     def _term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global df per term, cached for the searcher's lifetime (valid:
         one searcher == one manifest generation). Only uncached terms pay
@@ -1265,7 +1310,7 @@ class SparkSearcher:
         holds (term, df, ttf), so this is a pruned dictionary scan — no
         corpus re-tokenization. Prefix pushes into the term-sorted parquet
         row groups."""
-        t = self._postings
+        t = self._dictionary
         if prefix:
             t = t.where(F.col("term").startswith(prefix))
         return (
@@ -1338,7 +1383,7 @@ class SparkSearcher:
         AnalyzingSuggester over stored weights): prefix pushes into the
         term-sorted parquet; weight = total term frequency."""
         return (
-            self._postings.where(F.col("term").startswith(prefix))
+            self._dictionary.where(F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.sum("ttf").alias("ttf"))
             .orderBy(F.desc("ttf"), F.asc("term"))
@@ -1353,7 +1398,7 @@ class SparkSearcher:
         pruning the reference's FST automaton achieves structurally)."""
         L = len(wrong)
         return (
-            self._postings
+            self._dictionary
             .where(F.length("term").between(L - max_dist, L + max_dist))
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -1447,7 +1492,7 @@ class SparkSearcher:
         (search/MultiTermQuery.java:64-116; the postings files' row-group
         min/max stats prune the scan like BlockTree's FST index)."""
         rows = (
-            self._postings.where(F.col("term").startswith(prefix))
+            self._dictionary.where(F.col("term").startswith(prefix))
             .select("term")
             .distinct()
             .orderBy("term")
@@ -1499,7 +1544,7 @@ class SparkSearcher:
         band restriction."""
         tl = len(target)
         rows = (
-            self._postings.select("term")
+            self._dictionary.select("term")
             .where(F.length("term").between(tl - max_edits, tl + max_edits))
             .distinct()
             .withColumn("ed", F.levenshtein(F.col("term"), F.lit(target)))
@@ -1528,7 +1573,7 @@ class SparkSearcher:
         return self._expand_regex(f"^(?:{regex})$", prefix, max_expansions)
 
     def _expand_regex(self, anchored: str, prefix: str, max_expansions: int) -> list[str]:
-        t = self._postings.select("term")
+        t = self._dictionary.select("term")
         if prefix:
             t = t.where(F.col("term").startswith(prefix))
         rows = (
@@ -1735,6 +1780,126 @@ class SparkSearcher:
             return pd.DataFrame(
                 {"docid": (d[sel] + doc_base).astype(np.int64),
                  "score": sc[sel].astype(np.float32)}
+            )
+
+        partial = prows.groupBy("segment_id").applyInPandas(
+            run, "docid long, score float"
+        )
+        topk = partial.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", "docid", "score")
+            .orderBy("rank")
+        )
+
+    def field_sum_len(self, field: str) -> int:
+        """Total analyzed length of one field across segments (per-field
+        avgdl numerator) — tiny driver-side parquet reads, cached for the
+        searcher's lifetime."""
+        if field not in self._field_sums:
+            total = 0
+            for m in self.seg_meta.values():
+                _n, s = _read_field_norms(m["dir"], field)
+                total += s
+            self._field_sums[field] = total
+        return self._field_sums[field]
+
+    def edismax(
+        self,
+        query: str,
+        qf: dict[str, float],
+        tie: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ExtendedDismax per-field-boost search (solr/core/.../search/
+        ExtendedDismaxQParser.java:60-120): each query term becomes a
+        DisjunctionMaxQuery over the qf fields — per-field BM25 with the
+        FIELD's OWN norms, avgdl, df and idf (multi-field postings are
+        namespaced runs of the dictionary, index/Term.java:33-41) and
+        weight idf_f(t) * qf[f]; per term the contribution is
+        max over fields + tie * rest (DisjunctionMaxQuery.java:45-54), and
+        the document score is the float32 clause-order sum over terms.
+        """
+        from ..analysis import analyze_one
+        from ..index.build import FIELD_SEP
+
+        terms = [t for t, _ in analyze_one(query, analyzer=self.analyzer)]
+        empty = self.spark.createDataFrame([], "rank int, docid long, score float")
+        if not terms:
+            return empty
+        fields = list(qf)
+
+        def ns(f: str, t: str) -> str:
+            return t if f == "text" else f + FIELD_SEP + t
+
+        all_ns = sorted({ns(f, t) for f in fields for t in terms})
+        stats = self._term_stats(all_ns)
+        wv = {
+            (f, t): bm25.weight_value(
+                bm25.idf(stats.get(ns(f, t), 0), self.max_doc), boost=qf[f]
+            )
+            for f in fields
+            for t in terms
+        }
+        caches = {
+            f: bm25.norm_cache(
+                bm25.avg_field_length(self.field_sum_len(f), self.max_doc)
+            )
+            for f in fields
+        }
+        prows = self._postings.where(F.col("term").isin(all_ns)).select(
+            "segment_id", "term", "df", "blocks", "skip_last", "skip_off",
+            "skip_max_tf", "skip_max_norm",
+        )
+        seg_meta = self.seg_meta
+        tlist, flist, tie_f, kk = terms, fields, np.float32(tie), k
+
+        def run(key, pdf):
+            seg = seg_meta[pdf["segment_id"].iloc[0]]
+            rows = {r["term"]: _Row(r) for _, r in pdf.iterrows()}
+            if not rows:
+                return _empty_pdf()
+            cand = np.unique(
+                np.concatenate([r.decode_all()[0] for r in rows.values()])
+            )
+            norms_by_f = {f: _read_field_norms(seg["dir"], f)[0] for f in flist}
+            n = len(cand)
+            total = np.zeros(n, dtype=np.float32)
+            matched = np.zeros(n, dtype=bool)
+            for t in tlist:
+                best = np.zeros(n, dtype=np.float32)
+                ssum = np.zeros(n, dtype=np.float32)
+                hit = np.zeros(n, dtype=bool)
+                for f in flist:
+                    r = rows.get(ns(f, t))
+                    if r is None:
+                        continue
+                    _, tfs = r.lookup(cand)
+                    m = tfs > 0
+                    if not m.any():
+                        continue
+                    s = np.zeros(n, dtype=np.float32)
+                    s[m] = bm25.score_freqs(
+                        tfs[m], norms_by_f[f][cand[m]], caches[f], wv[(f, t)]
+                    )
+                    ssum = (ssum + s).astype(np.float32)
+                    np.maximum(best, s, out=best)
+                    hit |= m
+                contrib = (
+                    best + (tie_f * (ssum - best)).astype(np.float32)
+                ).astype(np.float32)
+                total = (total + contrib).astype(np.float32)
+                matched |= hit
+            cand, total = cand[matched], total[matched]
+            if len(cand) == 0:
+                return _empty_pdf()
+            sel = np.lexsort((cand, -total))[:kk]
+            return pd.DataFrame(
+                {"docid": (cand[sel] + seg["doc_base"]).astype(np.int64),
+                 "score": total[sel].astype(np.float32)}
             )
 
         partial = prows.groupBy("segment_id").applyInPandas(

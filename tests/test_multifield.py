@@ -1,0 +1,169 @@
+"""Multi-field postings + edismax qf: namespaced dictionary runs, per-field
+norms/avgdl/idf, DisMax-over-fields scoring (ExtendedDismaxQParser.java:60-120,
+schema.xml:126-150, Term.java:33-41)."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import CACHE
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, pages_small):
+    """Two-field index: text + title (first two words of text)."""
+    from lucene_solr_spark.index.build import build_index
+
+    pages = pages_small.copy()
+    pages["title"] = pages["text"].str.split(" ").str[:2].str.join(" ")
+    idx = os.path.join(CACHE, "test_index_multifield")
+    shutil.rmtree(idx, ignore_errors=True)
+    sdf = spark.createDataFrame(pages[["url", "text", "title"]])
+    man = build_index(spark, sdf, idx, num_segments=3, build_id="mf0",
+                      extra_fields={"title": "title"})
+    return idx, man, pages
+
+
+@pytest.fixture(scope="module")
+def mf_searcher(spark, mf_index):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _, _ = mf_index
+    return SparkSearcher(spark, idx)
+
+
+def test_checkindex_multifield(mf_index):
+    from lucene_solr_spark.index.check import check_index
+
+    idx, _, _ = mf_index
+    rep = check_index(idx)
+    assert rep["total_docs"] == 2000
+
+
+def test_default_field_search_unchanged(spark, mf_searcher, small_index):
+    """search() on the multi-field index == search() on the single-field
+    index (the text field's postings/norms are byte-identical)."""
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    base = SparkSearcher(spark, idx)
+    a = mf_searcher.search_pdf("babe roro", k=10)
+    b = base.search_pdf("babe roro", k=10)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
+
+
+def test_dictionary_components_exclude_extra_fields(mf_searcher):
+    """terms()/suggest/spellcheck/wildcard expansion never surface
+    namespaced title terms."""
+    from lucene_solr_spark.index.build import FIELD_SEP
+
+    for df in (
+        mf_searcher.terms(limit=10_000).toPandas(),
+        mf_searcher.suggest("b", 10_000).toPandas(),
+        mf_searcher.spellcheck("babe", 10_000).toPandas(),
+    ):
+        assert not df["term"].str.contains(FIELD_SEP, regex=False).any()
+    assert not any(FIELD_SEP in t for t in mf_searcher.expand_wildcard("*a*"))
+    assert not any(FIELD_SEP in t for t, _ in mf_searcher.expand_fuzzy("babe", 2,
+                                                                       10_000))
+
+
+def _brute_edismax(pages, query_terms, qf, tie, k):
+    """Independent float32 edismax oracle over analyzer token relations."""
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import bm25
+
+    urls = pages["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    n_docs = len(pages)
+
+    per_field = {}
+    for field, col in (("text", "text"), ("title", "title")):
+        flat = tokenize_series(pages[col])
+        lengths = flat.attrs["doc_lengths"]
+        norm_bytes = bm25.encode_norm(lengths)
+        # reorder to docid order
+        nb = np.empty(n_docs, np.uint8)
+        nb[docid_by_pos] = norm_bytes
+        flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+        tf = (
+            flat[flat["term"].isin(query_terms)]
+            .groupby(["term", "docid"], observed=True)
+            .size()
+        )
+        df = (
+            flat[flat["term"].isin(query_terms)]
+            .groupby("term", observed=True)["docid"].nunique()
+        )
+        cache = bm25.norm_cache(
+            bm25.avg_field_length(int(lengths.sum()), n_docs)
+        )
+        per_field[field] = (tf, df, nb, cache)
+
+    scores = {}
+    for d in range(n_docs):
+        total = np.float32(0.0)
+        matched = False
+        for t in query_terms:
+            best = np.float32(0.0)
+            ssum = np.float32(0.0)
+            for f in qf:
+                tf, dfm, nb, cache = per_field[f]
+                freq = int(tf.get((t, d), 0))
+                if freq == 0:
+                    continue
+                wv = bm25.weight_value(
+                    bm25.idf(int(dfm.get(t, 0)), n_docs), boost=qf[f]
+                )
+                s = bm25.score_freqs(
+                    np.array([freq]), np.array([nb[d]]), cache, wv
+                )[0]
+                ssum = np.float32(ssum + s)
+                best = max(best, s)
+                matched = True
+            contrib = np.float32(best + np.float32(np.float32(tie) * np.float32(ssum - best)))
+            total = np.float32(total + contrib)
+        if matched:
+            scores[d] = total
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return order
+
+
+def test_edismax_matches_brute_force(mf_searcher, mf_index):
+    _, _, pages = mf_index
+    qf = {"text": 1.0, "title": 2.5}
+    got = mf_searcher.edismax("babe roro", qf=qf, tie=0.2, k=15).toPandas()
+    exp = _brute_edismax(pages, ["babe", "roro"], qf, 0.2, 15)
+    np.testing.assert_array_equal(
+        got["docid"].to_numpy(), np.array([d for d, _ in exp])
+    )
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(np.float32),
+        np.array([s for _, s in exp], np.float32),
+    )
+
+
+def test_edismax_title_boost_changes_ranking(mf_searcher):
+    """A big title boost must be able to reorder results vs text-only."""
+    text_only = mf_searcher.edismax("babe", qf={"text": 1.0}, k=2000).toPandas()
+    boosted = mf_searcher.edismax("babe", qf={"text": 1.0, "title": 50.0},
+                                  k=2000).toPandas()
+    assert set(text_only["docid"]) == set(boosted["docid"])  # same match set
+    assert list(text_only["docid"]) != list(boosted["docid"])  # new order
+
+
+def test_edismax_single_field_equals_search(mf_searcher):
+    """edismax(qf={'text':1.0}, tie=0) degenerates to plain BM25 search."""
+    a = mf_searcher.edismax("babe roro", qf={"text": 1.0}, k=10).toPandas()
+    b = mf_searcher.search_pdf("babe roro", k=10)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
