@@ -26,7 +26,10 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_TOKEN = re.compile(r"\s*(?:(\d+\.?\d*(?:[eE][+-]?\d+)?)|([A-Za-z_][\w.]*)|([(),])|\"([^\"]*)\")")
+_TOKEN = re.compile(
+    r"\s*(?:(\d+\.?\d*(?:[eE][+-]?\d+)?)|([A-Za-z_][\w.]*)|([(),])"
+    r"|\"([^\"]*)\"|'([^']*)')"
+)
 
 
 class _Parser:
@@ -39,7 +42,7 @@ class _Parser:
                 if text[pos:].strip() == "":
                     break
                 raise ValueError(f"funcquery: bad syntax at {text[pos:]!r}")
-            num, name, punct, s = m.groups()
+            num, name, punct, s, s1 = m.groups()
             if num is not None:
                 self.toks.append(("num", num))
             elif name is not None:
@@ -47,7 +50,7 @@ class _Parser:
             elif punct is not None:
                 self.toks.append(("punct", punct))
             else:
-                self.toks.append(("str", s))
+                self.toks.append(("str", s if s is not None else s1))
             pos = m.end()
         self.i = 0
 
@@ -137,6 +140,17 @@ _REGISTRY = {
     ),
 }
 
+
+def _geodist(a):
+    # geodist(lat_a, lon_a, lat_b, lon_b) in km (GeoDistValueSourceParser;
+    # wired to the spatial module's haversine)
+    from .spatial import haversine_km
+
+    return haversine_km(a[0], a[1], a[2], a[3])
+
+
+_REGISTRY["geodist"] = _geodist
+
 _NEEDS_RECT = {"recip": (1, 2, 3), "linear": (1, 2)}  # literal positions kept raw
 
 
@@ -182,3 +196,162 @@ def _compile(node, df) -> Column:
             f"(registry: {sorted(_REGISTRY)} + scale)"
         )
     return fn([_compile(a, df) for a in args])
+
+
+# ---------------------------------------------------------------------------
+# join-requiring value sources: ord/rord, tf/docfreq/idf/norm, query()
+# (ValueSourceParser addParser names backed by index statistics rather than
+# row-local arithmetic — compiled as pre-joined auxiliary columns)
+# ---------------------------------------------------------------------------
+
+_DOC_SOURCES = {"ord", "rord", "tf", "norm", "query", "geodist"}
+_CONST_SOURCES = {"docfreq", "idf"}
+
+
+def _collect_sources(node, found):
+    kind = node[0]
+    if kind == "call":
+        _, name, args = node
+        if name in _DOC_SOURCES - {"geodist"} or name in _CONST_SOURCES:
+            found.append(node)
+            return
+        for a in args:
+            _collect_sources(a, found)
+
+
+def _replace_node(node, mapping):
+    if id(node) in mapping:
+        return mapping[id(node)]
+    if node[0] == "call":
+        _, name, args = node
+        return ("call", name, [_replace_node(a, mapping) for a in args])
+    return node
+
+
+def apply_funcquery(
+    df: DataFrame,
+    expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    searcher=None,
+    alias: str = "func",
+) -> DataFrame:
+    """Evaluate a function query that may use index-statistics sources
+    (the ValueSourceParser names the plain Column compiler cannot express):
+
+      ord(f)/rord(f)   — 1-based ordinal of the row's f value among the
+                         sorted distinct values (OrdFieldSource semantics);
+                         two-pass: distinct + row_number window over the
+                         (bounded) distinct set, broadcast back — never an
+                         unpartitioned window over the corpus
+      tf(f, 'term')    — per-doc analyzed term frequency (TFValueSource);
+                         tokens-relation groupBy + left join
+      docfreq/idf(f,'term') — global constants folded to literals
+                         (DocFreqValueSource / IDFValueSource)
+      norm(f)          — the SmallFloat-quantized field length the BM25
+                         kernel scores with (NormValueSource profile):
+                         dl -> quantized length via a broadcast range join
+      query('q')       — the engine score of a subquery per doc, 0 if no
+                         match (QueryValueSource); requires ``searcher``
+                         whose docids align with ``id_col``
+
+    Returns ``df`` with the compiled expression as column ``alias``.
+    """
+    from ..search import bm25
+    from .sqltext import tokens
+
+    tree = _Parser(expr).parse_expr()
+    found: list = []
+    _collect_sources(tree, found)
+    out = df
+    mapping: dict = {}
+    n_docs = None
+    for i, node in enumerate(found):
+        _, name, args = node
+        aux = f"__fq_aux{i}"
+        if name in ("ord", "rord"):
+            fld = args[0][1]
+            from pyspark.sql import Window
+
+            distinct = df.select(fld).distinct()
+            w = Window.orderBy(F.col(fld))
+            ranks = distinct.withColumn("__ord", F.row_number().over(w))
+            if name == "rord":
+                k = distinct.count()
+                ranks = ranks.withColumn("__ord", F.lit(k + 1) - F.col("__ord"))
+            out = out.join(
+                F.broadcast(ranks.withColumnRenamed("__ord", aux)), fld, "left"
+            )
+        elif name == "tf":
+            term = args[1][1]
+            rel = (
+                tokens(df, id_col, text_col)
+                .where(F.col("term") == term)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias(aux))
+                .withColumnRenamed("doc_id", id_col)
+            )
+            out = out.join(rel, id_col, "left").fillna({aux: 0})
+        elif name in ("docfreq", "idf"):
+            term = args[1][1]
+            if n_docs is None:
+                n_docs = df.count()
+            dfreq = (
+                tokens(df, id_col, text_col)
+                .where(F.col("term") == term)
+                .agg(F.countDistinct("doc_id"))
+                .collect()[0][0]
+            )
+            val = (
+                float(dfreq)
+                if name == "docfreq"
+                else float(bm25.idf(int(dfreq), n_docs))
+            )
+            mapping[id(node)] = ("num", val)
+            continue
+        elif name == "norm":
+            import numpy as np
+
+            dl_rel = (
+                tokens(df, id_col, text_col)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("__dl"))
+                .withColumnRenamed("doc_id", id_col)
+            )
+            # (lo, hi, qlen) quantization ranges from the shared minifloat
+            # tables — a ~2^8-row broadcast range join
+            lens = np.arange(1, 2_000_001, dtype=np.int64)
+            bts = bm25.encode_norm(lens)
+            qlen = bm25.NORM_TABLE[bts].astype(np.float64)
+            change = np.flatnonzero(np.diff(bts)) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(lens)]])
+            rows = [
+                (int(lens[s]), int(lens[e - 1]), float(qlen[s]))
+                for s, e in zip(starts, ends)
+            ]
+            rows[-1] = (rows[-1][0], 1 << 60, rows[-1][2])
+            spark = df.sparkSession
+            ranges = spark.createDataFrame(rows, "lo long, hi long, qlen double")
+            joined = dl_rel.join(
+                F.broadcast(ranges),
+                (F.col("__dl") >= F.col("lo")) & (F.col("__dl") <= F.col("hi")),
+                "inner",
+            ).select(id_col, F.col("qlen").alias(aux))
+            out = out.join(joined, id_col, "left").fillna({aux: 0.0})
+        elif name == "query":
+            if searcher is None:
+                raise ValueError("funcquery: query() needs searcher=")
+            sub = args[0][1]
+            scores = searcher.search(sub, k=0, _all_hits=True).select(
+                F.col("docid").alias(id_col), F.col("score").alias(aux)
+            )
+            out = out.join(scores, id_col, "left").fillna({aux: 0.0})
+        else:  # pragma: no cover
+            raise AssertionError(name)
+        mapping[id(node)] = ("field", aux)
+    tree = _replace_node(tree, mapping)
+    return out.withColumn(alias, _compile(tree, out)).drop(
+        *[c for c in out.columns if c.startswith("__fq_aux")
+          and c != alias]
+    ).drop("lo", "hi", "__dl")

@@ -1639,6 +1639,87 @@ FROM events ORDER BY event_id LIMIT 50""",
             .limit(50)
         )
 
+    def _funcquery_ord_tf(spark, sf):
+        # join-backed value sources: ord() (distinct-rank broadcast,
+        # OrdFieldSource 1-based lexicographic ordinal) + tf() (tokens-
+        # relation join, TFValueSource) composed in one expression
+        from ..functions.funcquery import apply_funcquery
+
+        docs = _docs(spark, sf)
+        out = apply_funcquery(docs, "sum(product(ord(source), 10), tf(text, 'dup'))")
+        return (
+            out.select("doc_id", F.col("func").cast("long").alias("func_int"))
+            .orderBy("doc_id")
+            .limit(50)
+        )
+
+    R["funcquery_ord_tf"] = (
+        _funcquery_ord_tf,
+        f"""{TOKS},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'dup' GROUP BY doc_id),
+o AS (SELECT doc_id, source, dense_rank() OVER (ORDER BY source) AS ordv FROM documents)
+SELECT o.doc_id, o.ordv * 10 + COALESCE(tf.tf, 0) AS func_int
+FROM o LEFT JOIN tf ON o.doc_id = tf.doc_id
+ORDER BY o.doc_id LIMIT 50""",
+    )
+
+    def _funcquery_stats(spark, sf):
+        # index-statistics value sources: query() (engine subquery score,
+        # QueryValueSource), idf() (constant-folded), norm() (SmallFloat-
+        # quantized field length) in one expression
+        from ..functions.funcquery import apply_funcquery
+
+        docs = _docs(spark, sf)
+        s = gate_searcher(spark, sf)
+        out = apply_funcquery(
+            docs,
+            "sum(query('dup merge'), product(idf(text, 'dup'), norm(text)))",
+            searcher=s,
+        )
+        top = out.orderBy(F.desc("func"), "doc_id").limit(20)
+        return top.select(
+            "doc_id",
+            F.round(F.col("func").cast("double") * 100).cast("long").alias("centifunc"),
+        ).orderBy("doc_id")
+
+    R["funcquery_stats_sources"] = (
+        _funcquery_stats,
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('dup', 'merge') GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('dup', 'merge') GROUP BY term),
+qscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+              * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) ) AS score
+  FROM tf JOIN dfr USING (term) JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c GROUP BY tf.doc_id
+),
+idfv AS (
+  SELECT CAST(ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) AS REAL) AS v
+  FROM dfr CROSS JOIN consts c WHERE dfr.term = 'dup'
+),
+func AS (
+  SELECT d.doc_id, COALESCE(s.score, 0) + i.v * q.qlen AS func
+  FROM documents d
+  LEFT JOIN qscore s ON d.doc_id = s.doc_id
+  JOIN qdl q ON d.doc_id = q.doc_id
+  CROSS JOIN idfv i
+)
+SELECT doc_id, CAST(ROUND(func * 100) AS BIGINT) AS centifunc
+FROM (SELECT * FROM func ORDER BY func DESC, doc_id LIMIT 20)
+ORDER BY doc_id""",
+    )
+
     R["funcquery_registry"] = (
         _funcquery,
         """SELECT event_id,
@@ -1715,7 +1796,8 @@ _PRIORITY = [
     "funcquery_registry", "tpch_pricing_summary", "tpch_top_customers",
     # round-3 additions (never driver-checked yet)
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
-    "span_first_topk", "edismax_qf_topk",
+    "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
+    "funcquery_stats_sources",
 ]
 
 # One representative of each already-driver-green family rides along in the
