@@ -196,7 +196,9 @@ def _tokenize_regex(texts: pd.Series) -> tuple:
 #   standard — HTMLless StandardAnalyzer chain (tokenize/lower/stop)
 #   english  — + EnglishPossessiveFilter + PorterStemFilter
 #              (analysis/common/.../en/EnglishAnalyzer.java:105-113)
-ANALYZERS = ("standard", "english")
+#   folding  — + ASCIIFoldingFilter (diacritics/ligatures -> ASCII,
+#              analysis/common/.../miscellaneous/ASCIIFoldingFilter.java)
+ANALYZERS = ("standard", "english", "folding")
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
@@ -249,6 +251,12 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         from .stem import english_filter_terms
 
         terms = english_filter_terms(
+            terms if isinstance(terms, pd.Categorical) else np.asarray(terms)
+        )
+    elif analyzer == "folding":
+        from .fold import fold_filter_terms
+
+        terms = fold_filter_terms(
             terms if isinstance(terms, pd.Categorical) else np.asarray(terms)
         )
     out = pd.DataFrame(

@@ -1639,6 +1639,55 @@ FROM events ORDER BY event_id LIMIT 50""",
             .limit(50)
         )
 
+    def _ascii_folding(spark, sf):
+        # analyzer registry 3rd entry: accent the corpus deterministically
+        # (a -> á), run the REAL folding analyzer chain (tokenize + lower +
+        # stop + ASCIIFoldingFilter), count df per folded term — folding
+        # must invert the accenting exactly
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.regexp_replace("text", "a", "á").alias("text2")
+        )
+
+        def run(batches):
+            for pdf in batches:
+                flat = tokenize_series(pdf["text2"], analyzer="folding")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy()[
+                            flat["doc_idx"].to_numpy()
+                        ],
+                        "term": flat["term"].astype(str),
+                    }
+                )
+
+        toks = docs.mapInPandas(run, "doc_id long, term string")
+        return (
+            toks.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy("term")
+        )
+
+    # oracle: tokenize the accented text with á in the token charset (the
+    # engine's tokenizer keeps unicode letters), stop-filter BEFORE folding
+    # (chain order), then strip_accents == the fold for this alphabet
+    R["ascii_folding_terms"] = (
+        _ascii_folding,
+        f"""
+WITH acc AS (SELECT doc_id, replace(text, 'a', 'á') AS text2 FROM documents),
+toks_all AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text2), '[a-z0-9á]+')) AS term
+  FROM acc
+),
+toks AS (SELECT * FROM toks_all WHERE term NOT IN ({sql_stoplist()}))
+SELECT strip_accents(term) AS term, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY 1 ORDER BY term""",
+    )
+
     def _funcquery_ord_tf(spark, sf):
         # join-backed value sources: ord() (distinct-rank broadcast,
         # OrdFieldSource 1-based lexicographic ordinal) + tf() (tokens-
@@ -1797,7 +1846,7 @@ _PRIORITY = [
     # round-3 additions (never driver-checked yet)
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
-    "funcquery_stats_sources",
+    "funcquery_stats_sources", "ascii_folding_terms",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -55,3 +55,43 @@ def test_corpus_deterministic():
     assert a.equals(b)
     c = generate_pages(100, seed=12)
     assert not c["text"].equals(a["text"])
+
+
+def test_ascii_folding_filter():
+    """ASCIIFoldingFilter profile: diacritics stripped, ligature folds,
+    non-Latin passthrough (miscellaneous/ASCIIFoldingFilter.java)."""
+    from lucene_solr_spark.analysis.fold import ascii_fold
+
+    cases = {
+        "café": "cafe", "naïve": "naive", "sœur": "soeur", "straße": "strasse",
+        "łódź": "lodz", "ångström": "angstrom", "señor": "senor",
+        "þorn": "thorn", "øre": "ore", "ascii": "ascii", "русский": "русский",
+    }
+    for src, want in cases.items():
+        assert ascii_fold(src) == want, src
+
+
+def test_folding_analyzer_chain():
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import tokenize_series
+
+    flat = tokenize_series(
+        pd.Series(["Café au láit", "the sœur ßigma"]), analyzer="folding"
+    )
+    by_doc = flat.groupby("doc_idx")["term"].agg(list).to_dict()
+    assert by_doc[0] == ["cafe", "au", "lait"]
+    assert by_doc[1] == ["soeur", "ssigma"]  # 'the' stopped pre-fold
+    # position gap preserved for the stopped token
+    assert flat[flat["doc_idx"] == 1]["pos"].tolist() == [1, 2]
+
+
+def test_folding_conflates_with_plain_terms():
+    """Folded terms must share dictionary entries with their plain twins
+    (Categorical codes remapped on collision)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import tokenize_series
+
+    flat = tokenize_series(pd.Series(["cafe café"]), analyzer="folding")
+    assert flat["term"].tolist() == ["cafe", "cafe"]
