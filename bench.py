@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     ("q_nested", "(merge window)^2 dup", "OR", 10),
     ("q_wildcard", "win* dup", "OR", 10),
     ("q_sloppy", '"table hash"~3', "OR", 10),
+    # round-3 query surface
+    ("q_fuzzy", "sark~2", "OR", 10),
+    # head-term sloppy phrase: both slots are frequent terms, the shape the
+    # batched minimal-window sweep was built for
+    ("q_sloppy_head", '"batch merge"~4', "OR", 10),
 ]
 
 # reference-style query mix over the synthetic pages corpus
@@ -164,6 +169,34 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
         queries[f"{name}_warm"] = round(dt, 3)
         warm.append(dt)
     queries["warm_p50"] = round(statistics.median(warm), 3)
+
+    # resident (embedded) serving mode: per-segment kernels driver-side
+    # over pyarrow reads, zero Spark jobs warm — the interactive-latency
+    # story beside the distributed path (engine.search_resident)
+    searcher.search_resident("warmup", k=1)
+    res_lat = []
+    for name, q, mode, k in BENCH_QUERIES[:6]:
+        t0 = time.time()
+        searcher.search_resident(q, k=k, mode=mode)
+        res_lat.append(time.time() - t0)
+    queries["resident_p50"] = round(statistics.median(res_lat), 4)
+
+    # span algebra + edismax over the docs/fields gate indexes
+    from lucene_solr_spark.search import spans as SP
+
+    t0 = time.time()
+    searcher.span_query(
+        SP.SpanNot(
+            SP.SpanNear((SP.SpanTerm("table"), SP.SpanTerm("hash")), 2, True),
+            SP.SpanTerm("join"),
+        )
+    ).collect()
+    queries["q_span_not"] = round(time.time() - t0, 3)
+    sf_fields = gate.gate_searcher_fields(spark, sf_dir)  # build untimed
+    t0 = time.time()
+    sf_fields.edismax("dup merge", qf={"text": 1.0, "title": 3.0},
+                      tie=0.3, k=10).collect()
+    queries["q_edismax"] = round(time.time() - t0, 3)
 
     G = gate.queries()
     for name in [

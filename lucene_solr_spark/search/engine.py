@@ -33,6 +33,7 @@ search/ParallelSearchStrategy.java:38-137):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 
@@ -49,11 +50,14 @@ from .query import Query, parse_query
 RESULT_SCHEMA = "docid long, score float"
 
 
+@functools.lru_cache(maxsize=512)
 def _read_norms(seg_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
     # row 0 is always the default "text" field (multi-field files append
-    # extra fields after it)
+    # extra fields after it). Segment dirs are immutable once published, so
+    # the per-process cache is safe — it serves both the resident searcher
+    # (driver) and reused Python workers (executors).
     t = pq.read_table(os.path.join(seg_dir, "norms.parquet"), columns=["norms"])
     return np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
 
@@ -888,6 +892,14 @@ def _span_posmap(node, rows: dict) -> dict:
         counts, flat = r.positions_flat(sub)
         posmap[t] = np.repeat(sub, counts) * SP.SHIFT + flat
     return posmap
+
+
+def _resident_empty(with_url: bool) -> pd.DataFrame:
+    cols = {"rank": np.zeros(0, np.int32), "docid": np.zeros(0, np.int64)}
+    if with_url:
+        cols["url"] = np.zeros(0, object)
+    cols["score"] = np.zeros(0, np.float32)
+    return pd.DataFrame(cols)
 
 
 def _empty_pdf() -> pd.DataFrame:
@@ -1794,6 +1806,160 @@ class SparkSearcher:
             .select("rank", "docid", "score")
             .orderBy("rank")
         )
+
+    # ------------------------------------------------------------------
+    # resident (embedded) search path — the warm-serving mode
+    # ------------------------------------------------------------------
+
+    def _read_seg_postings(
+        self, seg_dir: str, terms: list[str], need_pos: bool
+    ) -> pd.DataFrame:
+        """One segment's postings rows for the given terms, via a direct
+        pyarrow read (term-in filter prunes row groups exactly like the
+        Spark scan's PushedFilters)."""
+        import pyarrow.parquet as pq
+
+        cols = [
+            "segment_id", "term", "df", "ttf", "blocks", "skip_last",
+            "skip_off", "skip_max_tf", "skip_max_norm",
+        ]
+        if need_pos:
+            cols += ["positions", "skip_pos_off"]
+        t = pq.read_table(
+            os.path.join(seg_dir, "postings.parquet"),
+            columns=cols,
+            filters=[("term", "in", terms)],
+        )
+        return t.to_pandas()
+
+    def _term_stats_resident(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term without a Spark job (driver-side pruned
+        parquet reads), sharing the searcher-lifetime stats cache."""
+        import pyarrow.parquet as pq
+
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            got: dict[str, int] = {}
+            for m in self.seg_meta.values():
+                t = pq.read_table(
+                    os.path.join(m["dir"], "postings.parquet"),
+                    columns=["term", "df"],
+                    filters=[("term", "in", missing)],
+                )
+                for term, df_ in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                    got[term] = got.get(term, 0) + int(df_)
+            for t_ in missing:
+                self._stats_cache[t_] = got.get(t_, 0)
+        return {t_: self._stats_cache[t_] for t_ in terms}
+
+    def search_resident(
+        self,
+        query,
+        k: int = 10,
+        mode: str = "OR",
+        fq=None,
+        min_should_match: int = 0,
+        dismax_tie: float | None = None,
+        after: tuple | None = None,
+        prune: bool = True,
+        with_url: bool = False,
+    ) -> pd.DataFrame:
+        """Embedded single-node execution of the SAME query semantics: the
+        per-segment kernels (_score_segment) run driver-side over pyarrow
+        reads in a thread pool — zero Spark jobs on the hot path, results
+        bit-identical to search(). This is the Lucene-embedded serving mode
+        beside the Solr-distributed one: Spark carries the build and
+        cold/large-scale queries, the resident searcher serves repeated
+        interactive queries at in-process latency (the ROADMAP
+        'resident searcher' item)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        q = (parse_query(query, mode, analyzer=self.analyzer)
+             if isinstance(query, str) else query)
+        if min_should_match:
+            q.min_should_match = min_should_match
+        if dismax_tie is not None:
+            q.dismax_tie = dismax_tie
+        if _query_has(q, ("wildcard", "regexp", "fuzzy")):
+            # multiterm rewrites expand against the dictionary via Spark;
+            # the expansion result is itself served residently
+            q = self._rewrite_multiterm(q)
+            if q is None:
+                return _resident_empty(with_url)
+        if (
+            after is not None or q.min_should_match
+            or q.dismax_tie is not None or _query_has(q, ("bool", "fuzzy"))
+        ):
+            prune = False
+        if not q.clauses:
+            return _resident_empty(with_url)
+        fqq = (parse_query(fq, "AND", analyzer=self.analyzer)
+               if isinstance(fq, str) else fq)
+        if fqq is not None and _query_has(fqq, ("wildcard", "regexp", "fuzzy")):
+            fqq = self._rewrite_multiterm(fqq)
+            if fqq is None:
+                return _resident_empty(with_url)
+
+        terms = sorted(
+            set(q.all_terms) | (set(fqq.all_terms) if fqq is not None else set())
+        )
+        stats = self._term_stats_resident(terms)
+        idf_by_term = {
+            t: bm25.idf(stats.get(t, 0), self.max_doc) for t in terms
+        }
+        wv_by_clause = _weights_for(q, idf_by_term)
+        avgdl = bm25.avg_field_length(self.sum_ttf, self.max_doc)
+        cache = bm25.norm_cache(avgdl)
+        for c in q.clauses:
+            if c.required and c.kind not in ("bool", "term_set"):
+                if c.kind == "phrase" and getattr(c, "alts", None):
+                    if any(all(stats.get(t, 0) == 0 for t in sl) for sl in c.alts):
+                        return _resident_empty(with_url)
+                elif any(stats.get(t, 0) == 0 for t in c.terms):
+                    return _resident_empty(with_url)
+        need_pos = _query_has(q, ("phrase",)) or (
+            fqq is not None and _query_has(fqq, ("phrase",))
+        )
+
+        def run_seg(seg_dir):
+            pdf = self._read_seg_postings(seg_dir, terms, need_pos)
+            if pdf.empty:
+                return _empty_pdf()
+            return _score_segment(
+                pdf, q, self.seg_meta, wv_by_clause, idf_by_term, cache, k,
+                prune, after, False, fqq, False, None,
+            )
+
+        dirs = [m["dir"] for m in self.seg_meta.values()]
+        if len(dirs) > 1:
+            with ThreadPoolExecutor(min(8, len(dirs))) as ex:
+                parts = list(ex.map(run_seg, dirs))
+        else:
+            parts = [run_seg(dirs[0])]
+        allr = pd.concat(parts, ignore_index=True)
+        if len(allr) == 0:
+            return _resident_empty(with_url)
+        allr = allr.sort_values(
+            ["score", "docid"], ascending=[False, True], kind="mergesort"
+        ).head(k).reset_index(drop=True)
+        allr["rank"] = np.arange(1, len(allr) + 1, dtype=np.int32)
+        if with_url:
+            allr["url"] = [self._resident_url(int(d)) for d in allr["docid"]]
+            return allr[["rank", "docid", "url", "score"]]
+        return allr[["rank", "docid", "score"]]
+
+    def _resident_url(self, docid: int) -> str:
+        import pyarrow.parquet as pq
+
+        for m in self.seg_meta.values():
+            if m["doc_base"] <= docid < m["doc_base"] + m["max_doc"]:
+                t = pq.read_table(
+                    os.path.join(m["dir"], "docmap.parquet"),
+                    columns=["docid", "url"],
+                    filters=[("docid", "=", docid - m["doc_base"])],
+                )
+                return t["url"][0].as_py()
+        raise KeyError(docid)
 
     def field_sum_len(self, field: str) -> int:
         """Total analyzed length of one field across segments (per-field

@@ -211,3 +211,70 @@ def test_search_with_timeout_reraises_real_errors(spark, small_index):
     with pytest.raises(Exception) as ei:
         s.search_with_timeout("babe", timeout_s=120, k=5)
     assert "executor failure" in str(ei.value) or "PythonException" in type(ei.value).__name__
+
+
+def test_resident_searcher_bit_identical(spark, small_index):
+    """search_resident == search across query shapes: same kernels, pyarrow
+    reads instead of Spark jobs, zero-job warm path."""
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    shapes = [
+        dict(query="babe roro", k=10),
+        dict(query="babe", k=10),
+        dict(query='"babe roro"', k=10),
+        dict(query="+babe +roro", k=500),
+        dict(query="(babe roro)^2 babaso", k=10),
+        dict(query="babe -roro", k=200),
+        dict(query="ro*", k=20),
+        dict(query="babe~1", k=10),
+        dict(query="babe roro", k=10, fq="babaso"),
+        dict(query="babe roro", k=10, dismax_tie=0.1),
+        dict(query="babe roro babaso", k=10, min_should_match=2),
+    ]
+    for kw in shapes:
+        a = s.search_resident(**kw)
+        b = s.search_pdf(**kw)
+        assert list(a["docid"]) == list(b["docid"]), kw
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32),
+            err_msg=str(kw),
+        )
+
+
+def test_resident_searcher_after_and_url(spark, small_index):
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    p1 = s.search_resident("babe roro", k=10)
+    last = p1.iloc[-1]
+    p2 = s.search_resident(
+        "babe roro", k=10, after=(float(last["score"]), int(last["docid"]))
+    )
+    exp = s.search_pdf("babe roro", k=20).iloc[10:20]
+    assert list(p2["docid"]) == list(exp["docid"])
+    wu = s.search_resident("babe", k=3, with_url=True)
+    ref = s.search_pdf("babe", k=3)
+    ref_urls = {
+        int(r["docid"]): r["url"]
+        for _, r in s.search("babe", k=3).toPandas().iterrows()
+    }
+    assert all(wu.iloc[i]["url"] == ref_urls[int(wu.iloc[i]["docid"])]
+               for i in range(3))
+    assert list(wu["docid"]) == list(ref["docid"])
+
+
+def test_resident_no_spark_jobs_on_warm_path(spark, small_index):
+    """After warm-up, a resident query must launch ZERO Spark jobs."""
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    s.search_resident("babe roro", k=10)  # warm stats cache
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    s.search_resident("babe roro", k=10)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
