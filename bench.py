@@ -128,7 +128,7 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
     import pandas as pd
 
     sample = corpus.select("text").limit(300).toPandas()["text"]
-    counts = tokenize_series(sample).groupby("term").size().sort_values()
+    counts = tokenize_series(sample).groupby("term", observed=True).size().sort_values()
     terms = counts.index.to_numpy()
     head, mid, mid2, rare = terms[-1], terms[len(terms) // 2], terms[len(terms) // 2 - 1], terms[3]
     pages_q = [

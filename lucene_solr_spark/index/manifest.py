@@ -33,13 +33,30 @@ def _generations(index_dir: str) -> list[int]:
     return sorted(gens)
 
 
+def _load_manifest(index_dir: str, path: str) -> dict:
+    with open(path) as f:
+        man = json.load(f)
+    # sharded layout (the Iceberg manifest-list -> manifest-file shape for
+    # the >10^5-segment regime): the root names immutable shard files,
+    # each holding a slice of the segment list; reassemble transparently
+    shards = man.pop("segment_shards", None)
+    if shards is not None:
+        segs: list[dict] = []
+        for name in shards:
+            with open(os.path.join(index_dir, name)) as f:
+                segs.extend(json.load(f))
+        man["segments"] = segs
+    return man
+
+
 def read_current(index_dir: str) -> dict | None:
     """Open the largest-generation manifest (MVCC snapshot read)."""
     gens = _generations(index_dir)
     if not gens:
         return None
-    with open(os.path.join(index_dir, f"manifest_{gens[-1]}.json")) as f:
-        return json.load(f)
+    return _load_manifest(
+        index_dir, os.path.join(index_dir, f"manifest_{gens[-1]}.json")
+    )
 
 
 def read_generation(index_dir: str, generation: int) -> dict | None:
@@ -50,8 +67,7 @@ def read_generation(index_dir: str, generation: int) -> dict | None:
     p = os.path.join(index_dir, f"manifest_{generation}.json")
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return _load_manifest(index_dir, p)
 
 
 def generations(index_dir: str) -> list[int]:
@@ -59,15 +75,33 @@ def generations(index_dir: str) -> list[int]:
     return _generations(index_dir)
 
 
-def commit(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
+# root manifests stay small past this many segments: the segment list is
+# split into immutable shard files and the root only names them (Iceberg's
+# manifest-list shape; a 10^6-segment index keeps an O(100) root)
+SHARD_THRESHOLD = 10_000
+SHARD_SIZE = 4_096
+
+
+def commit(
+    index_dir: str,
+    segments: list[dict],
+    extra: dict | None = None,
+    shard_threshold: int | None = None,
+) -> dict:
     """Atomically publish a new snapshot listing ``segments``.
 
     Each segment dict must carry: segment_id, path (relative to index_dir),
     doc_base, max_doc, sum_len, term_count, postings_bytes, lineage{...}.
+
+    Beyond ``shard_threshold`` segments (default SHARD_THRESHOLD) the list
+    is written as generation-named shard files first — invisible to
+    readers until the root manifest's atomic rename publishes them — so
+    the commit protocol stays a single rename at any segment count.
     """
     os.makedirs(index_dir, exist_ok=True)
     gens = _generations(index_dir)
     gen = (gens[-1] + 1) if gens else 1
+    threshold = SHARD_THRESHOLD if shard_threshold is None else shard_threshold
     manifest = {
         "generation": gen,
         "committed_at_ms": int(time.time() * 1000),
@@ -79,6 +113,22 @@ def commit(index_dir: str, segments: list[dict], extra: dict | None = None) -> d
     }
     if extra:
         manifest.update(extra)
+    result = dict(manifest)  # callers always see the full segment list
+    if len(segments) > threshold:
+        size = min(SHARD_SIZE, max(threshold, 1))
+        shard_names = []
+        for i in range(0, len(segments), size):
+            name = f"manifest_{gen}.seg{i // size}.json"
+            stmp = os.path.join(index_dir, "." + name + ".tmp")
+            with open(stmp, "w") as f:
+                json.dump(segments[i : i + size], f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(stmp, os.path.join(index_dir, name))
+            shard_names.append(name)
+        manifest = dict(manifest)
+        del manifest["segments"]
+        manifest["segment_shards"] = shard_names
     tmp = os.path.join(index_dir, f".manifest_{gen}.json.tmp")
     dst = os.path.join(index_dir, f"manifest_{gen}.json")
     with open(tmp, "w") as f:
@@ -86,4 +136,4 @@ def commit(index_dir: str, segments: list[dict], extra: dict | None = None) -> d
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, dst)  # the segments_N swap
-    return manifest
+    return result

@@ -58,3 +58,39 @@ def test_lineage_rows_present(spark, small_index):
         assert lin["wall_ms"] >= 0
         assert s["postings_bytes"] > 0
         assert s["term_count"] > 0
+
+
+def test_sharded_manifest_roundtrip(tmp_path):
+    """Past the shard threshold the root manifest names immutable shard
+    files (Iceberg manifest-list shape); readers transparently reassemble
+    the full segment list, and time travel still works per generation."""
+    from lucene_solr_spark.index import manifest as mf
+
+    idx = str(tmp_path / "sharded")
+    segs = [
+        {
+            "segment_id": f"s{i:05d}", "path": f"segments/seg_s{i:05d}",
+            "doc_base": i * 10, "max_doc": 10, "sum_len": 100,
+            "term_count": 5, "postings_bytes": 123, "lineage": {},
+        }
+        for i in range(25)
+    ]
+    man = mf.commit(idx, segs, shard_threshold=7)
+    assert len(man["segments"]) == 25  # caller sees the full list
+    import json
+    import os
+
+    with open(os.path.join(idx, "manifest_1.json")) as f:
+        root = json.load(f)
+    assert "segments" not in root and len(root["segment_shards"]) > 1
+    got = mf.read_current(idx)
+    assert [s["segment_id"] for s in got["segments"]] == [
+        s["segment_id"] for s in segs
+    ]
+    assert got["fieldstats"]["max_doc"] == 250
+
+    # second (small) commit stays unsharded; generation 1 remains readable
+    mf.commit(idx, segs[:3], shard_threshold=7_000)
+    g1 = mf.read_generation(idx, 1)
+    assert len(g1["segments"]) == 25
+    assert len(mf.read_current(idx)["segments"]) == 3

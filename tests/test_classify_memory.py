@@ -88,3 +88,42 @@ def test_percolate(spark, labeled):
     assert {d for d, q in got if q == 2} == {
         d for d in range(60) if d % 2 == 1 and d % 5 == 1
     }
+
+
+def test_percolate_prefilter_semantics():
+    """query_could_match: vocabulary gate never prunes a query that would
+    match (no false negatives), prunes obvious dead queries."""
+    from lucene_solr_spark.search.memory import query_could_match
+    from lucene_solr_spark.search.query import parse_query
+
+    vocab = {"table", "hash", "merge"}
+    cases = [
+        ("table", True),
+        ("zz", False),
+        ("table zz", True),          # OR: one live term suffices
+        ("+table +zz", False),       # required term missing
+        ('"table hash"', True),
+        ('"table zz"', False),       # phrase slot missing
+        ("-table", True),            # pure must_not: conservative run
+        ("(zz qq) table", True),
+        ("+(zz qq)", False),         # required group, all dead
+    ]
+    for q, want in cases:
+        assert query_could_match(parse_query(q, "OR"), vocab) == want, q
+
+
+def test_percolate_with_dead_queries(spark):
+    """A large registered set of non-matching queries changes nothing in
+    the output (they are pre-filtered, not engine-run)."""
+    import pandas as pd
+
+    from lucene_solr_spark.search.memory import percolate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["table hash", "merge sort"]})
+    )
+    live = ["table", '"merge sort"']
+    dead = [f"deadterm{i}" for i in range(200)]
+    res = percolate(docs, live + dead).collect()
+    got = {(r["doc_id"], r["query_id"]) for r in res}
+    assert got == {(1, 0), (2, 1)}
