@@ -203,3 +203,57 @@ def english_filter_terms(terms):
         [porter_stem(_strip_possessive(t)) for t in uniq], dtype=object
     )
     return stemmed[inv]
+
+
+def minimal_english_stem(word: str) -> str:
+    """The published S-stemmer (Harman 1991, "How Effective Is
+    Suffixing?", JASIS 42(1) — the algorithm behind the reference's
+    EnglishMinimalStemFilter, analysis/common/.../en/
+    EnglishMinimalStemmer.java; implemented from the published rules, no
+    reference code consulted):
+
+      1. -ies  -> -y   unless the word ends in -eies or -aies
+      2. -es   -> -e   unless the word ends in -aes, -ees or -oes
+      3. -s    -> ''   unless the word ends in -us or -ss
+    Only the first applicable rule fires; words shorter than 3 chars pass.
+    """
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    if word.endswith("ies"):
+        if word.endswith(("eies", "aies")):
+            return word
+        return word[:-3] + "y"
+    if word.endswith("es"):
+        if word.endswith(("aes", "ees", "oes")):
+            return word
+        return word[:-1]
+    if word.endswith(("us", "ss")):
+        return word
+    return word[:-1]
+
+
+def english_minimal_filter_terms(terms):
+    """Possessive strip + minimal plural stem over an analyzed term column
+    (vocabulary-vectorized, same shape as english_filter_terms)."""
+    if isinstance(terms, pd.Categorical):
+        cats = terms.categories.to_numpy(dtype=object)
+        new = np.array(
+            [minimal_english_stem(_strip_possessive(t)) for t in cats],
+            dtype=object,
+        )
+        uniq, inv = np.unique(new, return_inverse=True)
+        codes = np.asarray(terms.codes)
+        return pd.Categorical.from_codes(
+            inv[codes] if len(codes) else np.zeros(0, np.int64),
+            categories=uniq,
+        )
+    arr = np.asarray(terms, dtype=object)
+    if len(arr) == 0:
+        return arr
+    uniq, inv = np.unique(arr, return_inverse=True)
+    stemmed = np.array(
+        [minimal_english_stem(_strip_possessive(t)) for t in uniq],
+        dtype=object,
+    )
+    return stemmed[inv]

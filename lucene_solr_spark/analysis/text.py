@@ -198,7 +198,9 @@ def _tokenize_regex(texts: pd.Series) -> tuple:
 #              (analysis/common/.../en/EnglishAnalyzer.java:105-113)
 #   folding  — + ASCIIFoldingFilter (diacritics/ligatures -> ASCII,
 #              analysis/common/.../miscellaneous/ASCIIFoldingFilter.java)
-ANALYZERS = ("standard", "english", "folding")
+#   english_minimal — + possessive strip + Harman 1991 S-stemmer
+#              (analysis/common/.../en/EnglishMinimalStemFilter.java)
+ANALYZERS = ("standard", "english", "folding", "english_minimal")
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
@@ -257,6 +259,12 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         from .fold import fold_filter_terms
 
         terms = fold_filter_terms(
+            terms if isinstance(terms, pd.Categorical) else np.asarray(terms)
+        )
+    elif analyzer == "english_minimal":
+        from .stem import english_minimal_filter_terms
+
+        terms = english_minimal_filter_terms(
             terms if isinstance(terms, pd.Categorical) else np.asarray(terms)
         )
     out = pd.DataFrame(

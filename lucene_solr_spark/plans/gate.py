@@ -1688,6 +1688,57 @@ SELECT strip_accents(term) AS term, count(DISTINCT doc_id) AS df
 FROM toks GROUP BY 1 ORDER BY term""",
     )
 
+    def _sstem_terms(spark, sf):
+        # 4th analyzer registry entry: Harman-1991 S-stemmer
+        # (EnglishMinimalStemFilter) through the real chain; df per stem
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+
+        def run(batches):
+            for pdf in batches:
+                flat = tokenize_series(pdf["text"], analyzer="english_minimal")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy()[
+                            flat["doc_idx"].to_numpy()
+                        ],
+                        "term": flat["term"].astype(str),
+                    }
+                )
+
+        toks = docs.mapInPandas(run, "doc_id long, term string")
+        return (
+            toks.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy("term")
+        )
+
+    R["sstem_terms"] = (
+        _sstem_terms,
+        f"""{TOKS},
+stemmed AS (
+  SELECT doc_id,
+         CASE
+           WHEN term LIKE '%eies' OR term LIKE '%aies' THEN term
+           WHEN length(term) >= 3 AND term LIKE '%ies'
+             THEN substr(term, 1, length(term) - 3) || 'y'
+           WHEN term LIKE '%aes' OR term LIKE '%ees' OR term LIKE '%oes' THEN term
+           WHEN length(term) >= 3 AND term LIKE '%es'
+             THEN substr(term, 1, length(term) - 1)
+           WHEN term LIKE '%us' OR term LIKE '%ss' THEN term
+           WHEN length(term) >= 3 AND term LIKE '%s'
+             THEN substr(term, 1, length(term) - 1)
+           ELSE term
+         END AS term
+  FROM toks
+)
+SELECT term, count(DISTINCT doc_id) AS df FROM stemmed
+GROUP BY term ORDER BY term""",
+    )
+
     def _funcquery_ord_tf(spark, sf):
         # join-backed value sources: ord() (distinct-rank broadcast,
         # OrdFieldSource 1-based lexicographic ordinal) + tf() (tokens-
@@ -1846,7 +1897,7 @@ _PRIORITY = [
     # round-3 additions (never driver-checked yet)
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
-    "funcquery_stats_sources", "ascii_folding_terms",
+    "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
 ]
 
 # One representative of each already-driver-green family rides along in the

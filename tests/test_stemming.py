@@ -148,3 +148,29 @@ def test_nrt_append_inherits_analyzer(spark, inflected_corpus):
         1 for t in inflected_corpus["text"]
         if any(f in t.split() for f in ["merge", "merging", "merged", "merges"])
     )
+
+
+def test_minimal_english_stem_published_rules():
+    """Harman-1991 S-stemmer rules (EnglishMinimalStemFilter)."""
+    from lucene_solr_spark.analysis.stem import minimal_english_stem as m
+
+    assert m("ponies") == "pony"
+    assert m("ties") == "ty"
+    assert m("eies") == "eies" and m("aies") == "aies"
+    assert m("tables") == "table"
+    assert m("goes") == "goes" and m("trees") == "trees" and m("aes") == "aes"
+    assert m("cats") == "cat"
+    assert m("focus") == "focus" and m("glass") == "glass"
+    assert m("is") == "is" and m("as") == "as"  # < 3 chars pass
+    assert m("dog") == "dog"
+
+
+def test_english_minimal_analyzer_conflates():
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import tokenize_series
+
+    flat = tokenize_series(
+        pd.Series(["cat cats pony ponies"]), analyzer="english_minimal"
+    )
+    assert flat["term"].tolist() == ["cat", "cat", "pony", "pony"]
