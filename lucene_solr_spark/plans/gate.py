@@ -1417,6 +1417,107 @@ FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
 ORDER BY doc_id""",
     )
 
+    def _edismax_pf(spark, sf):
+        s = gate_searcher_fields(spark, sf)
+        res = s.edismax("table hash", qf={"text": 1.0, "title": 2.0},
+                        tie=0.1, k=10, pf={"text": 1.5, "title": 4.0})
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    # oracle: qf part (per term, per field: BM25 w/ field stats; max +
+    # tie*rest) + pf part (exact-phrase adjacency freq per field, weight =
+    # field idf sum * boost)
+    R["edismax_pf_topk"] = (
+        _edismax_pf,
+        f"""
+WITH {sql_tokens_cte("documents")},
+ttoks_all AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({_TITLE_EXPR}), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower({_TITLE_EXPR}), '[a-z0-9]+'), 1) - 1 AS pos
+  FROM documents
+),
+ttoks AS (SELECT * FROM ttoks_all WHERE term NOT IN ({sql_stoplist()})),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+tqdl AS (SELECT d.doc_id, nt.qlen FROM tdl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT sum(dl) FROM tdl)::DOUBLE / (SELECT count(*) FROM documents) AS tavgdl
+),
+qterms(term) AS (VALUES ('table'), ('hash')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+ttf_r AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+          WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+tdfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttoks
+         WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+per AS (
+  SELECT COALESCE(tf.doc_id, ttf_r.doc_id) AS doc_id,
+         COALESCE(tf.term, ttf_r.term) AS term,
+         COALESCE(
+           1.0 * ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+             * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)), 0) AS s_text,
+         COALESCE(
+           2.0 * ln(1 + (c.n - tdfr.df + 0.5) / (tdfr.df + 0.5)) * {K1 + 1}
+             * ttf_r.tf / (ttf_r.tf + {K1} * ({1 - B} + {B} * tq.qlen / c.tavgdl)), 0) AS s_title
+  FROM tf
+  FULL OUTER JOIN ttf_r ON tf.doc_id = ttf_r.doc_id AND tf.term = ttf_r.term
+  LEFT JOIN dfr ON COALESCE(tf.term, ttf_r.term) = dfr.term
+  LEFT JOIN tdfr ON COALESCE(tf.term, ttf_r.term) = tdfr.term
+  LEFT JOIN qdl q ON COALESCE(tf.doc_id, ttf_r.doc_id) = q.doc_id
+  LEFT JOIN tqdl tq ON COALESCE(tf.doc_id, ttf_r.doc_id) = tq.doc_id
+  CROSS JOIN consts c
+),
+qf_scores AS (
+  SELECT doc_id,
+         sum(greatest(s_text, s_title)
+             + 0.1 * (s_text + s_title - greatest(s_text, s_title))) AS score
+  FROM per GROUP BY doc_id
+),
+idfsum AS (
+  SELECT (SELECT sum(ln(1 + (c.n - df + 0.5) / (df + 0.5)))
+          FROM dfr CROSS JOIN consts c) AS w_text,
+         (SELECT sum(ln(1 + (c.n - df + 0.5) / (df + 0.5)))
+          FROM tdfr CROSS JOIN consts c) AS w_title
+),
+ph_text AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id
+),
+ph_title AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM ttoks a JOIN ttoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash' GROUP BY a.doc_id
+),
+scores AS (
+  SELECT q.doc_id,
+         q.score
+         + COALESCE(1.5 * i.w_text * {K1 + 1} * pt.freq
+             / (pt.freq + {K1} * ({1 - B} + {B} * qd.qlen / c.avgdl)), 0)
+         + COALESCE(4.0 * i.w_title * {K1 + 1} * pti.freq
+             / (pti.freq + {K1} * ({1 - B} + {B} * tqd.qlen / c.tavgdl)), 0)
+           AS score
+  FROM qf_scores q
+  LEFT JOIN ph_text pt ON q.doc_id = pt.doc_id
+  LEFT JOIN ph_title pti ON q.doc_id = pti.doc_id
+  LEFT JOIN qdl qd ON q.doc_id = qd.doc_id
+  LEFT JOIN tqdl tqd ON q.doc_id = tqd.doc_id
+  CROSS JOIN consts c CROSS JOIN idfsum i
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     def _span_not(spark, sf):
         # SpanNotQuery: ordered near('table','hash')~2 spans that do NOT
         # overlap any 'join' occurrence (spans/SpanNotQuery.java), per-doc
@@ -1898,6 +1999,7 @@ _PRIORITY = [
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
     "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
+    "edismax_pf_topk",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -1979,6 +1979,7 @@ class SparkSearcher:
         qf: dict[str, float],
         tie: float = 0.0,
         k: int = 10,
+        pf: dict[str, float] | None = None,
     ) -> DataFrame:
         """ExtendedDismax per-field-boost search (solr/core/.../search/
         ExtendedDismaxQParser.java:60-120): each query term becomes a
@@ -1988,6 +1989,12 @@ class SparkSearcher:
         weight idf_f(t) * qf[f]; per term the contribution is
         max over fields + tie * rest (DisjunctionMaxQuery.java:45-54), and
         the document score is the float32 clause-order sum over terms.
+
+        ``pf`` adds the phrase-field boost (ExtendedDismaxQParser pf):
+        for each pf field the WHOLE query, as an exact phrase over that
+        field's namespaced terms, joins the boolean as an optional clause
+        — weight = (sum of the field's term idfs) * pf[field], scored
+        with the field's own norms/avgdl.
         """
         from ..analysis import analyze_one
         from ..index.build import FIELD_SEP
@@ -1997,11 +2004,17 @@ class SparkSearcher:
         if not terms:
             return empty
         fields = list(qf)
+        pf = dict(pf or {})
+        if len(terms) < 2:
+            pf = {}  # a one-term phrase degenerates; reference drops pf too
 
         def ns(f: str, t: str) -> str:
             return t if f == "text" else f + FIELD_SEP + t
 
-        all_ns = sorted({ns(f, t) for f in fields for t in terms})
+        all_ns = sorted(
+            {ns(f, t) for f in fields for t in terms}
+            | {ns(f, t) for f in pf for t in terms}
+        )
         stats = self._term_stats(all_ns)
         wv = {
             (f, t): bm25.weight_value(
@@ -2010,16 +2023,29 @@ class SparkSearcher:
             for f in fields
             for t in terms
         }
+        # pf weight: a PhraseQuery's weight is the sum of its terms' idfs
+        # (PhraseWeight), here per pf field and scaled by its boost
+        wv_pf = {}
+        for f, boost in pf.items():
+            s_idf = np.float32(0.0)
+            for t in terms:
+                s_idf = np.float32(
+                    s_idf + bm25.idf(stats.get(ns(f, t), 0), self.max_doc)
+                )
+            wv_pf[f] = bm25.weight_value(s_idf, boost=boost)
         caches = {
             f: bm25.norm_cache(
                 bm25.avg_field_length(self.field_sum_len(f), self.max_doc)
             )
-            for f in fields
+            for f in set(fields) | set(pf)
         }
-        prows = self._postings.where(F.col("term").isin(all_ns)).select(
+        cols = [
             "segment_id", "term", "df", "blocks", "skip_last", "skip_off",
             "skip_max_tf", "skip_max_norm",
-        )
+        ]
+        if pf:
+            cols += ["positions", "skip_pos_off"]
+        prows = self._postings.where(F.col("term").isin(all_ns)).select(*cols)
         seg_meta = self.seg_meta
         tlist, flist, tie_f, kk = terms, fields, np.float32(tie), k
 
@@ -2031,7 +2057,10 @@ class SparkSearcher:
             cand = np.unique(
                 np.concatenate([r.decode_all()[0] for r in rows.values()])
             )
-            norms_by_f = {f: _read_field_norms(seg["dir"], f)[0] for f in flist}
+            norms_by_f = {
+                f: _read_field_norms(seg["dir"], f)[0]
+                for f in set(flist) | set(wv_pf)
+            }
             n = len(cand)
             total = np.zeros(n, dtype=np.float32)
             matched = np.zeros(n, dtype=bool)
@@ -2059,6 +2088,22 @@ class SparkSearcher:
                 ).astype(np.float32)
                 total = (total + contrib).astype(np.float32)
                 matched |= hit
+            for f, wvp in wv_pf.items():
+                from .query import Clause as _Cl
+
+                pc = _Cl("phrase", [ns(f, t) for t in tlist],
+                         offsets=list(range(len(tlist))))
+                if not _phrase_present(pc, rows):
+                    continue
+                ids_p, freqs = _phrase_freqs(pc, rows, cand)
+                if len(ids_p) == 0:
+                    continue
+                pos_i = np.searchsorted(cand, ids_p)
+                contrib = np.zeros(n, dtype=np.float32)
+                contrib[pos_i] = bm25.score_freqs(
+                    freqs, norms_by_f[f][ids_p], caches[f], wvp
+                )
+                total = (total + contrib).astype(np.float32)
             cand, total = cand[matched], total[matched]
             if len(cand) == 0:
                 return _empty_pdf()

@@ -167,3 +167,51 @@ def test_edismax_single_field_equals_search(mf_searcher):
     np.testing.assert_array_equal(
         a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
     )
+
+
+def test_edismax_pf_phrase_boost(mf_searcher, mf_index):
+    """pf adds the per-field exact-phrase score (weight = field idf sum *
+    boost) on top of the qf score; docs without the phrase are unchanged."""
+    import numpy as np
+
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import bm25
+
+    _, _, pages = mf_index
+    qf = {"text": 1.0}
+    base = mf_searcher.edismax("babe roro", qf=qf, k=3000).toPandas()
+    boosted = mf_searcher.edismax("babe roro", qf=qf, k=3000,
+                                  pf={"text": 2.0}).toPandas()
+    b_map = dict(zip(base["docid"].astype(int),
+                     base["score"].astype(np.float32)))
+    g_map = dict(zip(boosted["docid"].astype(int),
+                     boosted["score"].astype(np.float32)))
+    assert set(b_map) == set(g_map)
+
+    # independent phrase occurrence check per doc
+    urls = pages["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = tokenize_series(pages["text"])
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    has_phrase = set()
+    for d, g in flat[flat["term"].isin(["babe", "roro"])].groupby("docid"):
+        a = np.sort(g[g["term"] == "babe"]["pos"].to_numpy())
+        b = np.sort(g[g["term"] == "roro"]["pos"].to_numpy())
+        if len(a) and len(b) and np.isin(a + 1, b).any():
+            has_phrase.add(int(d))
+    changed = {d for d in b_map if g_map[d] != b_map[d]}
+    assert changed == (has_phrase & set(b_map))
+    assert all(g_map[d] > b_map[d] for d in changed)
+
+
+def test_edismax_pf_single_term_noop(mf_searcher):
+    import numpy as np
+
+    a = mf_searcher.edismax("babe", qf={"text": 1.0}, k=10).toPandas()
+    b = mf_searcher.edismax("babe", qf={"text": 1.0}, k=10,
+                            pf={"text": 9.0}).toPandas()
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
