@@ -894,6 +894,26 @@ def _span_posmap(node, rows: dict) -> dict:
     return posmap
 
 
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Classic Levenshtein with an early-exit band (returns cap+1 once the
+    distance provably exceeds ``cap``) — the scan-side analog of the
+    Levenshtein automaton's band restriction."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
 def _resident_empty(with_url: bool) -> pd.DataFrame:
     cols = {"rank": np.zeros(0, np.int32), "docid": np.zeros(0, np.int64)}
     if with_url:
@@ -966,6 +986,7 @@ class SparkSearcher:
         self._stats_cache: dict[str, int] = {}
         self._field_sums: dict[str, int] = {}
         self._multi_field: bool | None = None
+        self._resident_dict: np.ndarray | None = None
         # filterCache (SolrIndexSearcher.java:151-153 filterCache): fq ->
         # materialized global docid set, evaluated once per searcher
         self._filter_cache: dict[str, object] = {}
@@ -1597,7 +1618,7 @@ class SparkSearcher:
         )
         return [r["term"] for r in rows]
 
-    def _rewrite_multiterm(self, q: Query) -> Query | None:
+    def _rewrite_multiterm(self, q: Query, resident: bool = False) -> Query | None:
         """MultiTermQuery rewrite (search/MultiTermQuery.java:64-116,
         CONSTANT_SCORE_REWRITE): expand wildcard/regexp patterns against the
         terms dictionary into constant-score term_set clauses. Returns None
@@ -1608,7 +1629,7 @@ class SparkSearcher:
         for c in q.clauses:
             if c.kind == "bool":
                 sub = (
-                    self._rewrite_multiterm(c.sub)
+                    self._rewrite_multiterm(c.sub, resident=resident)
                     if _query_has(c.sub, ("wildcard", "regexp", "fuzzy"))
                     else c.sub
                 )
@@ -1632,7 +1653,11 @@ class SparkSearcher:
                 # idf * (1 - ed / min(|term|, |target|)), FuzzyTermsEnum's
                 # BoostAttribute. Deterministic clause order (-boost, term)
                 # fixes the float32 accumulation order.
-                cands = self.expand_fuzzy(c.terms[0], c.fuzzy_edits)
+                cands = (
+                    self.expand_fuzzy_resident(c.terms[0], c.fuzzy_edits)
+                    if resident
+                    else self.expand_fuzzy(c.terms[0], c.fuzzy_edits)
+                )
                 if not cands:
                     if c.required:
                         return None
@@ -1645,9 +1670,17 @@ class SparkSearcher:
                                   boost=c.boost, sub=sub))
                 continue
             if c.kind == "wildcard":
-                terms = self.expand_wildcard(c.terms[0], max_expansions=1 << 20)
+                terms = (
+                    self.expand_wildcard_resident(c.terms[0])
+                    if resident
+                    else self.expand_wildcard(c.terms[0], max_expansions=1 << 20)
+                )
             elif c.kind == "regexp":
-                terms = self.expand_regexp(c.terms[0], max_expansions=1 << 20)
+                terms = (
+                    self.expand_regexp_resident(c.terms[0])
+                    if resident
+                    else self.expand_regexp(c.terms[0], max_expansions=1 << 20)
+                )
             else:
                 out.append(c)
                 continue
@@ -1660,11 +1693,18 @@ class SparkSearcher:
         # an empty expansion just prohibits nothing
         mn = list(q.must_not)
         for kind, pat in getattr(q, "must_not_patterns", ()):
-            mn.extend(
-                self.expand_wildcard(pat, max_expansions=1 << 20)
-                if kind == "wildcard"
-                else self.expand_regexp(pat, max_expansions=1 << 20)
-            )
+            if resident:
+                mn.extend(
+                    self.expand_wildcard_resident(pat)
+                    if kind == "wildcard"
+                    else self.expand_regexp_resident(pat)
+                )
+            else:
+                mn.extend(
+                    self.expand_wildcard(pat, max_expansions=1 << 20)
+                    if kind == "wildcard"
+                    else self.expand_regexp(pat, max_expansions=1 << 20)
+                )
         if not out:
             return None
         return Query(out, mn, q.min_should_match, dismax_tie=q.dismax_tie)
@@ -1832,6 +1872,79 @@ class SparkSearcher:
         )
         return t.to_pandas()
 
+    def _dictionary_resident(self) -> np.ndarray:
+        """Sorted default-field terms dictionary, cached for the searcher's
+        lifetime (driver-side single-column parquet reads — the FST term
+        index held hot, the embedded-mode analog of BlockTree in RAM)."""
+        if self._resident_dict is None:
+            import pyarrow.parquet as pq
+
+            from ..index.build import FIELD_SEP
+
+            parts = []
+            for m in self.seg_meta.values():
+                t = pq.read_table(
+                    os.path.join(m["dir"], "postings.parquet"),
+                    columns=["term"],
+                )
+                parts.append(t["term"].to_numpy(zero_copy_only=False))
+            allt = np.unique(np.concatenate(parts)) if parts else np.zeros(0, object)
+            mask = np.char.find(allt.astype(str), FIELD_SEP) < 0
+            self._resident_dict = allt[mask]
+        return self._resident_dict
+
+    def expand_wildcard_resident(
+        self, pattern: str, max_expansions: int = 1 << 20
+    ) -> list[str]:
+        """Wildcard expansion over the resident dictionary — same automaton
+        ∩ dictionary semantics as expand_wildcard, zero Spark jobs."""
+        import re as _re
+
+        rx = _re.compile(self.wildcard_to_regex(pattern))
+        d = self._dictionary_resident()
+        prefix = _re.match(r"^[^*?]*", pattern).group(0)
+        if prefix:
+            lo = np.searchsorted(d, prefix)
+            hi = np.searchsorted(d, prefix + "￿")
+            d = d[lo:hi]
+        return [t for t in d if rx.match(t)][:max_expansions]
+
+    def expand_regexp_resident(
+        self, regex: str, max_expansions: int = 1 << 20
+    ) -> list[str]:
+        import re as _re
+
+        rx = _re.compile(f"^(?:{regex})$")
+        meta = set(".*+?[](){}|\\^$")
+        prefix = ""
+        for ch in regex:
+            if ch in meta:
+                break
+            prefix += ch
+        d = self._dictionary_resident()
+        if prefix:
+            lo = np.searchsorted(d, prefix)
+            hi = np.searchsorted(d, prefix + "￿")
+            d = d[lo:hi]
+        return [t for t in d if rx.match(t)][:max_expansions]
+
+    def expand_fuzzy_resident(
+        self, target: str, max_edits: int = 2, max_expansions: int = 50
+    ) -> list[tuple[str, float]]:
+        """Fuzzy expansion over the resident dictionary: same candidates,
+        boosts and (-boost, term) cutoff order as expand_fuzzy."""
+        tl = len(target)
+        d = self._dictionary_resident()
+        lens = np.char.str_len(d.astype(str))
+        band = d[(lens >= tl - max_edits) & (lens <= tl + max_edits)]
+        out = []
+        for t in band:
+            ed = _levenshtein(t, target, max_edits)
+            if ed <= max_edits:
+                out.append((t, 1.0 - ed / min(len(t), tl)))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:max_expansions]
+
     def _term_stats_resident(self, terms: list[str]) -> dict[str, int]:
         """Global df per term without a Spark job (driver-side pruned
         parquet reads), sharing the searcher-lifetime stats cache."""
@@ -1881,9 +1994,9 @@ class SparkSearcher:
         if dismax_tie is not None:
             q.dismax_tie = dismax_tie
         if _query_has(q, ("wildcard", "regexp", "fuzzy")):
-            # multiterm rewrites expand against the dictionary via Spark;
-            # the expansion result is itself served residently
-            q = self._rewrite_multiterm(q)
+            # dictionary rewrites run over the RESIDENT dictionary too —
+            # the whole warm path is Spark-job-free
+            q = self._rewrite_multiterm(q, resident=True)
             if q is None:
                 return _resident_empty(with_url)
         if (
@@ -1896,7 +2009,7 @@ class SparkSearcher:
         fqq = (parse_query(fq, "AND", analyzer=self.analyzer)
                if isinstance(fq, str) else fq)
         if fqq is not None and _query_has(fqq, ("wildcard", "regexp", "fuzzy")):
-            fqq = self._rewrite_multiterm(fqq)
+            fqq = self._rewrite_multiterm(fqq, resident=True)
             if fqq is None:
                 return _resident_empty(with_url)
 

@@ -278,3 +278,30 @@ def test_resident_no_spark_jobs_on_warm_path(spark, small_index):
     s.search_resident("babe roro", k=10)
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+def test_resident_multiterm_expansion_matches_spark(spark, small_index):
+    """Resident dictionary expansion (wildcard/regexp/fuzzy) == the Spark
+    dictionary scan, and wildcard queries run Spark-job-free resident."""
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    assert s.expand_wildcard_resident("ro*") == s.expand_wildcard("ro*")
+    assert s.expand_wildcard_resident("*a*", 1024) == s.expand_wildcard("*a*")
+    assert s.expand_regexp_resident("b.b.") == s.expand_regexp("b.b.")
+    assert s.expand_fuzzy_resident("babe", 2) == s.expand_fuzzy("babe", 2)
+    s.search_resident("ro* babe", k=5)  # warm: dictionary + stats cached
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    a = s.search_resident("ro* babe", k=5)
+    assert tracker.getJobIdsForGroup(None) == before
+    b = s.search_pdf("ro* babe", k=5)
+    assert list(a["docid"]) == list(b["docid"])
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
+    # negated pattern through the resident path
+    c = s.search_resident("babe -ro*", k=100)
+    d = s.search_pdf("babe -ro*", k=100)
+    assert list(c["docid"]) == list(d["docid"])
