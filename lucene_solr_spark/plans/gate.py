@@ -1294,6 +1294,48 @@ FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
 ORDER BY doc_id""",
     )
 
+    # SCORING_BOOLEAN wildcard rewrite (TopTermsScoringBooleanQueryRewrite,
+    # search/TopTermsRewrite.java:40-70): 's*' expands to real BM25 term
+    # clauses (df-ranked top-50 cutoff) instead of a constant-score doc set
+    R["wildcard_topterms_scored"] = (
+        lambda spark, sf: gate_searcher(spark, sf)
+        .search("s*", k=10, multiterm_scoring=True, with_url=False)
+        .select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        )
+        .orderBy("doc_id"),
+        f"""
+WITH {sql_tokens_cte("documents")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+cand AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term LIKE 's%' GROUP BY term
+  ORDER BY df DESC, term LIMIT 50
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM cand) GROUP BY doc_id, term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - cd.df + 0.5) / (cd.df + 0.5)) * {K1 + 1}
+              * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)) ) AS score
+  FROM tf
+  JOIN cand cd USING (term)
+  JOIN qdl q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     def _span_near(spark, sf):
         # ordered span-near: 'table' then 'hash' within slop 2, per-doc
         # match count (anchor = each 'hash' occurrence, chain = closest
@@ -1999,7 +2041,7 @@ _PRIORITY = [
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
     "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
-    "edismax_pf_topk",
+    "edismax_pf_topk", "wildcard_topterms_scored",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -1018,6 +1018,7 @@ class SparkSearcher:
         fq: str | Query | None = None,
         fq_docids=None,
         dismax_tie: float | None = None,
+        multiterm_scoring: bool = False,
         _count_only: bool = False,
         _all_hits: bool = False,
     ) -> DataFrame:
@@ -1063,7 +1064,9 @@ class SparkSearcher:
         if not q.clauses:
             return empty
         if _query_has(q, ("wildcard", "regexp", "fuzzy")):
-            q = self._rewrite_multiterm(q)
+            if multiterm_scoring:
+                prune = False  # scored expansions become nested groups
+            q = self._rewrite_multiterm(q, scoring=multiterm_scoring)
             if q is None:
                 return empty
         fqq = (parse_query(fq, "AND", analyzer=self.analyzer)
@@ -1594,6 +1597,29 @@ class SparkSearcher:
         )
         return [(r["term"], float(r["boost"])) for r in rows]
 
+    def expand_wildcard_topterms(
+        self, pattern: str, n: int = 50, resident: bool = False
+    ) -> list[str]:
+        """TopTermsRewrite cutoff for SCORING wildcard rewrites
+        (search/TopTermsRewrite.java:40-70 applied to WildcardQuery):
+        candidates ranked by global df descending (the highest-impact
+        terms), ties by term — the deliberate df-ranked profile of the
+        constant-boost case."""
+        terms = (
+            self.expand_wildcard_resident(pattern)
+            if resident
+            else self.expand_wildcard(pattern, max_expansions=1 << 20)
+        )
+        if len(terms) <= n:
+            return sorted(terms)
+        stats = (
+            self._term_stats_resident(terms)
+            if resident
+            else self._term_stats(terms)
+        )
+        ranked = sorted(terms, key=lambda t: (-stats.get(t, 0), t))[:n]
+        return sorted(ranked)
+
     def expand_regexp(self, regex: str, max_expansions: int = 1024) -> list[str]:
         """RegexpQuery expansion: the pattern must match the ENTIRE term
         (search/RegexpQuery.java:43-47), hence the ^(?:...)$ anchoring."""
@@ -1618,7 +1644,9 @@ class SparkSearcher:
         )
         return [r["term"] for r in rows]
 
-    def _rewrite_multiterm(self, q: Query, resident: bool = False) -> Query | None:
+    def _rewrite_multiterm(
+        self, q: Query, resident: bool = False, scoring: bool = False
+    ) -> Query | None:
         """MultiTermQuery rewrite (search/MultiTermQuery.java:64-116,
         CONSTANT_SCORE_REWRITE): expand wildcard/regexp patterns against the
         terms dictionary into constant-score term_set clauses. Returns None
@@ -1629,7 +1657,8 @@ class SparkSearcher:
         for c in q.clauses:
             if c.kind == "bool":
                 sub = (
-                    self._rewrite_multiterm(c.sub, resident=resident)
+                    self._rewrite_multiterm(c.sub, resident=resident,
+                                            scoring=scoring)
                     if _query_has(c.sub, ("wildcard", "regexp", "fuzzy"))
                     else c.sub
                 )
@@ -1687,6 +1716,26 @@ class SparkSearcher:
             if not terms:
                 if c.required:
                     return None
+                continue
+            if scoring and c.kind in ("wildcard", "regexp"):
+                # SCORING_BOOLEAN rewrite via TopTermsRewrite: the top-50
+                # df-ranked expansions become real BM25 term clauses
+                # (constant boost 1 each; the pattern's own boost rides on
+                # the group), instead of the constant-score doc-set union
+                if len(terms) > 50:
+                    stats = (
+                        self._term_stats_resident(terms)
+                        if resident
+                        else self._term_stats(terms)
+                    )
+                    terms = sorted(
+                        sorted(terms, key=lambda t: (-stats.get(t, 0), t))[:50]
+                    )
+                sub = Query([
+                    Clause("term", [t], required=False) for t in terms
+                ])
+                out.append(Clause("bool", [], required=c.required,
+                                  boost=c.boost, sub=sub))
                 continue
             out.append(Clause("term_set", terms, required=c.required, boost=c.boost))
         # prohibited patterns ('-foo*') expand into plain must_not terms:

@@ -220,3 +220,24 @@ def test_fuzzy_explain_matches_search(searcher):
     for _, r in res.iterrows():
         ex = searcher.explain("babe~2", int(r["docid"]))
         assert np.float32(ex["total"]) == np.float32(r["score"])
+
+
+def test_wildcard_topterms_scoring_rewrite(searcher, vocab_and_docs):
+    """multiterm_scoring=True: the wildcard becomes a scored boolean of
+    the df-ranked top-50 expansions — bit-identical to the manually
+    expanded boolean; the cutoff keeps the highest-df candidates."""
+    vocab, _ = vocab_and_docs
+    terms = searcher.expand_wildcard_topterms("ba*")
+    a = searcher.search_pdf("ba* roro", k=15, multiterm_scoring=True)
+    manual = "(" + " ".join(terms) + ") roro"
+    b = searcher.search_pdf(manual, k=15)
+    np.testing.assert_array_equal(a["docid"].to_numpy(), b["docid"].to_numpy())
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
+    # cutoff: with many candidates, exactly the 50 highest-df survive
+    allc = searcher.expand_wildcard("*a*", max_expansions=1 << 20)
+    if len(allc) > 50:
+        stats = searcher._term_stats(allc)
+        exp = sorted(sorted(allc, key=lambda t: (-stats.get(t, 0), t))[:50])
+        assert searcher.expand_wildcard_topterms("*a*") == exp
