@@ -263,9 +263,16 @@ def write_segment_files(
     )
     n = len(urls)
     # one row per field, the default "text" field FIRST (readers that take
-    # row 0 keep working); per-field norms + sum_len drive per-field BM25
-    fields = ["text"] + (list(extra_built) if extra_built else [])
-    builts = [built] + ([extra_built[f] for f in extra_built] if extra_built else [])
+    # row 0 keep working); per-field norms + sum_len drive per-field BM25.
+    # ``built["extra_norms"]`` carries already-merged extra-field norms
+    # (the merge path, whose postings are pre-namespaced).
+    extra_norms = built.get("extra_norms") or {}
+    fields = ["text"] + (list(extra_built) if extra_built else []) + list(extra_norms)
+    builts = (
+        [built]
+        + ([extra_built[f] for f in extra_built] if extra_built else [])
+        + [extra_norms[f] for f in extra_norms]
+    )
     norms_tbl = pa.table(
         {
             "field": pa.array(fields, pa.string()),
@@ -421,6 +428,7 @@ def build_index(
             "build_id": build_id,
             "total_docs": acc,
             "analyzer": analyzer,
+            "extra_fields": extra_fields,
             "metrics": {
                 "build_wall_s": round(wall_s, 3),
                 "docs_per_sec": round(acc / wall_s, 1) if wall_s > 0 else None,

@@ -205,11 +205,23 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
     seg_metas = sorted(seg_metas, key=lambda s: s["doc_base"])
     new_base = seg_metas[0]["doc_base"]
     tables, norms_list, urls_list, offs = [], [], [], []
+    extra_norm_parts: dict[str, list] = {}
+    extra_sum_len: dict[str, int] = {}
     for s in seg_metas:
         d = os.path.join(index_dir, s["path"])
         tables.append(pq.read_table(os.path.join(d, "postings.parquet")).to_pandas())
         nt = pq.read_table(os.path.join(d, "norms.parquet"))
         norms_list.append(np.frombuffer(nt["norms"][0].as_py(), dtype=np.uint8))
+        if "field" in nt.column_names:
+            for fi, fname in enumerate(nt["field"].to_pylist()):
+                if fname == "text":
+                    continue
+                extra_norm_parts.setdefault(fname, []).append(
+                    np.frombuffer(nt["norms"][fi].as_py(), dtype=np.uint8)
+                )
+                extra_sum_len[fname] = extra_sum_len.get(fname, 0) + int(
+                    nt["sum_len"][fi].as_py()
+                )
         urls_list.append(
             pq.read_table(os.path.join(d, "docmap.parquet"))["url"].to_numpy()
         )
@@ -217,6 +229,19 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
 
     merged_norms = np.concatenate(norms_list)
     merged_urls = np.concatenate(urls_list)
+    merged_extra_norms = {
+        f: {"norm_bytes": np.concatenate(parts), "sum_len": extra_sum_len[f]}
+        for f, parts in extra_norm_parts.items()
+    }
+
+    from .build import FIELD_SEP
+
+    def _norms_for_term(term: str) -> np.ndarray:
+        # namespaced multi-field terms re-encode against THEIR field's norms
+        if FIELD_SEP in term:
+            f = term.split(FIELD_SEP, 1)[0]
+            return merged_extra_norms[f]["norm_bytes"]
+        return merged_norms
 
     # k-way term-sorted merge via BULK BYTE COPY (the SegmentMerger bulk
     # merge path, index/SegmentMerger.java:112-150 — Lucene copies postings
@@ -259,7 +284,9 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
                 sl = np.asarray(row["skip_last"], np.int64)
                 ids, tfs = codec.decode_blocks(row["blocks"], df, so, sl)
                 pos = codec.decode_positions_rows([row["positions"]], [tfs])
-                row = codec.encode_term_postings(ids, tfs, merged_norms, pos)
+                row = codec.encode_term_postings(
+                    ids, tfs, _norms_for_term(term), pos
+                )
             terms_out.append(term)
             rows_out.append(row)
 
@@ -301,6 +328,7 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
         "norm_bytes": merged_norms,
         "sum_len": int(sum(s["sum_len"] for s in seg_metas)),
         "term_count": len(postings),
+        "extra_norms": merged_extra_norms,
     }
     seg_dir = os.path.join(index_dir, "segments", f"seg_{out_seg_id}")
     postings_bytes = write_segment_files(seg_dir, built, merged_urls)

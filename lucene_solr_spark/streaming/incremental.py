@@ -50,6 +50,9 @@ def append_batch(
     # the batch MUST analyze with the index's analyzer or appended docs
     # would carry a different vocabulary
     analyzer = (man or {}).get("analyzer", "standard")
+    # multi-field indexes append multi-field batches (the manifest records
+    # the schema, so appended segments carry the same per-field norms)
+    extra_fields = (man or {}).get("extra_fields") or {}
     scratch = os.path.join(index_dir, f"_batch_{batch_id}")
     sub = build_index(
         spark,
@@ -58,6 +61,7 @@ def append_batch(
         num_segments=num_segments,
         build_id=f"nrt{batch_id}",
         analyzer=analyzer,
+        extra_fields={f: f for f in extra_fields} if extra_fields else None,
     )
     # segments store LOCAL docids: splicing is pure manifest arithmetic,
     # no file rewrites (the soft-commit stays cheap)
@@ -73,7 +77,8 @@ def append_batch(
         index_dir,
         existing + new_segments,
         extra={"build_id": (man or {}).get("build_id", "nrt"),
-               "last_batch_id": batch_id, "analyzer": analyzer},
+               "last_batch_id": batch_id, "analyzer": analyzer,
+               "extra_fields": extra_fields},
     )
 
 

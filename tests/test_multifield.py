@@ -215,3 +215,84 @@ def test_edismax_pf_single_term_noop(mf_searcher):
     np.testing.assert_array_equal(
         a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
     )
+
+
+def test_multifield_merge_preserves_fields(spark, mf_index):
+    """force_merge on a multi-field index: per-field norms travel, the
+    merged index passes CheckIndex, and edismax results are rank- and
+    score-identical before/after."""
+    import numpy as np
+
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.index.merge import force_merge
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _, _ = mf_index
+    before = SparkSearcher(spark, idx).edismax(
+        "babe roro", qf={"text": 1.0, "title": 3.0}, tie=0.2, k=20,
+        pf={"title": 2.0},
+    ).toPandas()
+    force_merge(spark, idx)
+    check_index(idx)
+    after = SparkSearcher(spark, idx).edismax(
+        "babe roro", qf={"text": 1.0, "title": 3.0}, tie=0.2, k=20,
+        pf={"title": 2.0},
+    ).toPandas()
+    np.testing.assert_array_equal(
+        before["docid"].to_numpy(), after["docid"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        before["score"].to_numpy(np.float32),
+        after["score"].to_numpy(np.float32),
+    )
+
+
+def test_multifield_nrt_append(spark, pages_small):
+    """NRT append on a multi-field index: the manifest records the field
+    schema, appended segments carry per-field norms, edismax sees new docs."""
+    import numpy as np
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.search.engine import SparkSearcher
+    from lucene_solr_spark.streaming.incremental import append_batch
+
+    pages = pages_small.copy()
+    pages["title"] = pages["text"].str.split(" ").str[:2].str.join(" ")
+    idx = os.path.join(CACHE, "test_index_mf_nrt")
+    shutil.rmtree(idx, ignore_errors=True)
+    base = pages.iloc[:1500]
+    batch = pages.iloc[1500:1600]
+    build_index(
+        spark, spark.createDataFrame(base[["url", "text", "title"]]), idx,
+        num_segments=2, build_id="mfn", extra_fields={"title": "title"},
+    )
+    append_batch(
+        spark, spark.createDataFrame(batch[["url", "text", "title"]]), idx, 1,
+        num_segments=1,
+    )
+    check_index(idx)
+    s = SparkSearcher(spark, idx)
+    assert s.max_doc == 1600
+    res = s.edismax("babe", qf={"text": 1.0, "title": 5.0}, k=2000).toPandas()
+    assert len(res) > 0
+    # every doc containing 'babe' in either field is found, incl. appended
+    from lucene_solr_spark.analysis import tokenize_series
+
+    urls = np.concatenate([base["url"].to_numpy(), batch["url"].to_numpy()])
+    # docids: base sorted-url rank 0..1499, appended batch continues in
+    # its own sorted order at 1500
+    def ranks(arr, off):
+        r = np.empty(len(arr), np.int64)
+        r[np.argsort(arr)] = np.arange(len(arr))
+        return r + off
+
+    docids = np.concatenate([ranks(base["url"].to_numpy(), 0),
+                             ranks(batch["url"].to_numpy(), 1500)])
+    texts = np.concatenate([
+        (base["text"] + " " + base["title"]).to_numpy(),
+        (batch["text"] + " " + batch["title"]).to_numpy(),
+    ])
+    has = {int(d) for d, t in zip(docids, texts) if "babe" in t.split()}
+    assert set(res["docid"].astype(int)) == has
+    assert any(int(d) >= 1500 for d in res["docid"])
