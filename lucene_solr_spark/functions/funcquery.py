@@ -7,13 +7,14 @@ The reference registers ~54 value-source parsers by name
 Catalyst Column expressions — every function stays JVM-side, codegen'd,
 no UDFs.
 
-Implemented names (parity subset, each mapping to the reference parser of
-the same name): sum add sub product mul div abs min max pow sqrt log ln
-exp floor ceil mod neg recip linear map if not and or eq gt gte lt lte
-strdist ms const literal field. Omitted (documented): ord/rord (global
-rank — a whole-table window; expressible but a scale hazard as a scalar),
-query()/score-coupled sources (the engine's job), geodist (spatial out of
-scope).
+Implemented names (each mapping to the reference parser of the same
+name): sum add sub product mul div abs min max pow sqrt log ln exp floor
+ceil mod neg recip linear map if not and or xor eq gt gte lt lte strdist
+ms def exists geodist const literal field — as pure Column expressions;
+PLUS the join-backed sources below (apply_funcquery): ord rord tf docfreq
+idf norm query — compiled as pre-joined auxiliary columns (distinct-rank
+broadcast, tokens-relation joins, constant folding, engine subquery
+scores), never an unpartitioned window over the corpus.
 
 `scale(x, lo, hi)` IS included: it needs the column's global min/max, so
 it compiles to an agg + crossJoin(broadcast) — the documented two-pass
@@ -138,6 +139,11 @@ _REGISTRY = {
     "ms": lambda a: (
         F.unix_millis(a[0]) - (F.unix_millis(a[1]) if len(a) > 1 else F.lit(0))
     ),
+    # def(x, fallback): x unless null (DefFunction)
+    "def": lambda a: F.coalesce(a[0], a[1]),
+    # exists(x): field has a value (ExistsValueSource)
+    "exists": lambda a: a[0].isNotNull(),
+    "xor": lambda a: _binfold(lambda x, y: (x | y) & ~(x & y), a),
 }
 
 

@@ -187,3 +187,22 @@ def test_geodist_matches_haversine(spark, docs_df):
     j = a.join(b, "doc_id").collect()
     for r in j:
         assert r["func"] == r["ref"]
+
+
+def test_def_exists_xor(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions.funcquery import compile_func
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.0)], "id long, x double"
+    )
+    got = {r["id"]: r["v"] for r in df.select(
+        "id", compile_func("def(x, 0)").alias("v")).collect()}
+    assert got == {1: 5.0, 2: 0.0, 3: 7.0}
+    got = {r["id"]: r["v"] for r in df.select(
+        "id", compile_func("exists(x)").alias("v")).collect()}
+    assert got == {1: True, 2: False, 3: True}
+    got = {r["id"]: r["v"] for r in df.select(
+        "id", compile_func("xor(gt(x,6), exists(x))").alias("v")).collect()}
+    assert got == {1: True, 2: None, 3: False}

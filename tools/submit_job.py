@@ -56,6 +56,11 @@ def main(argv=None):
     b.add_argument("--build-id", default="b0")
     b.add_argument("--url-col", default="url")
     b.add_argument("--text-col", default="text")
+    b.add_argument("--analyzer", default="standard",
+                   help="analyzer registry entry (standard/english/folding/english_minimal)")
+    b.add_argument("--extra-field", action="append", default=[],
+                   metavar="FIELD=COL",
+                   help="additional analyzed field (repeatable), e.g. title=title")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -67,6 +72,10 @@ def main(argv=None):
     s.add_argument("--query", required=True)
     s.add_argument("--mode", default="OR", choices=["OR", "AND"])
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--resident", action="store_true",
+                   help="embedded zero-Spark-job execution (warm serving)")
+    s.add_argument("--qf", action="append", default=[], metavar="FIELD=BOOST",
+                   help="edismax per-field boosts (repeatable)")
 
     args = ap.parse_args(argv)
     spark = _get_spark()
@@ -75,10 +84,12 @@ def main(argv=None):
         from lucene_solr_spark.index.build import build_index
 
         corpus = spark.read.parquet(args.corpus)
+        extra = dict(kv.split("=", 1) for kv in args.extra_field)
         man = build_index(
             spark, corpus, args.index,
             num_segments=args.segments, build_id=args.build_id,
             url_col=args.url_col, text_col=args.text_col,
+            analyzer=args.analyzer, extra_fields=extra or None,
         )
         print(json.dumps({
             "generation": man["generation"],
@@ -97,11 +108,25 @@ def main(argv=None):
     elif args.cmd == "search":
         from lucene_solr_spark.search.engine import SparkSearcher
 
-        res = SparkSearcher(spark, args.index).search(
-            args.query, k=args.k, mode=args.mode
-        )
-        for row in res.collect():
-            print(json.dumps(row.asDict()))
+        searcher = SparkSearcher(spark, args.index)
+        if args.qf:
+            qf = {k: float(v) for k, v in
+                  (kv.split("=", 1) for kv in args.qf)}
+            for row in searcher.edismax(args.query, qf=qf, k=args.k).collect():
+                print(json.dumps(row.asDict()))
+        elif args.resident:
+            pdf = searcher.search_resident(
+                args.query, k=args.k, mode=args.mode, with_url=True
+            )
+            for _, row in pdf.iterrows():
+                print(json.dumps({
+                    "rank": int(row["rank"]), "docid": int(row["docid"]),
+                    "url": row["url"], "score": float(row["score"]),
+                }))
+        else:
+            res = searcher.search(args.query, k=args.k, mode=args.mode)
+            for row in res.collect():
+                print(json.dumps(row.asDict()))
 
 
 if __name__ == "__main__":
