@@ -1624,6 +1624,43 @@ inc AS (SELECT doc_id FROM anchors WHERE p1 IS NOT NULL AND p2 - p1 - 1 <= 2)
 SELECT doc_id, count(*) AS freq FROM inc GROUP BY doc_id ORDER BY doc_id""",
     )
 
+    def _span_nested(spark, sf):
+        # nested composite span-near: near(near(table, hash)~2, merge)~5
+        # ordered — the general-sub-span chain (NearSpansOrdered over
+        # composite sub-spans)
+        from ..search import spans as SP
+
+        s = gate_searcher(spark, sf)
+        inner = SP.SpanNear((SP.SpanTerm("table"), SP.SpanTerm("hash")), 2, True)
+        outer = SP.SpanNear((inner, SP.SpanTerm("merge")), 5, True)
+        return s.span_query(outer).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    R["span_nested_near_count"] = (
+        _span_nested,
+        f"""{TOKS},
+anchors AS (
+  SELECT b.doc_id, b.pos AS p2,
+         (SELECT max(a.pos) FROM toks a
+          WHERE a.doc_id = b.doc_id AND a.term = 'table' AND a.pos < b.pos) AS p1
+  FROM toks b WHERE b.term = 'hash'
+),
+ispans AS (
+  SELECT doc_id, p1 AS s, p2 + 1 AS e FROM anchors
+  WHERE p1 IS NOT NULL AND p2 - p1 - 1 <= 2
+),
+outer_m AS (
+  SELECT c.doc_id, c.pos AS p3,
+         (SELECT max(i.e) FROM ispans i
+          WHERE i.doc_id = c.doc_id AND i.e <= c.pos) AS be
+  FROM toks c WHERE c.term = 'merge'
+)
+SELECT doc_id, count(*) AS freq FROM outer_m
+WHERE be IS NOT NULL AND p3 - be <= 5
+GROUP BY doc_id ORDER BY doc_id""",
+    )
+
     def _span_first(spark, sf):
         # SpanFirstQuery scored through SpanScorer: 'dup' occurrences ending
         # at position <= 50, freq = count (unit widths), BM25 under idf(dup)
@@ -2041,7 +2078,7 @@ _PRIORITY = [
     "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
     "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
-    "edismax_pf_topk", "wildcard_topterms_scored",
+    "edismax_pf_topk", "wildcard_topterms_scored", "span_nested_near_count",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -327,15 +327,23 @@ def eval_spans(node, posmap: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         w = np.concatenate([p[2] for p in parts])
         return _sort_spans(gs, ge, w)
     if isinstance(node, SpanNear):
-        arrs = []
-        for s in node.subs:
-            gs, ge, w = eval_spans(s, posmap)
-            if len(gs) and (np.any(ge - gs != 1) or np.any(w != 0)):
-                raise NotImplementedError(
-                    "span-near sub-clauses must be unit spans "
-                    "(SpanTerm or SpanOr of SpanTerms)"
-                )
-            arrs.append(gs)
+        sub_spans = [eval_spans(s, posmap) for s in node.subs]
+        all_unit = all(
+            len(gs) == 0 or (np.all(ge - gs == 1) and np.all(w == 0))
+            for gs, ge, w in sub_spans
+        )
+        if node.ordered and not all_unit:
+            # general (composite) sub-spans: nested near(near(a,b), c)
+            gs, ge, w = near_ordered_general_batch(
+                [(gs, ge) for gs, ge, _w in sub_spans], node.slop
+            )
+            return _sort_spans(gs, ge, w)
+        if not all_unit:
+            raise NotImplementedError(
+                "unordered span-near requires unit sub-spans "
+                "(SpanTerm or SpanOr of SpanTerms)"
+            )
+        arrs = [gs for gs, _ge, _w in sub_spans]
         if node.ordered:
             gs, ge, w = near_ordered_spans_batch(arrs, node.slop)
         else:
@@ -399,3 +407,47 @@ def span_doc_sloppy_freqs(
     np.add.at(freqs, docs, contrib)  # sequential adds in span order
     d = np.flatnonzero(freqs > 0)
     return d, freqs[d]
+
+
+def near_ordered_general_batch(
+    subs: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ordered span-near over GENERAL (possibly non-unit) sub-spans, all
+    docs at once — enables nested composition near(near(a,b), c),
+    near(not(...), t), etc. (spans/NearSpansOrdered.java for composite
+    sub-spans).
+
+    subs[j] = (gstart, gend) arrays of sub-clause j's spans. A match
+    anchors at each span of the LAST sub-clause and chains backwards: for
+    each earlier sub-clause, greedily take the span with the largest end
+    <= the current chain start (ties: largest start — the
+    shrinkToAfterShortestMatch-style narrowing; documented greedy, as for
+    the unit kernel). Match width counts THIS level's inter-span gaps:
+    (last.end - first.start) - sum of chosen sub-span extents.
+    """
+    k = len(subs)
+    z = np.zeros(0, np.int64)
+    if any(len(gs) == 0 for gs, _ge in subs):
+        return z, z, z
+    a_gs, a_ge = subs[-1]
+    if k == 1:
+        return a_gs, a_ge, np.zeros(len(a_gs), np.int64)
+    cur_start = a_gs
+    width = np.zeros(len(a_gs), np.int64)
+    valid = np.ones(len(a_gs), dtype=bool)
+    for j in range(k - 2, -1, -1):
+        gs_j, ge_j = subs[j]
+        order = np.lexsort((gs_j, ge_j))  # by end, then start
+        es, ss = ge_j[order], gs_j[order]
+        # one candidate per distinct end: the max-start (narrowest) span
+        last = np.append(np.flatnonzero(es[1:] != es[:-1]), len(es) - 1)
+        es, ss = es[last], ss[last]
+        idx = np.searchsorted(es, cur_start, side="right") - 1
+        valid &= idx >= 0
+        idx = np.maximum(idx, 0)
+        # width accumulates THIS level's inter-span gaps directly
+        width = width + (cur_start - es[idx])
+        cur_start = ss[idx]
+    valid &= (cur_start // SHIFT) == (a_gs // SHIFT)
+    valid &= width <= slop
+    return cur_start[valid], a_ge[valid], width[valid]

@@ -274,3 +274,100 @@ def test_span_search_scoring_matches_term_query_on_unit_spans(searcher):
     np.testing.assert_array_equal(
         a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
     )
+
+
+def test_nested_ordered_near_general_spans():
+    """near(near(a,b), c) composes through the general ordered kernel;
+    widths count this level's inter-span gaps."""
+    from lucene_solr_spark.search import spans as SP
+
+    posmap = {
+        "a": np.array([0, 10], np.int64),
+        "b": np.array([2, 11], np.int64),
+        "c": np.array([5, 13], np.int64),
+    }
+    inner = SP.SpanNear((SP.SpanTerm("a"), SP.SpanTerm("b")), 1, True)
+    gs, ge, w = SP.eval_spans(inner, posmap)
+    assert list(zip(gs, ge, w)) == [(0, 3, 1), (10, 12, 0)]
+    outer = SP.SpanNear((inner, SP.SpanTerm("c")), 2, True)
+    gs, ge, w = SP.eval_spans(outer, posmap)
+    # [0,3)->c@5 gap 2 OK; [10,12)->c@13 gap 1 OK
+    assert list(zip(gs, ge, w)) == [(0, 6, 2), (10, 14, 1)]
+    tight = SP.SpanNear((inner, SP.SpanTerm("c")), 1, True)
+    gs, _ge, _w = SP.eval_spans(tight, posmap)
+    assert list(gs) == [10]
+    # overlap is NOT a match (next sub must start at/after previous end)
+    posmap2 = {"a": np.array([0], np.int64), "b": np.array([2], np.int64),
+               "c": np.array([1], np.int64)}
+    over = SP.SpanNear((inner, SP.SpanTerm("c")), 9, True)
+    assert len(SP.eval_spans(over, posmap2)[0]) == 0
+
+
+def test_general_kernel_equals_unit_kernel_on_unit_spans():
+    from lucene_solr_spark.search import spans as SP
+
+    rng = np.random.default_rng(11)
+    SH = int(SP.SHIFT)
+    for _ in range(100):
+        k = int(rng.integers(2, 4))
+        nd = int(rng.integers(1, 4))
+        slop = int(rng.integers(0, 4))
+        arrs = []
+        for _j in range(k):
+            parts = []
+            for d in range(nd):
+                n = int(rng.integers(1, 5))
+                dl = int(rng.integers(1, 20))
+                parts.append(
+                    np.sort(rng.choice(dl, size=min(n, dl),
+                                       replace=False)).astype(np.int64)
+                    + d * SH
+                )
+            arrs.append(np.concatenate(parts))
+        g1 = SP.near_ordered_spans_batch(arrs, slop)
+        g2 = SP.near_ordered_general_batch([(a, a + 1) for a in arrs], slop)
+        for x, y in zip(g1, g2):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_nested_near_through_engine(searcher, pages_small):
+    """Nested span query end-to-end through span_query on the real index."""
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import spans as SP
+
+    flat = tokenize_series(pages_small["text"])
+    urls = pages_small["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    counts = flat.groupby("term", observed=True).size().sort_values()
+    t1, t2, t3 = counts.index[-1], counts.index[-2], counts.index[-3]
+
+    inner = SP.SpanNear((SP.SpanTerm(t1), SP.SpanTerm(t2)), 2, True)
+    outer = SP.SpanNear((inner, SP.SpanTerm(t3)), 5, True)
+    got = {r["docid"]: r["freq"] for r in searcher.span_query(outer).collect()}
+
+    # brute force per the documented greedy spec
+    pos = {
+        t: {d: np.sort(g["pos"].to_numpy())
+            for d, g in flat[flat["term"] == t].groupby("docid")}
+        for t in (t1, t2, t3)
+    }
+    exp = {}
+    for d in set(pos[t1]) & set(pos[t2]) & set(pos[t3]):
+        inner_spans = []
+        for p2 in pos[t2][d]:
+            before = pos[t1][d][pos[t1][d] < p2]
+            if len(before) and (p2 - before[-1]) - 1 <= 2:
+                inner_spans.append((int(before[-1]), int(p2) + 1))
+        n = 0
+        for p3 in pos[t3][d]:
+            cands = [s for s in inner_spans if s[1] <= p3]
+            if not cands:
+                continue
+            best = max(cands, key=lambda s: (s[1], s[0]))
+            if p3 - best[1] <= 5:
+                n += 1
+        if n:
+            exp[d] = n
+    assert got == exp
