@@ -162,6 +162,25 @@ class OracleSearcher:
                     boost=clause.boost * parent_boost,
                 )
                 s = bm25.score_freqs(tf_list, self.norm_bytes[doc_list], cache, wv)
+            elif clause.kind == "term_set":
+                # constant-score multi-term expansion (MultiTermQuery
+                # CONSTANT_SCORE_REWRITE, mirroring the engine kernel):
+                # score = boost for docs containing ANY set term
+                present = np.zeros(self.max_doc, dtype=bool)
+                for t in clause.terms:
+                    p = self.postings.get(t)
+                    if p is not None:
+                        present[p[0]] = True
+                if not present.any():
+                    if clause.required:
+                        return none, scores
+                    continue
+                doc_list = np.flatnonzero(present)
+                s = np.full(
+                    len(doc_list),
+                    np.float32(clause.boost * parent_boost),
+                    np.float32,
+                )
             elif clause.kind == "phrase":
                 doc_list, freqs = self._phrase_freqs(clause)
                 if len(doc_list) == 0:

@@ -76,6 +76,79 @@ def query_could_match(q, vocab) -> bool:
     return any(clause_possible(c) for c in opt)
 
 
+def rewrite_against_vocab(q, vocab_sorted):
+    """Multiterm rewrite against an in-memory vocabulary (the percolation
+    batch is its own terms dictionary): wildcard/regexp -> constant-score
+    term_set, fuzzy -> boosted scored expansion, prohibited patterns ->
+    must_not terms — the same rewrite semantics as the segment engine's
+    dictionary scan, so MemoryIndex matches what the index would match.
+    Returns None when a required pattern matches nothing."""
+    import re as _re
+
+    import numpy as np
+
+    from .engine import SparkSearcher, _levenshtein, _query_has
+    from .query import Clause, Query
+
+    if not _query_has(q, ("wildcard", "regexp", "fuzzy")) and not getattr(
+        q, "must_not_patterns", None
+    ):
+        return q
+    vocab = list(vocab_sorted)
+
+    def expand(kind, pat):
+        if kind == "wildcard":
+            rx = _re.compile(SparkSearcher.wildcard_to_regex(pat))
+        else:
+            rx = _re.compile(f"^(?:{pat})$")
+        return [t for t in vocab if rx.match(t)]
+
+    out = []
+    for c in q.clauses:
+        if c.kind == "bool":
+            sub = rewrite_against_vocab(c.sub, vocab)
+            if sub is None:
+                if c.required:
+                    return None
+                continue
+            out.append(Clause("bool", [], required=c.required, boost=c.boost,
+                              sub=sub))
+            continue
+        if c.kind == "fuzzy":
+            tl = len(c.terms[0])
+            cands = []
+            for t in vocab:
+                ed = _levenshtein(t, c.terms[0], c.fuzzy_edits)
+                if ed <= c.fuzzy_edits:
+                    cands.append((t, 1.0 - ed / min(len(t), tl)))
+            cands.sort(key=lambda kv: (-kv[1], kv[0]))
+            cands = cands[:50]
+            if not cands:
+                if c.required:
+                    return None
+                continue
+            sub = Query([Clause("term", [t], boost=b) for t, b in cands])
+            out.append(Clause("bool", [], required=c.required, boost=c.boost,
+                              sub=sub))
+            continue
+        if c.kind in ("wildcard", "regexp"):
+            terms = expand(c.kind, c.terms[0])
+            if not terms:
+                if c.required:
+                    return None
+                continue
+            out.append(Clause("term_set", terms, required=c.required,
+                              boost=c.boost))
+            continue
+        out.append(c)
+    mn = list(q.must_not)
+    for kind, pat in getattr(q, "must_not_patterns", ()):
+        mn.extend(expand(kind, pat))
+    if not out:
+        return None
+    return Query(out, mn, q.min_should_match, dismax_tie=q.dismax_tie)
+
+
 def percolate(
     docs: DataFrame,
     queries: list[str],
@@ -87,9 +160,9 @@ def percolate(
     """Match every document against every registered query.
 
     Returns (doc_id, query_id) rows for each (document, query) match,
-    ordered by (doc_id, query_id). Queries support the full parser surface
-    minus dictionary rewrites (wildcard/regexp need a terms dictionary,
-    which a percolation batch intentionally does not build)."""
+    ordered by (doc_id, query_id). Queries support the full parser
+    surface; wildcard/regexp/fuzzy patterns rewrite per batch against the
+    BATCH's own vocabulary (the memory index IS the terms dictionary)."""
     from ..oracle import OracleSearcher
 
     qs = list(queries)
@@ -127,7 +200,10 @@ def percolate(
             for qi, q in enumerate(parsed):
                 if not query_could_match(q, vocab):
                     continue
-                matched, _ = o._matched_scores(q)
+                qr = rewrite_against_vocab(q, sorted(vocab))
+                if qr is None:
+                    continue
+                matched, _ = o._matched_scores(qr)
                 for j in np.flatnonzero(matched):
                     out_doc.append(int(ids[j]))
                     out_q.append(qi)

@@ -127,3 +127,27 @@ def test_percolate_with_dead_queries(spark):
     res = percolate(docs, live + dead).collect()
     got = {(r["doc_id"], r["query_id"]) for r in res}
     assert got == {(1, 0), (2, 1)}
+
+
+def test_percolate_multiterm_queries(spark):
+    """Wildcard / fuzzy / negated-pattern queries percolate against the
+    batch's own vocabulary as the terms dictionary."""
+    import pandas as pd
+
+    from lucene_solr_spark.search.memory import percolate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["table hash join", "tablet stream", "merge sort"],
+        })
+    )
+    qs = ["tab*", "tible~1", "stream -tab*", "+/m.rge/"]
+    res = percolate(docs, qs).collect()
+    got = {(r["doc_id"], r["query_id"]) for r in res}
+    assert got == {
+        (1, 0), (2, 0),        # tab* matches table, tablet
+        (1, 1),                # tible~1 -> table
+        (3, 3),                # regexp merge
+        # 'stream -tab*': doc 2 has stream but also tablet -> excluded
+    }
