@@ -93,9 +93,9 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
 # Arrow fast path: the token charset of _TOKEN_RE re-expressed as a
 # delimiter split + edge trim. Tokens are runs of [\w joiner]; a leading/
 # trailing joiner is trimmed (matching the regex, which only keeps joiners
-# *between* word chars). Known divergence from the regex (documented, not
-# present in web-text shapes): a run with >=2 consecutive interior joiners
-# ("a..b") stays one token here but splits under the regex.
+# *between* word chars). Tokens with >=2 consecutive interior joiners
+# ("a..b") re-split through the regex post-hoc (rare), so the fast path is
+# byte-identical to the regex path (tested).
 # RE2 (Arrow's engine) treats \w as ASCII; spell out the unicode word
 # classes (letters, marks, numbers, underscore) to match Python's \w
 _ARROW_DELIM = r"[^\pL\pM\pN_.,:'’]+"
@@ -124,6 +124,30 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
     vals = vals.filter(nonempty)
     parents = parents[ne]
     n_docs = len(texts)
+
+    # joiner-run fidelity: the delimiter split keeps "a..b" as one token
+    # while the reference regex (joiners only BETWEEN word chars) splits
+    # it. Rare tokens with >=2 consecutive joiners re-split through the
+    # regex here, so the Arrow path is exactly the regex path.
+    viol = pc.match_substring_regex(vals, "[.,:'’]{2}").to_numpy(
+        zero_copy_only=False
+    )
+    if viol.any():
+        v_np = vals.to_numpy(zero_copy_only=False).astype(object)
+        counts = np.ones(len(v_np), np.int64)
+        repl: dict[int, list[str]] = {}
+        for i in np.flatnonzero(viol):
+            toks = _TOKEN_RE.findall(v_np[i])
+            counts[i] = len(toks)
+            repl[i] = toks
+        offs = np.cumsum(counts) - counts
+        new_vals = np.empty(int(counts.sum()), dtype=object)
+        keep = ~viol
+        new_vals[offs[keep]] = v_np[keep]
+        for i, toks in repl.items():
+            new_vals[offs[i] : offs[i] + counts[i]] = toks
+        parents = np.repeat(parents, counts)
+        vals = pa.array(new_vals, type=pa.string())
 
     # positions: index in the pre-stop-filter token stream per doc
     n_tok = len(parents)

@@ -95,3 +95,37 @@ def test_folding_conflates_with_plain_terms():
 
     flat = tokenize_series(pd.Series(["cafe café"]), analyzer="folding")
     assert flat["term"].tolist() == ["cafe", "cafe"]
+
+
+def test_arrow_path_matches_regex_on_joiner_runs():
+    """The documented multi-joiner divergence is closed: tokens with >=2
+    consecutive joiners ('a..b') re-split through the reference regex, so
+    the Arrow fast path is byte-identical to the regex path."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.analysis.text import _tokenize_arrow, _tokenize_regex
+
+    cases = pd.Series([
+        "a..b normal c.d joined",
+        "x...y , ..z.. '' a.'b",
+        "dots.. at,, edges ..lead",
+        "the a..the stopword..case",
+        "3.14 example.com can't a..b..c",
+    ])
+    fa = _tokenize_arrow(cases, check_cjk=False)
+    fr = _tokenize_regex(cases)
+    assert list(fa[1]) == list(fr[1])
+    np.testing.assert_array_equal(np.asarray(fa[0]), np.asarray(fr[0]))
+    np.testing.assert_array_equal(np.asarray(fa[2]), np.asarray(fr[2]))
+    np.testing.assert_array_equal(np.asarray(fa[3]), np.asarray(fr[3]))
+
+    rng = np.random.default_rng(3)
+    chars = list("ab .,:'x1")
+    docs = ["".join(rng.choice(chars, rng.integers(0, 60))) for _ in range(500)]
+    s = pd.Series(docs)
+    fa = _tokenize_arrow(s, check_cjk=False)
+    fr = _tokenize_regex(s)
+    assert list(fa[1]) == list(fr[1])
+    np.testing.assert_array_equal(np.asarray(fa[0]), np.asarray(fr[0]))
+    np.testing.assert_array_equal(np.asarray(fa[2]), np.asarray(fr[2]))
