@@ -128,10 +128,17 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
     # joiner-run fidelity: the delimiter split keeps "a..b" as one token
     # while the reference regex (joiners only BETWEEN word chars) splits
     # it. Rare tokens with >=2 consecutive joiners re-split through the
-    # regex here, so the Arrow path is exactly the regex path.
-    viol = pc.match_substring_regex(vals, "[.,:'’]{2}").to_numpy(
-        zero_copy_only=False
-    )
+    # regex here, so the Arrow path is exactly the regex path. A doc-level
+    # pre-gate (one scan of the batch, not of every token) keeps the
+    # common no-joiner-run batch at full speed.
+    if not pc.any(
+        pc.match_substring_regex(low, "[.,:'’]{2}")
+    ).as_py():
+        viol = np.zeros(0, dtype=bool)
+    else:
+        viol = pc.match_substring_regex(vals, "[.,:'’]{2}").to_numpy(
+            zero_copy_only=False
+        )
     if viol.any():
         v_np = vals.to_numpy(zero_copy_only=False).astype(object)
         counts = np.ones(len(v_np), np.int64)
