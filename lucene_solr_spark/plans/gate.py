@@ -1919,6 +1919,71 @@ SELECT term, count(DISTINCT doc_id) AS df FROM stemmed
 GROUP BY term ORDER BY term""",
     )
 
+    def _quality_stats(spark, sf):
+        # IR-quality evaluation (benchmark/quality/QualityStats.java):
+        # deterministic run = per-term top-10 by (tf desc, doc_id); qrels =
+        # docs containing the term with doc_id % 3 != 0 (so AP < 1)
+        from pyspark.sql import Window
+
+        from ..functions.quality import quality_stats
+        from ..functions.sqltext import tokens
+
+        docs = _docs(spark, sf)
+        toks = tokens(docs)
+        qterms = ["dup", "merge", "window"]
+        tf = (
+            toks.where(F.col("term").isin(qterms))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+        )
+        w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+        results = (
+            tf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select(F.col("term").alias("query_id"), "doc_id", "rank")
+        )
+        qrels = (
+            tf.where(F.col("doc_id") % 3 != 0)
+            .select(F.col("term").alias("query_id"), "doc_id")
+        )
+        out = quality_stats(results, qrels, k=10)
+        return out.select(
+            "query_id", "num_rel",
+            F.col("hits_at_k").cast("long").alias("hits_at_k"),
+            F.round(F.col("p_at_k") * 1000).cast("long").alias("p_milli"),
+            F.round(F.col("recall_at_k") * 1000).cast("long").alias("recall_milli"),
+            F.round(F.col("ap") * 1000).cast("long").alias("ap_milli"),
+        ).orderBy("query_id")
+
+    R["quality_stats_map"] = (
+        _quality_stats,
+        f"""{TOKS},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+       WHERE term IN ('dup', 'merge', 'window') GROUP BY term, doc_id),
+results AS (
+  SELECT term AS query_id, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+  FROM tf QUALIFY rank <= 10
+),
+qrels AS (SELECT term AS query_id, doc_id FROM tf WHERE doc_id % 3 != 0),
+nrel AS (SELECT query_id, count(*) AS num_rel FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.query_id ORDER BY r.rank) AS cum
+  FROM results r LEFT JOIN qrels q USING (query_id, doc_id)
+)
+SELECT n.query_id, n.num_rel,
+       CAST(COALESCE(sum(CASE WHEN h.hit = 1 AND h.rank <= 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits_at_k,
+       CAST(ROUND(COALESCE(sum(CASE WHEN h.hit = 1 AND h.rank <= 10 THEN 1 ELSE 0 END), 0) / 10.0 * 1000) AS BIGINT) AS p_milli,
+       CAST(ROUND(COALESCE(sum(CASE WHEN h.hit = 1 AND h.rank <= 10 THEN 1 ELSE 0 END), 0)::DOUBLE / n.num_rel * 1000) AS BIGINT) AS recall_milli,
+       CAST(ROUND(COALESCE(sum(CASE WHEN h.hit = 1 THEN h.cum::DOUBLE / h.rank END), 0) / n.num_rel * 1000) AS BIGINT) AS ap_milli
+FROM nrel n LEFT JOIN hits h USING (query_id)
+GROUP BY n.query_id, n.num_rel
+ORDER BY n.query_id""",
+    )
+
     def _funcquery_ord_tf(spark, sf):
         # join-backed value sources: ord() (distinct-rank broadcast,
         # OrdFieldSource 1-based lexicographic ordinal) + tf() (tokens-
@@ -2079,6 +2144,7 @@ _PRIORITY = [
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
     "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
     "edismax_pf_topk", "wildcard_topterms_scored", "span_nested_near_count",
+    "quality_stats_map",
 ]
 
 # One representative of each already-driver-green family rides along in the

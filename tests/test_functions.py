@@ -347,3 +347,30 @@ def test_geo_antimeridian_wrap(spark):
     # query at the antimeridian: both sides within ~111 km of (0, 180)
     hits = geo_within_radius(df, "lat", "lon", 0.0, 179.9, 150.0).collect()
     assert {r["pid"] for r in hits} == {0, 1}
+
+
+def test_quality_stats_hand_case(spark):
+    """QualityStats semantics on a hand-computed case (QualityStats.java:
+    29-62): AP sums precision at each relevant retrieved rank / num_rel."""
+    import pytest as _pt
+
+    from lucene_solr_spark.functions.quality import quality_stats
+
+    results = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate([10, 20, 30, 40], 1)]
+        + [("q2", d, r) for r, d in enumerate([7, 8], 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10), ("q1", 30), ("q1", 99), ("q2", 5)],
+        "query_id string, doc_id long",
+    )
+    out = {r["query_id"]: r for r in quality_stats(results, qrels, k=2).collect()}
+    # q1: rel ranks 1 and 3 -> AP = (1/1 + 2/3) / 3
+    assert out["q1"]["num_rel"] == 3
+    assert out["q1"]["hits_at_k"] == 1  # only rank 1 within k=2
+    assert out["q1"]["p_at_k"] == _pt.approx(0.5)
+    assert out["q1"]["recall_at_k"] == _pt.approx(1 / 3)
+    assert out["q1"]["ap"] == _pt.approx((1.0 + 2 / 3) / 3)
+    # q2: no relevant retrieved
+    assert out["q2"]["ap"] == 0.0 and out["q2"]["hits_at_k"] == 0
