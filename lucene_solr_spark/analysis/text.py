@@ -111,7 +111,11 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_pandas(texts, type=pa.string())
+    arr = (
+        texts
+        if isinstance(texts, pa.Array)
+        else pa.Array.from_pandas(texts, type=pa.string())
+    )
     low = pc.utf8_lower(arr)
     if check_cjk and pc.any(pc.match_substring_regex(low, f"[{_CJK_CLASS}]")).as_py():
         return None  # rare: per-char CJK handling uses the regex path
@@ -249,20 +253,44 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
     path (no Python string objects at all); the rare CJK docs use the
     reference regex path (per-character ideograph expansion); results are
     spliced back in doc order.
+
+    ``texts`` may be a pandas Series OR a pyarrow Array/ChunkedArray —
+    Arrow input stays Arrow end-to-end (no object-string materialization
+    of the corpus; the applyInArrow build path depends on this).
     """
-    texts = texts.fillna("").reset_index(drop=True)
-    n_docs = len(texts)
-    cjk = texts.map(lambda s: _CJK_RE.search(s) is not None).to_numpy()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.fill_null(texts, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n_docs = len(arr)
+        cjk = pc.match_substring_regex(arr, f"[{_CJK_CLASS}]").to_numpy(
+            zero_copy_only=False
+        )
+        texts = arr  # pandas conversion only happens for CJK slices below
+    else:
+        texts = texts.fillna("").reset_index(drop=True)
+        n_docs = len(texts)
+        cjk = texts.map(lambda s: _CJK_RE.search(s) is not None).to_numpy()
+
+    def _slice(obj, idx):
+        if isinstance(obj, pa.Array):
+            return obj.take(pa.array(idx))
+        return obj.iloc[idx].reset_index(drop=True)
+
     try:
         if not cjk.any():
             fast = _tokenize_arrow(texts, check_cjk=False)
         else:
             clean_pos = np.flatnonzero(~cjk)
             cjk_pos = np.flatnonzero(cjk)
-            fa = _tokenize_arrow(
-                texts.iloc[clean_pos].reset_index(drop=True), check_cjk=False
-            )
-            fb = _tokenize_regex(texts.iloc[cjk_pos].reset_index(drop=True))
+            fa = _tokenize_arrow(_slice(texts, clean_pos), check_cjk=False)
+            cjk_texts = _slice(texts, cjk_pos)
+            if isinstance(cjk_texts, pa.Array):
+                cjk_texts = cjk_texts.to_pandas()
+            fb = _tokenize_regex(cjk_texts)
             from pandas.api.types import union_categoricals
 
             di = np.concatenate([clean_pos[fa[0]], cjk_pos[fb[0]]])
@@ -276,6 +304,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             order = np.argsort(di, kind="mergesort")  # pos stays asc per doc
             fast = (di[order], terms[order], pos[order], lengths)
     except Exception:
+        import pyarrow as _pa
+
+        if isinstance(texts, _pa.Array):
+            texts = texts.to_pandas()
         fast = _tokenize_regex(texts)
     doc_idx, terms, pos, lengths = fast
     if analyzer not in ANALYZERS:

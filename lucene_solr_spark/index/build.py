@@ -341,27 +341,61 @@ def build_index(
     seg_root = os.path.join(index_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
 
-    def build_bucket(key, pdf):
-        pid = int(key[0])
-        if fail_after_partitions is not None and pid >= fail_after_partitions:
-            return pd.DataFrame(columns=_LINEAGE_COLS)  # simulated crash
-        t0 = time.time()
-        pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
-        urls = pdf["url"].to_numpy()
-        n = len(urls)
-        seg_id = f"{build_id}_{pid:05d}"
-        seg_dir = os.path.join(seg_root, f"seg_{seg_id}")
-        fp = _fingerprint(0, n, urls[0], urls[-1])
+    _LINEAGE_PA = None  # built lazily inside the UDF (pyarrow import)
+
+    def _bucket_meta_or_none(pid, n, urls_first, urls_last, seg_dir):
+        """Resume check shared by both group-apply variants."""
+        fp = _fingerprint(0, n, urls_first, urls_last)
         marker = os.path.join(seg_dir, "_COMPLETE.json")
         if os.path.exists(marker):
             with open(marker) as f:
                 meta = json.load(f)
             if meta.get("fingerprint") == fp:
                 meta["resumed"] = True
-                return pd.DataFrame([meta])[_LINEAGE_COLS]
-        built = _build_segment_pdf(pdf["text"], analyzer=analyzer)
+                return meta, fp, marker
+        return None, fp, marker
+
+    def build_bucket_arrow(key, tbl):
+        """One bucket -> one segment, Arrow end-to-end: the corpus text
+        NEVER materializes as Python string objects (applyInArrow hands a
+        pa.Table; the tokenizer consumes the Arrow column directly) —
+        cuts two object-string copies of the corpus per bucket vs the
+        pandas group-apply path."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pid = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        lineage_schema = pa.schema([
+            ("segment_id", pa.string()), ("path", pa.string()),
+            ("partition_id", pa.int32()), ("doc_base", pa.int64()),
+            ("max_doc", pa.int64()), ("sum_len", pa.int64()),
+            ("term_count", pa.int64()), ("postings_bytes", pa.int64()),
+            ("first_url", pa.string()), ("last_url", pa.string()),
+            ("wall_ms", pa.int64()), ("resumed", pa.bool_()),
+        ])
+
+        def out(meta):
+            return pa.Table.from_pylist(
+                [{c: meta[c] for c in _LINEAGE_COLS}], schema=lineage_schema
+            )
+
+        if fail_after_partitions is not None and pid >= fail_after_partitions:
+            return lineage_schema.empty_table()  # simulated crash
+        t0 = time.time()
+        idx = pc.sort_indices(tbl.column("url"))
+        tbl = tbl.take(idx)
+        urls = np.asarray(tbl.column("url").to_pylist(), dtype=object)
+        n = len(urls)
+        seg_id = f"{build_id}_{pid:05d}"
+        seg_dir = os.path.join(seg_root, f"seg_{seg_id}")
+        meta, fp, marker = _bucket_meta_or_none(
+            pid, n, urls[0], urls[-1], seg_dir
+        )
+        if meta is not None:
+            return out(meta)
+        built = _build_segment_pdf(tbl.column("text"), analyzer=analyzer)
         extra_built = {
-            f: _build_segment_pdf(pdf[f"__field_{f}"], analyzer=analyzer)
+            f: _build_segment_pdf(tbl.column(f"__field_{f}"), analyzer=analyzer)
             for f in extra_fields
         }
         postings_bytes = write_segment_files(
@@ -385,7 +419,7 @@ def build_index(
         with open(marker + ".tmp", "w") as f:
             json.dump(meta, f)
         os.rename(marker + ".tmp", marker)
-        return pd.DataFrame([meta])[_LINEAGE_COLS]
+        return out(meta)
 
     # one bucket = one task: AQE partition-coalescing would pack several
     # small buckets into one task and serialize them — disable it for the
@@ -393,7 +427,9 @@ def build_index(
     prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
-        lineage = df.groupBy("pid").applyInPandas(build_bucket, LINEAGE_SCHEMA).collect()
+        lineage = df.groupBy("pid").applyInArrow(
+            build_bucket_arrow, LINEAGE_SCHEMA
+        ).collect()
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
 
