@@ -95,6 +95,18 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
     # job at every parallelism level, only task concurrency differs.
     # best-of-N: this VM shows multi-x run-to-run noise (noisy neighbors),
     # so throughput is the fastest of ``repeats`` identical builds.
+    # untimed warm-up build: the first build in a fresh process pays
+    # one-off allocator/JIT/Arrow-kernel warmup (measured ~1.7x on the
+    # first call); steady-state throughput is the metric, so a small
+    # scratch build absorbs it before the timed runs
+    warm_idx = os.path.join(CACHE, f"bench_warmup_{cores}")
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    build_index(
+        spark,
+        spark.read.parquet(_corpus_path(4000)),
+        warm_idx, num_segments=min(cores, 8), build_id="warm",
+    )
+    shutil.rmtree(warm_idx, ignore_errors=True)
     build_sec = None
     for _ in range(max(repeats, 1)):
         shutil.rmtree(idx, ignore_errors=True)
