@@ -206,30 +206,31 @@ def english_filter_terms(terms):
 
 
 def minimal_english_stem(word: str) -> str:
-    """The published S-stemmer (Harman 1991, "How Effective Is
-    Suffixing?", JASIS 42(1) — the algorithm behind the reference's
-    EnglishMinimalStemFilter, analysis/common/.../en/
-    EnglishMinimalStemmer.java; implemented from the published rules, no
-    reference code consulted):
+    """The S-stemmer (Harman 1991, "How Effective Is Suffixing?", JASIS
+    42(1)) in the exact rule shape the reference filter uses
+    (analysis/common/.../en/EnglishMinimalStemFilter.java; implemented
+    from the published rules, no reference code consulted):
 
-      1. -ies  -> -y   unless the word ends in -eies or -aies
-      2. -es   -> -e   unless the word ends in -aes, -ees or -oes
-      3. -s    -> ''   unless the word ends in -us or -ss
-    Only the first applicable rule fires; words shorter than 3 chars pass.
+      - words of length < 3 or not ending in 's' pass
+      - -us / -ss endings pass
+      - -ies -> -y for words longer than 3 unless preceded by 'a'/'e'
+        (-aies/-eies pass)
+      - other -es endings pass when the char before 'es' is a vowel in
+        {a, e, i, o} (-aes/-ees/-oes/-ies); otherwise drop the 's'
+      - any other -s drops
     """
     n = len(word)
     if n < 3 or word[-1] != "s":
         return word
-    if word.endswith("ies"):
-        if word.endswith(("eies", "aies")):
-            return word
-        return word[:-3] + "y"
-    if word.endswith("es"):
-        if word.endswith(("aes", "ees", "oes")):
+    prev = word[-2]
+    if prev in ("u", "s"):
+        return word
+    if prev == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in ("a", "e"):
+            return word[:-3] + "y"
+        if word[-3] in ("a", "e", "i", "o"):
             return word
         return word[:-1]
-    if word.endswith(("us", "ss")):
-        return word
     return word[:-1]
 
 

@@ -143,7 +143,11 @@ _REGISTRY = {
     "def": lambda a: F.coalesce(a[0], a[1]),
     # exists(x): field has a value (ExistsValueSource)
     "exists": lambda a: a[0].isNotNull(),
-    "xor": lambda a: _binfold(lambda x, y: (x | y) & ~(x & y), a),
+    # xor: Solr's XOrFunction coerces operands to booleans (BoolFunction
+    # truthiness); boolean XOR == boolean inequality
+    "xor": lambda a: _binfold(
+        lambda x, y: x.cast("boolean") != y.cast("boolean"), a
+    ),
 }
 
 
@@ -358,6 +362,5 @@ def apply_funcquery(
         mapping[id(node)] = ("field", aux)
     tree = _replace_node(tree, mapping)
     return out.withColumn(alias, _compile(tree, out)).drop(
-        *[c for c in out.columns if c.startswith("__fq_aux")
-          and c != alias]
-    ).drop("lo", "hi", "__dl")
+        *[c for c in out.columns if c.startswith("__fq_aux")]
+    )

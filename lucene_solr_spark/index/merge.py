@@ -212,16 +212,19 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
         tables.append(pq.read_table(os.path.join(d, "postings.parquet")).to_pandas())
         nt = pq.read_table(os.path.join(d, "norms.parquet"))
         norms_list.append(np.frombuffer(nt["norms"][0].as_py(), dtype=np.uint8))
-        if "field" in nt.column_names:
-            for fi, fname in enumerate(nt["field"].to_pylist()):
-                if fname == "text":
-                    continue
-                extra_norm_parts.setdefault(fname, []).append(
-                    np.frombuffer(nt["norms"][fi].as_py(), dtype=np.uint8)
-                )
-                extra_sum_len[fname] = extra_sum_len.get(fname, 0) + int(
-                    nt["sum_len"][fi].as_py()
-                )
+        seg_fields = (
+            nt["field"].to_pylist() if "field" in nt.column_names else ["text"]
+        )
+        for fname in seg_fields:
+            if fname == "text":
+                continue
+            fi = seg_fields.index(fname)
+            extra_norm_parts.setdefault(fname, {})[len(norms_list) - 1] = (
+                np.frombuffer(nt["norms"][fi].as_py(), dtype=np.uint8)
+            )
+            extra_sum_len[fname] = extra_sum_len.get(fname, 0) + int(
+                nt["sum_len"][fi].as_py()
+            )
         urls_list.append(
             pq.read_table(os.path.join(d, "docmap.parquet"))["url"].to_numpy()
         )
@@ -229,8 +232,18 @@ def _merge_group(index_dir: str, seg_metas: list[dict], out_seg_id: str) -> dict
 
     merged_norms = np.concatenate(norms_list)
     merged_urls = np.concatenate(urls_list)
+    # per-field norms concatenate DOC-ALIGNED: a source segment without the
+    # field contributes a zero block for its doc range (those docs have no
+    # tokens in that field, norm byte 0 — they can never match its terms),
+    # so rebased docids index the right byte even for heterogeneous merges
     merged_extra_norms = {
-        f: {"norm_bytes": np.concatenate(parts), "sum_len": extra_sum_len[f]}
+        f: {
+            "norm_bytes": np.concatenate([
+                parts.get(si, np.zeros(len(norms_list[si]), np.uint8))
+                for si in range(len(norms_list))
+            ]),
+            "sum_len": extra_sum_len[f],
+        }
         for f, parts in extra_norm_parts.items()
     }
 

@@ -1902,16 +1902,14 @@ FROM toks GROUP BY 1 ORDER BY term""",
 stemmed AS (
   SELECT doc_id,
          CASE
-           WHEN term LIKE '%eies' OR term LIKE '%aies' THEN term
-           WHEN length(term) >= 3 AND term LIKE '%ies'
-             THEN substr(term, 1, length(term) - 3) || 'y'
-           WHEN term LIKE '%aes' OR term LIKE '%ees' OR term LIKE '%oes' THEN term
-           WHEN length(term) >= 3 AND term LIKE '%es'
-             THEN substr(term, 1, length(term) - 1)
+           WHEN length(term) < 3 OR term NOT LIKE '%s' THEN term
            WHEN term LIKE '%us' OR term LIKE '%ss' THEN term
-           WHEN length(term) >= 3 AND term LIKE '%s'
-             THEN substr(term, 1, length(term) - 1)
-           ELSE term
+           WHEN length(term) > 3 AND term LIKE '%ies'
+                AND term NOT LIKE '%aies' AND term NOT LIKE '%eies'
+             THEN substr(term, 1, length(term) - 3) || 'y'
+           WHEN term LIKE '%aes' OR term LIKE '%ees' OR term LIKE '%ies'
+                OR term LIKE '%oes' THEN term
+           ELSE substr(term, 1, length(term) - 1)
          END AS term
   FROM toks
 )

@@ -51,36 +51,49 @@ RESULT_SCHEMA = "docid long, score float"
 
 
 @functools.lru_cache(maxsize=512)
-def _read_norms(seg_dir: str) -> np.ndarray:
+def _read_norms_keyed(path: str, _mtime_ns: int, _size: int) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    # row 0 is always the default "text" field (multi-field files append
-    # extra fields after it). Segment dirs are immutable once published, so
-    # the per-process cache is safe — it serves both the resident searcher
-    # (driver) and reused Python workers (executors).
-    t = pq.read_table(os.path.join(seg_dir, "norms.parquet"), columns=["norms"])
+    t = pq.read_table(path, columns=["norms"])
     return np.frombuffer(t["norms"][0].as_py(), dtype=np.uint8)
 
 
-def _read_field_norms(seg_dir: str, field: str) -> tuple[np.ndarray, int]:
+def _read_norms(seg_dir: str) -> np.ndarray:
+    # row 0 is always the default "text" field (multi-field files append
+    # extra fields after it). The cache key carries the file's identity
+    # (mtime + size), so a segment REBUILT at the same path — build_index
+    # re-run with a changed corpus — invalidates naturally; published
+    # segments are immutable so cache hits are the common case (serves the
+    # resident searcher and reused executor workers alike).
+    path = os.path.join(seg_dir, "norms.parquet")
+    st = os.stat(path)
+    return _read_norms_keyed(path, st.st_mtime_ns, st.st_size)
+
+
+def _read_field_norms(
+    seg_dir: str, field: str, missing_ok: bool = False
+) -> tuple[np.ndarray, int]:
     """(norm bytes, sum_len) for one analyzed field; single-field segments
-    (no 'field' column) only carry 'text'."""
+    (no 'field' column) only carry 'text'. With ``missing_ok`` a segment
+    lacking the field yields all-zero norms (its docs have no tokens in
+    that field — heterogeneous indexes arise when a single-field index is
+    later appended with multi-field batches)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(seg_dir, "norms.parquet")
     f = pq.ParquetFile(path)
     names = f.schema_arrow.names
     t = pq.read_table(path)
-    if "field" in names:
-        idx = t["field"].to_pylist().index(field)  # raises if absent
-    elif field == "text":
-        idx = 0
-    else:
-        raise KeyError(f"segment {seg_dir} has no field {field!r}")
-    return (
-        np.frombuffer(t["norms"][idx].as_py(), dtype=np.uint8),
-        int(t["sum_len"][idx].as_py()),
-    )
+    fields = t["field"].to_pylist() if "field" in names else ["text"]
+    if field in fields:
+        idx = fields.index(field)
+        return (
+            np.frombuffer(t["norms"][idx].as_py(), dtype=np.uint8),
+            int(t["sum_len"][idx].as_py()),
+        )
+    if missing_ok:
+        return np.zeros(int(t["max_doc"][0].as_py()), np.uint8), 0
+    raise KeyError(f"segment {seg_dir} has no field {field!r}")
 
 
 class _Row:
@@ -894,6 +907,22 @@ def _span_posmap(node, rows: dict) -> dict:
     return posmap
 
 
+def _prefix_slice(d: np.ndarray, prefix: str) -> np.ndarray:
+    """Slice a sorted term array to the range sharing ``prefix``. The upper
+    bound increments the last code point (dropping trailing U+10FFFF), so
+    supplementary-plane characters after the prefix stay in range —
+    ``prefix + '\uffff'`` would exclude them."""
+    lo = int(np.searchsorted(d, prefix))
+    p = prefix
+    while p and ord(p[-1]) >= 0x10FFFF:
+        p = p[:-1]
+    if not p:
+        return d[lo:]
+    hi_key = p[:-1] + chr(ord(p[-1]) + 1)
+    hi = int(np.searchsorted(d, hi_key))
+    return d[lo:hi]
+
+
 def _levenshtein(a: str, b: str, cap: int) -> int:
     """Classic Levenshtein with an early-exit band (returns cap+1 once the
     distance provably exceeds ``cap``) — the scan-side analog of the
@@ -1177,6 +1206,7 @@ class SparkSearcher:
                 str(query), k, mode, str(kw.get("fq")), fqd_key,
                 kw.get("dismax_tie"), kw.get("min_should_match", 0),
                 kw.get("after"), bool(kw.get("prune", True)),
+                bool(kw.get("multiterm_scoring", False)),
             )
             hit = self._result_cache.get(key)
             if hit is not None:
@@ -1610,6 +1640,13 @@ class SparkSearcher:
             if resident
             else self.expand_wildcard(pattern, max_expansions=1 << 20)
         )
+        return self._topterms_cutoff(terms, n, resident)
+
+    def _topterms_cutoff(
+        self, terms: list[str], n: int, resident: bool
+    ) -> list[str]:
+        """df-ranked TopTermsRewrite cutoff, shared by the scoring rewrite
+        and expand_wildcard_topterms (one implementation, no drift)."""
         if len(terms) <= n:
             return sorted(terms)
         stats = (
@@ -1617,8 +1654,7 @@ class SparkSearcher:
             if resident
             else self._term_stats(terms)
         )
-        ranked = sorted(terms, key=lambda t: (-stats.get(t, 0), t))[:n]
-        return sorted(ranked)
+        return sorted(sorted(terms, key=lambda t: (-stats.get(t, 0), t))[:n])
 
     def expand_regexp(self, regex: str, max_expansions: int = 1024) -> list[str]:
         """RegexpQuery expansion: the pattern must match the ENTIRE term
@@ -1722,15 +1758,7 @@ class SparkSearcher:
                 # df-ranked expansions become real BM25 term clauses
                 # (constant boost 1 each; the pattern's own boost rides on
                 # the group), instead of the constant-score doc-set union
-                if len(terms) > 50:
-                    stats = (
-                        self._term_stats_resident(terms)
-                        if resident
-                        else self._term_stats(terms)
-                    )
-                    terms = sorted(
-                        sorted(terms, key=lambda t: (-stats.get(t, 0), t))[:50]
-                    )
+                terms = self._topterms_cutoff(terms, 50, resident)
                 sub = Query([
                     Clause("term", [t], required=False) for t in terms
                 ])
@@ -1953,9 +1981,7 @@ class SparkSearcher:
         d = self._dictionary_resident()
         prefix = _re.match(r"^[^*?]*", pattern).group(0)
         if prefix:
-            lo = np.searchsorted(d, prefix)
-            hi = np.searchsorted(d, prefix + "￿")
-            d = d[lo:hi]
+            d = _prefix_slice(d, prefix)
         return [t for t in d if rx.match(t)][:max_expansions]
 
     def expand_regexp_resident(
@@ -1972,9 +1998,7 @@ class SparkSearcher:
             prefix += ch
         d = self._dictionary_resident()
         if prefix:
-            lo = np.searchsorted(d, prefix)
-            hi = np.searchsorted(d, prefix + "￿")
-            d = d[lo:hi]
+            d = _prefix_slice(d, prefix)
         return [t for t in d if rx.match(t)][:max_expansions]
 
     def expand_fuzzy_resident(
@@ -2130,7 +2154,7 @@ class SparkSearcher:
         if field not in self._field_sums:
             total = 0
             for m in self.seg_meta.values():
-                _n, s = _read_field_norms(m["dir"], field)
+                _n, s = _read_field_norms(m["dir"], field, missing_ok=True)
                 total += s
             self._field_sums[field] = total
         return self._field_sums[field]
@@ -2220,7 +2244,7 @@ class SparkSearcher:
                 np.concatenate([r.decode_all()[0] for r in rows.values()])
             )
             norms_by_f = {
-                f: _read_field_norms(seg["dir"], f)[0]
+                f: _read_field_norms(seg["dir"], f, missing_ok=True)[0]
                 for f in set(flist) | set(wv_pf)
             }
             n = len(cand)

@@ -195,12 +195,13 @@ def percolate(
             # queries this is the difference between O(batches x queries)
             # engine runs and O(batches x live queries)
             vocab = set(o.postings.keys())
+            vocab_sorted = sorted(vocab)
             ids = pdf[id_col].to_numpy()
             out_doc, out_q = [], []
             for qi, q in enumerate(parsed):
                 if not query_could_match(q, vocab):
                     continue
-                qr = rewrite_against_vocab(q, sorted(vocab))
+                qr = rewrite_against_vocab(q, vocab_sorted)
                 if qr is None:
                     continue
                 matched, _ = o._matched_scores(qr)

@@ -50,8 +50,9 @@ def append_batch(
     # the batch MUST analyze with the index's analyzer or appended docs
     # would carry a different vocabulary
     analyzer = (man or {}).get("analyzer", "standard")
-    # multi-field indexes append multi-field batches (the manifest records
-    # the schema, so appended segments carry the same per-field norms)
+    # multi-field indexes append multi-field batches: the manifest records
+    # the ORIGINAL field->column mapping, and the batch must arrive with
+    # the same corpus schema (the same contract as the initial build)
     extra_fields = (man or {}).get("extra_fields") or {}
     scratch = os.path.join(index_dir, f"_batch_{batch_id}")
     sub = build_index(
@@ -61,7 +62,7 @@ def append_batch(
         num_segments=num_segments,
         build_id=f"nrt{batch_id}",
         analyzer=analyzer,
-        extra_fields={f: f for f in extra_fields} if extra_fields else None,
+        extra_fields=extra_fields or None,
     )
     # segments store LOCAL docids: splicing is pure manifest arithmetic,
     # no file rewrites (the soft-commit stays cheap)

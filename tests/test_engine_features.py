@@ -305,3 +305,14 @@ def test_resident_multiterm_expansion_matches_spark(spark, small_index):
     c = s.search_resident("babe -ro*", k=100)
     d = s.search_pdf("babe -ro*", k=100)
     assert list(c["docid"]) == list(d["docid"])
+
+
+def test_prefix_slice_supplementary_plane():
+    """The resident dictionary prefix window must include terms whose next
+    char is beyond the BMP (prefix+'\\uffff' would exclude them)."""
+    from lucene_solr_spark.search.engine import _prefix_slice
+
+    d = np.array(sorted(["ro", "roa", "ro\U0001d552x", "ro￿", "rp", "q"]),
+                 dtype=object)
+    got = list(_prefix_slice(d, "ro"))
+    assert got == sorted(["ro", "roa", "ro\U0001d552x", "ro￿"])

@@ -252,3 +252,14 @@ def test_query_result_cache_keyed_by_fq_docids(searcher):
         searcher.search_pdf("babe", k=10)["docid"].to_numpy(),
     )
     assert set(a["docid"]) != set(plain["docid"])
+
+
+def test_query_result_cache_keyed_by_multiterm_scoring(searcher):
+    """Scored and constant-score wildcard pages must not share a cache
+    entry."""
+    a = searcher.search_pdf("ro*", k=10, use_cache=True)
+    b = searcher.search_pdf("ro*", k=10, use_cache=True,
+                            multiterm_scoring=True)
+    assert (a["score"].to_numpy() != b["score"].to_numpy()).any()
+    a2 = searcher.search_pdf("ro*", k=10, use_cache=True)
+    np.testing.assert_array_equal(a["score"].to_numpy(), a2["score"].to_numpy())

@@ -206,3 +206,23 @@ def test_def_exists_xor(spark):
     got = {r["id"]: r["v"] for r in df.select(
         "id", compile_func("xor(gt(x,6), exists(x))").alias("v")).collect()}
     assert got == {1: True, 2: None, 3: False}
+
+
+def test_xor_numeric_truthiness(spark):
+    """xor coerces operands to booleans (XOrFunction): truthy xor truthy
+    is false even for ints 2 and 1."""
+    from lucene_solr_spark.functions.funcquery import compile_func
+
+    df = spark.createDataFrame([(2, 1), (0, 3), (0, 0)], "a int, b int")
+    got = [r["v"] for r in df.select(compile_func("xor(a, b)").alias("v")).collect()]
+    assert got == [False, True, False]
+
+
+def test_apply_funcquery_preserves_caller_columns(spark):
+    from lucene_solr_spark.functions.funcquery import apply_funcquery
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", 5, 6)], "doc_id long, text string, lo int, hi int"
+    )
+    out = apply_funcquery(df, "tf(text,'alpha')")
+    assert {"lo", "hi"} <= set(out.columns)

@@ -296,3 +296,49 @@ def test_multifield_nrt_append(spark, pages_small):
     has = {int(d) for d, t in zip(docids, texts) if "babe" in t.split()}
     assert set(res["docid"].astype(int)) == has
     assert any(int(d) >= 1500 for d in res["docid"])
+
+
+def test_heterogeneous_merge_aligns_field_norms(spark, pages_small):
+    """Merging a single-field segment with multi-field segments keeps
+    per-field norms doc-aligned (field-less ranges get zero norms)."""
+    import numpy as np
+
+    from lucene_solr_spark.index import manifest as mf
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.check import check_index
+    from lucene_solr_spark.index.merge import force_merge
+    from lucene_solr_spark.search.engine import SparkSearcher
+    from lucene_solr_spark.streaming.incremental import append_batch
+
+    pages = pages_small.copy()
+    pages["title"] = pages["text"].str.split(" ").str[:2].str.join(" ")
+    idx = os.path.join(CACHE, "test_index_mf_hetero")
+    shutil.rmtree(idx, ignore_errors=True)
+    # single-field base (docids 0..799)...
+    build_index(spark, spark.createDataFrame(pages.iloc[:800][["url", "text"]]),
+                idx, num_segments=2, build_id="het")
+    # ...then multi-field appends (the manifest upgrade: record the schema)
+    man = mf.read_current(idx)
+    mf.commit(idx, man["segments"],
+              extra={"build_id": "het", "analyzer": "standard",
+                     "extra_fields": {"title": "title"}})
+    append_batch(
+        spark,
+        spark.createDataFrame(pages.iloc[800:1000][["url", "text", "title"]]),
+        idx, 1, num_segments=1,
+    )
+    s0 = SparkSearcher(spark, idx)
+    before = s0.edismax("babe", qf={"text": 1.0, "title": 9.0},
+                        k=2000).toPandas()
+    force_merge(spark, idx)
+    check_index(idx)
+    s1 = SparkSearcher(spark, idx)
+    after = s1.edismax("babe", qf={"text": 1.0, "title": 9.0},
+                       k=2000).toPandas()
+    np.testing.assert_array_equal(
+        before["docid"].to_numpy(), after["docid"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        before["score"].to_numpy(np.float32),
+        after["score"].to_numpy(np.float32),
+    )

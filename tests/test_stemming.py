@@ -157,10 +157,13 @@ def test_minimal_english_stem_published_rules():
     assert m("ponies") == "pony"
     assert m("ties") == "ty"
     assert m("eies") == "eies" and m("aies") == "aies"
+    assert m("ies") == "ies"  # too short for the -ies rewrite
     assert m("tables") == "table"
     assert m("goes") == "goes" and m("trees") == "trees" and m("aes") == "aes"
+    assert m("sees") == "sees" and m("dues") == "due" and m("dyes") == "dye"
     assert m("cats") == "cat"
     assert m("focus") == "focus" and m("glass") == "glass"
+    assert m("glasses") == "glasse"  # consonant before -es: drop the s
     assert m("is") == "is" and m("as") == "as"  # < 3 chars pass
     assert m("dog") == "dog"
 
