@@ -254,6 +254,18 @@ def highlight_best_window(
     with search, unlike raw-substring locate. One self-join shuffled on
     doc_id; scales as O(matches per doc * window)."""
     toks = tokens(docs)
+    return (
+        _best_window_per_doc(toks, terms, window)
+        .select("doc_id", "best_start", "best_m")
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def _best_window_per_doc(toks: DataFrame, terms: list[str], window: int) -> DataFrame:
+    """Densest ``window``-token passage per doc over a token relation:
+    (doc_id, best_start, best_m) — the shared core of the single-field and
+    qf-aware highlighters."""
     hits = toks.where(F.col("term").isin(list(terms))).select("doc_id", "pos")
     a, b = hits.alias("a"), hits.alias("b")
     win = (
@@ -274,9 +286,35 @@ def highlight_best_window(
         .groupBy("doc_id", "best_m")
         .agg(F.min("start").alias("best_start"))
         .select("doc_id", F.col("best_start").cast("long"), F.col("best_m").cast("long"))
-        .orderBy("doc_id")
-        .limit(limit)
     )
+
+
+def highlight_best_window_fields(
+    docs: DataFrame,
+    terms: list[str],
+    field_cols: dict[str, str],
+    window: int = 10,
+    limit: int = 50,
+) -> DataFrame:
+    """qf-aware highlighting (Solr hl.fl over the edismax qf fields,
+    solr/core/.../highlight/DefaultSolrHighlighter.java field loop): one
+    passage selection per (field, doc) — each field analyzed with the same
+    chain as its index field, windows chosen independently per field.
+    ``field_cols`` maps field name -> docs column holding its text.
+    Per field this is the same one-shuffle window self-join as
+    highlight_best_window; fields union without an extra shuffle."""
+    parts = []
+    for fname in sorted(field_cols):
+        toks = tokens(docs, text_col=field_cols[fname])
+        parts.append(
+            _best_window_per_doc(toks, terms, window)
+            .select(F.lit(fname).alias("field"), "doc_id",
+                    "best_start", "best_m")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("field", "doc_id").limit(limit)
 
 
 def analyzed_snippets(

@@ -1377,6 +1377,55 @@ FROM win w JOIN best b ON w.doc_id = b.doc_id AND w.m = b.best_m
 GROUP BY w.doc_id, b.best_m ORDER BY w.doc_id LIMIT 25""",
     )
 
+    # qf-aware highlighting: one passage per (field, doc) over the edismax
+    # qf fields, each field analyzed independently (DefaultSolrHighlighter
+    # field loop). title = first two space-separated words (the multi-field
+    # gate schema, SQL-recomputable on both engines).
+    R["highlight_qf_fields"] = (
+        lambda spark, sf: C.highlight_best_window_fields(
+            _docs(spark, sf).withColumn(
+                "title",
+                F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " "),
+            ),
+            ["merge", "hash"], {"text": "text", "title": "title"}, 10, 50,
+        ),
+        f"""{TOKS},
+ttoks_all AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(array_to_string((string_split(text, ' '))[1:2], ' ')), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(array_to_string((string_split(text, ' '))[1:2], ' ')), '[a-z0-9]+'), 1) - 1 AS pos
+  FROM documents
+),
+ttoks AS (SELECT * FROM ttoks_all WHERE term NOT IN ({sql_stoplist()})),
+h_text AS (SELECT doc_id, pos FROM toks WHERE term IN ('merge', 'hash')),
+w_text AS (SELECT a.doc_id, a.pos AS start, count(*) AS m
+           FROM h_text a JOIN h_text b
+             ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 9
+           GROUP BY a.doc_id, a.pos),
+b_text AS (SELECT doc_id, max(m) AS best_m FROM w_text GROUP BY doc_id),
+r_text AS (SELECT 'text' AS field, w.doc_id,
+                  CAST(min(w.start) AS BIGINT) AS best_start,
+                  CAST(b.best_m AS BIGINT) AS best_m
+           FROM w_text w JOIN b_text b
+             ON w.doc_id = b.doc_id AND w.m = b.best_m
+           GROUP BY w.doc_id, b.best_m),
+h_title AS (SELECT doc_id, pos FROM ttoks WHERE term IN ('merge', 'hash')),
+w_title AS (SELECT a.doc_id, a.pos AS start, count(*) AS m
+            FROM h_title a JOIN h_title b
+              ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 9
+            GROUP BY a.doc_id, a.pos),
+b_title AS (SELECT doc_id, max(m) AS best_m FROM w_title GROUP BY doc_id),
+r_title AS (SELECT 'title' AS field, w.doc_id,
+                   CAST(min(w.start) AS BIGINT) AS best_start,
+                   CAST(b.best_m AS BIGINT) AS best_m
+            FROM w_title w JOIN b_title b
+              ON w.doc_id = b.doc_id AND w.m = b.best_m
+            GROUP BY w.doc_id, b.best_m)
+SELECT field, doc_id, best_start, best_m
+FROM (SELECT * FROM r_text UNION ALL SELECT * FROM r_title)
+ORDER BY field, doc_id LIMIT 50""",
+    )
+
     def _span_near_unordered(spark, sf):
         # unordered span-near (distinct-occurrence minimal windows). The
         # sweep's window enumeration is not expressible in set-based SQL,
@@ -1560,6 +1609,118 @@ FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
 ORDER BY doc_id""",
     )
 
+    def _edismax_ps(spark, sf):
+        s = gate_searcher_fields(spark, sf)
+        res = s.edismax("table hash", qf={"text": 1.0, "title": 2.0},
+                        tie=0.1, k=10, pf={"text": 1.5, "title": 4.0}, ps=2)
+        return res.select(
+            F.col("docid").alias("doc_id"),
+            F.round(F.col("score").cast("double") * 1000).cast("long").alias("milliscore"),
+        ).orderBy("doc_id")
+
+    # oracle: like edismax_pf_topk, but the pf clauses are SLOPPY phrases
+    # (ExtendedDismaxQParser ps=2). The SloppyPhraseScorer minimal-window
+    # sweep has a closed form for two distinct terms (fuzz-verified against
+    # the sequential kernel): each slot-0 occurrence pairs with the smallest
+    # adjusted slot-1 position >= it, each slot-1 occurrence with the
+    # smallest adjusted slot-0 position STRICTLY > it (ties advance slot 0),
+    # and each pair with distance d <= slop contributes sloppyFreq = 1/(d+1)
+    # (BM25Similarity.sloppyFreq, SloppyPhraseScorer.java:32-55).
+    _SLOPPY_PAIRS = """
+{pa} AS (SELECT doc_id, pos AS p FROM {toks} WHERE term = 'table'),
+{pb} AS (SELECT doc_id, pos - 1 AS p FROM {toks} WHERE term = 'hash'),
+{pairs} AS (
+  SELECT a.doc_id, (SELECT min(b.p) FROM {pb} b
+                    WHERE b.doc_id = a.doc_id AND b.p >= a.p) - a.p AS dist
+  FROM {pa} a
+  UNION ALL
+  SELECT b.doc_id, (SELECT min(a.p) FROM {pa} a
+                    WHERE a.doc_id = b.doc_id AND a.p > b.p) - b.p AS dist
+  FROM {pb} b
+),
+{out} AS (
+  SELECT doc_id, sum(1.0 / (dist + 1)) AS freq FROM {pairs}
+  WHERE dist IS NOT NULL AND dist <= 2 GROUP BY doc_id
+)"""
+    R["edismax_ps_topk"] = (
+        _edismax_ps,
+        f"""
+WITH {sql_tokens_cte("documents")},
+ttoks_all AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({_TITLE_EXPR}), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower({_TITLE_EXPR}), '[a-z0-9]+'), 1) - 1 AS pos
+  FROM documents
+),
+ttoks AS (SELECT * FROM ttoks_all WHERE term NOT IN ({sql_stoplist()})),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
+qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+tqdl AS (SELECT d.doc_id, nt.qlen FROM tdl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT sum(dl) FROM tdl)::DOUBLE / (SELECT count(*) FROM documents) AS tavgdl
+),
+qterms(term) AS (VALUES ('table'), ('hash')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+ttf_r AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+          WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+tdfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttoks
+         WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+per AS (
+  SELECT COALESCE(tf.doc_id, ttf_r.doc_id) AS doc_id,
+         COALESCE(tf.term, ttf_r.term) AS term,
+         COALESCE(
+           1.0 * ln(1 + (c.n - dfr.df + 0.5) / (dfr.df + 0.5)) * {K1 + 1}
+             * tf.tf / (tf.tf + {K1} * ({1 - B} + {B} * q.qlen / c.avgdl)), 0) AS s_text,
+         COALESCE(
+           2.0 * ln(1 + (c.n - tdfr.df + 0.5) / (tdfr.df + 0.5)) * {K1 + 1}
+             * ttf_r.tf / (ttf_r.tf + {K1} * ({1 - B} + {B} * tq.qlen / c.tavgdl)), 0) AS s_title
+  FROM tf
+  FULL OUTER JOIN ttf_r ON tf.doc_id = ttf_r.doc_id AND tf.term = ttf_r.term
+  LEFT JOIN dfr ON COALESCE(tf.term, ttf_r.term) = dfr.term
+  LEFT JOIN tdfr ON COALESCE(tf.term, ttf_r.term) = tdfr.term
+  LEFT JOIN qdl q ON COALESCE(tf.doc_id, ttf_r.doc_id) = q.doc_id
+  LEFT JOIN tqdl tq ON COALESCE(tf.doc_id, ttf_r.doc_id) = tq.doc_id
+  CROSS JOIN consts c
+),
+qf_scores AS (
+  SELECT doc_id,
+         sum(greatest(s_text, s_title)
+             + 0.1 * (s_text + s_title - greatest(s_text, s_title))) AS score
+  FROM per GROUP BY doc_id
+),
+idfsum AS (
+  SELECT (SELECT sum(ln(1 + (c.n - df + 0.5) / (df + 0.5)))
+          FROM dfr CROSS JOIN consts c) AS w_text,
+         (SELECT sum(ln(1 + (c.n - df + 0.5) / (df + 0.5)))
+          FROM tdfr CROSS JOIN consts c) AS w_title
+),{_SLOPPY_PAIRS.format(pa="spa", pb="spb", pairs="spr", out="sph_text", toks="toks")},{_SLOPPY_PAIRS.format(pa="tpa", pb="tpb", pairs="tpr", out="sph_title", toks="ttoks")},
+scores AS (
+  SELECT q.doc_id,
+         q.score
+         + COALESCE(1.5 * i.w_text * {K1 + 1} * pt.freq
+             / (pt.freq + {K1} * ({1 - B} + {B} * qd.qlen / c.avgdl)), 0)
+         + COALESCE(4.0 * i.w_title * {K1 + 1} * pti.freq
+             / (pti.freq + {K1} * ({1 - B} + {B} * tqd.qlen / c.tavgdl)), 0)
+           AS score
+  FROM qf_scores q
+  LEFT JOIN sph_text pt ON q.doc_id = pt.doc_id
+  LEFT JOIN sph_title pti ON q.doc_id = pti.doc_id
+  LEFT JOIN qdl qd ON q.doc_id = qd.doc_id
+  LEFT JOIN tqdl tqd ON q.doc_id = tqd.doc_id
+  CROSS JOIN consts c CROSS JOIN idfsum i
+)
+SELECT doc_id, CAST(ROUND(score * 1000) AS BIGINT) AS milliscore
+FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+ORDER BY doc_id""",
+    )
+
     def _span_not(spark, sf):
         # SpanNotQuery: ordered near('table','hash')~2 spans that do NOT
         # overlap any 'join' occurrence (spans/SpanNotQuery.java), per-doc
@@ -1658,6 +1819,62 @@ outer_m AS (
 )
 SELECT doc_id, count(*) AS freq FROM outer_m
 WHERE be IS NOT NULL AND p3 - be <= 5
+GROUP BY doc_id ORDER BY doc_id""",
+    )
+
+    def _span_unordered_composite(spark, sf):
+        # UNORDERED span-near over a composite sub-span:
+        # near(near(table,hash)~0 ordered, join)~3 unordered — the
+        # interval-sweep kernel (NearSpansUnordered over general cells)
+        from ..search import spans as SP
+
+        s = gate_searcher(spark, sf)
+        inner = SP.SpanNear((SP.SpanTerm("table"), SP.SpanTerm("hash")), 0, True)
+        outer = SP.SpanNear((inner, SP.SpanTerm("join")), 3, False)
+        return s.span_query(outer).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    # oracle: adjacency spans [s, s+2) ('table' then 'hash'); the two-clause
+    # unordered sweep closed form (fuzzed vs the sequential kernel in
+    # tests/test_spans.py): each span pairs with the first 'join' at
+    # pos >= s, each 'join' with the first span starting strictly after it;
+    # width = max(end) - min(start) - 3 <= 3 counts one window
+    R["span_unordered_composite_count"] = (
+        _span_unordered_composite,
+        f"""{TOKS},
+anchors AS (
+  SELECT b.doc_id, b.pos AS p2,
+         (SELECT max(a.pos) FROM toks a
+          WHERE a.doc_id = b.doc_id AND a.term = 'table' AND a.pos < b.pos) AS p1
+  FROM toks b WHERE b.term = 'hash'
+),
+ispans AS (
+  SELECT doc_id, p1 AS s FROM anchors
+  WHERE p1 IS NOT NULL AND p2 - p1 - 1 <= 0
+),
+m1 AS (
+  SELECT i.doc_id,
+         (SELECT min(u.pos) FROM toks u
+          WHERE u.doc_id = i.doc_id AND u.term = 'join' AND u.pos >= i.s) AS up,
+         i.s AS mins
+  FROM ispans i
+),
+m2 AS (
+  SELECT u.doc_id,
+         (SELECT min(i.s) FROM ispans i
+          WHERE i.doc_id = u.doc_id AND i.s > u.pos) AS sp,
+         u.pos AS mins
+  FROM toks u WHERE u.term = 'join'
+),
+wins AS (
+  SELECT doc_id, greatest(mins + 2, up + 1) - mins - 3 AS width
+  FROM m1 WHERE up IS NOT NULL
+  UNION ALL
+  SELECT doc_id, greatest(sp + 2, mins + 1) - mins - 3 AS width
+  FROM m2 WHERE sp IS NOT NULL
+)
+SELECT doc_id, count(*) AS freq FROM wins WHERE width <= 3
 GROUP BY doc_id ORDER BY doc_id""",
     )
 
@@ -2142,7 +2359,8 @@ _PRIORITY = [
     "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
     "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
     "edismax_pf_topk", "wildcard_topterms_scored", "span_nested_near_count",
-    "quality_stats_map",
+    "quality_stats_map", "edismax_ps_topk", "span_unordered_composite_count",
+    "highlight_qf_fields",
 ]
 
 # One representative of each already-driver-green family rides along in the

@@ -2166,6 +2166,7 @@ class SparkSearcher:
         tie: float = 0.0,
         k: int = 10,
         pf: dict[str, float] | None = None,
+        ps: int = 0,
     ) -> DataFrame:
         """ExtendedDismax per-field-boost search (solr/core/.../search/
         ExtendedDismaxQParser.java:60-120): each query term becomes a
@@ -2181,6 +2182,11 @@ class SparkSearcher:
         field's namespaced terms, joins the boolean as an optional clause
         — weight = (sum of the field's term idfs) * pf[field], scored
         with the field's own norms/avgdl.
+
+        ``ps`` is the phrase slop applied to every pf clause
+        (ExtendedDismaxQParser ps): the pf phrase is scored as a sloppy
+        phrase (SloppyPhraseScorer minimal-window sweep, sloppyFreq =
+        1/(distance+1) per window) instead of requiring exact adjacency.
         """
         from ..analysis import analyze_one
         from ..index.build import FIELD_SEP
@@ -2234,6 +2240,7 @@ class SparkSearcher:
         prows = self._postings.where(F.col("term").isin(all_ns)).select(*cols)
         seg_meta = self.seg_meta
         tlist, flist, tie_f, kk = terms, fields, np.float32(tie), k
+        ps_slop = int(ps)
 
         def run(key, pdf):
             seg = seg_meta[pdf["segment_id"].iloc[0]]
@@ -2278,7 +2285,7 @@ class SparkSearcher:
                 from .query import Clause as _Cl
 
                 pc = _Cl("phrase", [ns(f, t) for t in tlist],
-                         offsets=list(range(len(tlist))))
+                         offsets=list(range(len(tlist))), slop=ps_slop)
                 if not _phrase_present(pc, rows):
                     continue
                 ids_p, freqs = _phrase_freqs(pc, rows, cand)

@@ -200,6 +200,80 @@ def near_unordered_spans_batch(
     return starts[valid], maxheads[valid] + 1, width[valid]
 
 
+def near_unordered_intervals_count(
+    span_lists: list[list[tuple[int, int]]], slop: int
+) -> int:
+    """Sequential reference kernel: unordered span-near over GENERAL
+    (interval) sub-spans for ONE doc (spans/NearSpansUnordered.java:
+    cells ordered by start, match when
+    maxEnd - minStart - totalSpanLength <= slop, then the min-start cell
+    advances; start ties advance the lowest clause index — documented
+    tiebreak, the batch kernel mirrors it)."""
+    if any(len(s) == 0 for s in span_lists):
+        return 0
+    idx = [0] * len(span_lists)
+    count = 0
+    while True:
+        heads = [sl[i] for sl, i in zip(span_lists, idx)]
+        minstart = min(h[0] for h in heads)
+        maxend = max(h[1] for h in heads)
+        total = sum(h[1] - h[0] for h in heads)
+        if (maxend - minstart) - total <= slop:
+            count += 1
+        i = next(j for j, h in enumerate(heads) if h[0] == minstart)
+        idx[i] += 1
+        if idx[i] >= len(span_lists[i]):
+            return count
+
+
+def near_unordered_general_batch(
+    subs: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unordered span-near over GENERAL (possibly non-unit) sub-spans,
+    all docs at once — enables near(near(a,b), c, ordered=False) etc.
+    Batch form of near_unordered_intervals_count: element x of clause i
+    retires in (start, clause-index, end) order; its window pairs it with
+    each clause's first unretired span (start >= x.start for j > i,
+    start > x.start for j < i — within a clause, (start, end) order) and
+    matches when (maxEnd - x.start) - sum(head lengths) <= slop. A head
+    landing outside x's doc block means that clause exhausted first and
+    x's window was never evaluated (invalid), exactly like
+    sweep_windows_batch. Returns (gstart, gend, width)."""
+    k = len(subs)
+    z = np.zeros(0, np.int64)
+    if any(len(gs) == 0 for gs, _ge in subs):
+        return z, z, z
+    if k == 1:
+        gs, ge = subs[0]
+        return gs, ge, np.zeros(len(gs), np.int64)
+    starts = np.concatenate([gs for gs, _ge in subs])
+    ends = np.concatenate([ge for _gs, ge in subs])
+    lidx = np.concatenate(
+        [np.full(len(gs), j, np.int64) for j, (gs, _ge) in enumerate(subs)]
+    )
+    order = np.lexsort((ends, lidx, starts))  # retire order
+    xs, xe, xi = starts[order], ends[order], lidx[order]
+    xdoc = xs // SHIFT
+    maxend = xe.copy()
+    sumlen = xe - xs
+    valid = np.ones(len(xs), dtype=bool)
+    for j, (gs, ge) in enumerate(subs):
+        hl = np.searchsorted(gs, xs, side="left")
+        hr = np.searchsorted(gs, xs, side="right")
+        idx = np.where(j > xi, hl, hr)
+        take = xi != j
+        ok = take & (idx < len(gs))
+        ii = np.minimum(idx, len(gs) - 1)
+        hs, he = gs[ii], ge[ii]
+        ok &= (hs // SHIFT) == xdoc
+        valid &= ~take | ok
+        np.maximum(maxend, np.where(ok, he, -1), out=maxend)
+        sumlen = sumlen + np.where(ok, he - hs, 0)
+    width = (maxend - xs) - sumlen
+    m = valid & (width <= slop)
+    return xs[m], maxend[m], width[m]
+
+
 def sloppy_phrase_freqs_batch(
     arrs: list[np.ndarray], slop: int, max_doc_ord: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -328,6 +402,9 @@ def eval_spans(node, posmap: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return _sort_spans(gs, ge, w)
     if isinstance(node, SpanNear):
         sub_spans = [eval_spans(s, posmap) for s in node.subs]
+        if any(len(gs) == 0 for gs, _ge, _w in sub_spans):
+            return z, z, z  # a near needs every clause; also keeps empty
+            # lists out of the repeated-identical-sub-span check below
         all_unit = all(
             len(gs) == 0 or (np.all(ge - gs == 1) and np.all(w == 0))
             for gs, ge, w in sub_spans
@@ -339,10 +416,15 @@ def eval_spans(node, posmap: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             )
             return _sort_spans(gs, ge, w)
         if not all_unit:
-            raise NotImplementedError(
-                "unordered span-near requires unit sub-spans "
-                "(SpanTerm or SpanOr of SpanTerms)"
-            )
+            ivs = [(gs, ge) for gs, ge, _w in sub_spans]
+            ks = [np.stack([gs, ge]).tobytes() for gs, ge in ivs]
+            if len(set(ks)) != len(ks):
+                raise NotImplementedError(
+                    "repeated identical sub-spans in unordered span-near "
+                    "need sequential repeat reconciliation"
+                )
+            gs, ge, w = near_unordered_general_batch(ivs, node.slop)
+            return _sort_spans(gs, ge, w)
         arrs = [gs for gs, _ge, _w in sub_spans]
         if node.ordered:
             gs, ge, w = near_ordered_spans_batch(arrs, node.slop)

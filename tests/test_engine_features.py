@@ -316,3 +316,33 @@ def test_prefix_slice_supplementary_plane():
                  dtype=object)
     got = list(_prefix_slice(d, "ro"))
     assert got == sorted(["ro", "roa", "ro\U0001d552x", "ro￿"])
+
+
+def test_highlight_qf_fields_matches_single_field(spark, pages_small):
+    """highlight_best_window_fields: each field's windows equal the
+    single-field highlighter run on that field's column alone."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions import components as C
+
+    pd2 = pages_small[["url", "text"]].copy()
+    pd2["doc_id"] = np.arange(len(pd2))
+    docs = spark.createDataFrame(pd2[["doc_id", "text"]]).withColumn(
+        "title", F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    )
+    terms = ["babe", "roro"]
+    multi = C.highlight_best_window_fields(
+        docs, terms, {"text": "text", "title": "title"}, 10, 10**6
+    ).toPandas()
+    single_text = C.highlight_best_window(docs, terms, 10, 10**6).toPandas()
+    single_title = C.highlight_best_window(
+        docs.select("doc_id", F.col("title").alias("text")), terms, 10, 10**6
+    ).toPandas()
+    for fname, single in (("text", single_text), ("title", single_title)):
+        part = (multi[multi["field"] == fname]
+                .drop(columns=["field"]).sort_values("doc_id")
+                .reset_index(drop=True))
+        single = single.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(part, single)
+    assert (multi[multi["field"] == "title"]["best_start"] <= 1).all()

@@ -217,6 +217,44 @@ def test_edismax_pf_single_term_noop(mf_searcher):
     )
 
 
+def test_edismax_ps_sloppy_boost(mf_searcher, mf_index):
+    """ps applies slop to the pf phrase (ExtendedDismaxQParser ps): the
+    set of boosted docs is exactly the set with a sloppy window
+    (sequential kernel as independent oracle), a superset of exact-pf."""
+    import numpy as np
+
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search.sloppy import sloppy_phrase_freq
+
+    _, _, pages = mf_index
+    qf = {"text": 1.0}
+    base = mf_searcher.edismax("babe roro", qf=qf, k=3000).toPandas()
+    boosted = mf_searcher.edismax("babe roro", qf=qf, k=3000,
+                                  pf={"text": 2.0}, ps=2).toPandas()
+    b_map = dict(zip(base["docid"].astype(int),
+                     base["score"].astype(np.float32)))
+    g_map = dict(zip(boosted["docid"].astype(int),
+                     boosted["score"].astype(np.float32)))
+    assert set(b_map) == set(g_map)
+
+    urls = pages["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = tokenize_series(pages["text"])
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    has_sloppy = set()
+    for d, g in flat[flat["term"].isin(["babe", "roro"])].groupby("docid"):
+        a = np.sort(g[g["term"] == "babe"]["pos"].to_numpy())
+        b = np.sort(g[g["term"] == "roro"]["pos"].to_numpy())
+        if (len(a) and len(b)
+                and sloppy_phrase_freq([a, b], [0, 1], 2,
+                                       terms=["babe", "roro"]) > 0):
+            has_sloppy.add(int(d))
+    changed = {d for d in b_map if g_map[d] != b_map[d]}
+    assert changed == (has_sloppy & set(b_map))
+    assert all(g_map[d] > b_map[d] for d in changed)
+
+
 def test_multifield_merge_preserves_fields(spark, mf_index):
     """force_merge on a multi-field index: per-field norms travel, the
     merged index passes CheckIndex, and edismax results are rank- and

@@ -150,3 +150,35 @@ def test_repeats_engine_oracle_parity(searcher, oracle_small, pages_small):
             res["score"].to_numpy(np.float32), exp["score"].to_numpy(np.float32),
             err_msg=q,
         )
+
+
+def test_two_term_merge_closed_form():
+    """The edismax ps SQL oracle relies on a closed form of the two-slot
+    minimal-window sweep: each slot-0 occurrence pairs with the smallest
+    adjusted slot-1 position >= it, each slot-1 occurrence with the
+    smallest adjusted slot-0 position strictly > it (ties advance slot 0).
+    Verify equivalence to the sequential kernel over random inputs."""
+    import random
+
+    def closed_form(A, B, slop):
+        f = 0.0
+        for x in A:
+            ys = [y for y in B if y >= x]
+            if ys and min(ys) - x <= slop:
+                f += 1.0 / (min(ys) - x + 1)
+        for x in B:
+            ys = [y for y in A if y > x]
+            if ys and min(ys) - x <= slop:
+                f += 1.0 / (min(ys) - x + 1)
+        return f
+
+    rng = random.Random(42)
+    for _ in range(3000):
+        A = sorted(rng.sample(range(15), rng.randint(1, 6)))
+        B = sorted(rng.sample(range(15), rng.randint(1, 6)))
+        slop = rng.randint(0, 5)
+        k = sloppy_phrase_freq(
+            [np.array(A), np.array([b + 1 for b in B])], [0, 1], slop,
+            terms=["t0", "t1"],
+        )
+        assert k == pytest.approx(closed_form(A, B, slop)), (A, B, slop)

@@ -371,3 +371,87 @@ def test_nested_near_through_engine(searcher, pages_small):
         if n:
             exp[d] = n
     assert got == exp
+
+
+def test_unordered_general_batch_matches_sequential_random():
+    """near_unordered_general_batch (interval sweep, all docs at once)
+    reproduces the sequential NearSpansUnordered-cell kernel per doc —
+    this is the kernel behind unordered span-near over COMPOSITE
+    sub-spans (near(near(a,b), c, ordered=False))."""
+    import random
+
+    from lucene_solr_spark.search.spans import (
+        SHIFT,
+        near_unordered_general_batch,
+        near_unordered_intervals_count,
+    )
+
+    rng = random.Random(7)
+    for _ in range(800):
+        k = rng.randint(2, 4)
+        ndocs = rng.randint(1, 4)
+        per_doc, subs_g = [], [([], []) for _ in range(k)]
+        for d in range(ndocs):
+            doc_lists = []
+            for j in range(k):
+                iv = sorted({
+                    (s, s + rng.randint(1, 4))
+                    for s in (rng.randint(0, 12)
+                              for _ in range(rng.randint(0, 4)))
+                })
+                doc_lists.append(iv)
+                for s, e in iv:
+                    subs_g[j][0].append(d * int(SHIFT) + s)
+                    subs_g[j][1].append(d * int(SHIFT) + e)
+            per_doc.append(doc_lists)
+        subs = [(np.array(gs, np.int64), np.array(ge, np.int64))
+                for gs, ge in subs_g]
+        slop = rng.randint(-1, 6)
+        gs, _ge, _w = near_unordered_general_batch(subs, slop)
+        got = {}
+        for g in gs:
+            got[int(g // SHIFT)] = got.get(int(g // SHIFT), 0) + 1
+        for d in range(ndocs):
+            exp = near_unordered_intervals_count(per_doc[d], slop)
+            assert exp == got.get(d, 0), (per_doc[d], slop)
+
+
+def test_unordered_composite_through_engine(searcher, pages_small):
+    """Unordered near over a composite sub-span through the engine equals
+    a brute-force recount from the tokenized corpus."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import spans as SP
+    from lucene_solr_spark.search.spans import near_unordered_intervals_count
+
+    t1, t2, t3 = "babe", "roro", "dup"
+    inner = SP.SpanNear((SP.SpanTerm(t1), SP.SpanTerm(t2)), 1, True)
+    outer = SP.SpanNear((inner, SP.SpanTerm(t3)), 4, False)
+    res = searcher.span_query(outer).toPandas()
+
+    pages = pages_small
+    urls = pages["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = tokenize_series(pages["text"])
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    exp = {}
+    for d, g in flat[flat["term"].isin([t1, t2, t3])].groupby("docid"):
+        a = np.sort(g[g["term"] == t1]["pos"].to_numpy())
+        b = np.sort(g[g["term"] == t2]["pos"].to_numpy())
+        c = np.sort(g[g["term"] == t3]["pos"].to_numpy())
+        # inner ordered spans: anchor each b, closest a strictly before,
+        # width <= 1
+        ispans = []
+        for pk in b:
+            prior = a[a < pk]
+            if len(prior) and (pk - prior[-1]) - 1 <= 1:
+                ispans.append((int(prior[-1]), int(pk) + 1))
+        ispans = sorted(set(ispans))
+        units = [(int(p), int(p) + 1) for p in c]
+        n = near_unordered_intervals_count([ispans, units], 4)
+        if n > 0:
+            exp[int(d)] = n
+    got = dict(zip(res["docid"].astype(int), res["freq"].astype(int)))
+    assert got == exp
