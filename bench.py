@@ -204,11 +204,24 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
         )
     ).collect()
     queries["q_span_not"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    searcher.span_query(
+        SP.SpanNear(
+            (SP.SpanNear((SP.SpanTerm("table"), SP.SpanTerm("hash")), 0, True),
+             SP.SpanTerm("join")),
+            3, False,
+        )
+    ).collect()
+    queries["q_span_uno_comp"] = round(time.time() - t0, 3)
     sf_fields = gate.gate_searcher_fields(spark, sf_dir)  # build untimed
     t0 = time.time()
     sf_fields.edismax("dup merge", qf={"text": 1.0, "title": 3.0},
                       tie=0.3, k=10).collect()
     queries["q_edismax"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sf_fields.edismax("table hash", qf={"text": 1.0, "title": 2.0}, tie=0.1,
+                      k=10, pf={"text": 1.5, "title": 4.0}, ps=2).collect()
+    queries["q_edismax_ps"] = round(time.time() - t0, 3)
 
     G = gate.queries()
     for name in [
