@@ -200,30 +200,78 @@ def near_unordered_spans_batch(
     return starts[valid], maxheads[valid] + 1, width[valid]
 
 
-def near_unordered_intervals_count(
-    span_lists: list[list[tuple[int, int]]], slop: int
-) -> int:
-    """Sequential reference kernel: unordered span-near over GENERAL
-    (interval) sub-spans for ONE doc (spans/NearSpansUnordered.java:
-    cells ordered by start, match when
-    maxEnd - minStart - totalSpanLength <= slop, then the min-start cell
-    advances; start ties advance the lowest clause index — documented
-    tiebreak, the batch kernel mirrors it)."""
+def near_unordered_intervals_matches(
+    span_lists: list[list[tuple[int, int]]],
+    slop: int,
+    keys: list | None = None,
+) -> list[tuple[int, int, int]]:
+    """Sequential kernel: unordered span-near over GENERAL (interval)
+    sub-spans for ONE doc (spans/NearSpansUnordered.java: cells ordered by
+    start, match when maxEnd - minStart - totalSpanLength <= slop, then
+    the min-start cell advances; start ties advance the lowest clause
+    index — documented tiebreak, the batch kernel mirrors it). Returns
+    the qualifying windows as (minStart, maxEnd, width).
+
+    ``keys`` enables repeat reconciliation for REPEATED IDENTICAL
+    sub-clauses (equal keys form a repeat group): before each window the
+    group's assigned spans must be pairwise distinct — colliding members
+    advance (the SloppyPhraseScorer.advanceRpts analog over spans)."""
     if any(len(s) == 0 for s in span_lists):
-        return 0
-    idx = [0] * len(span_lists)
-    count = 0
+        return []
+    k = len(span_lists)
+    groups: list[list[int]] = []
+    if keys is not None:
+        by_key: dict = {}
+        for i, kk in enumerate(keys):
+            by_key.setdefault(kk, []).append(i)
+        groups = [g for g in by_key.values() if len(g) > 1]
+    idx = [0] * k
+
+    def resolve() -> bool:
+        changed = True
+        while changed:
+            changed = False
+            for grp in groups:
+                seen: dict = {}
+                for m in grp:
+                    h = span_lists[m][idx[m]]
+                    if h in seen:
+                        other = seen[h]
+                        adv = m if h <= span_lists[other][idx[other]] else other
+                        idx[adv] += 1
+                        if idx[adv] >= len(span_lists[adv]):
+                            return False
+                        changed = True
+                        break
+                    seen[h] = m
+                if changed:
+                    break
+        return True
+
+    if groups and not resolve():
+        return []
+    out: list[tuple[int, int, int]] = []
     while True:
         heads = [sl[i] for sl, i in zip(span_lists, idx)]
         minstart = min(h[0] for h in heads)
         maxend = max(h[1] for h in heads)
         total = sum(h[1] - h[0] for h in heads)
-        if (maxend - minstart) - total <= slop:
-            count += 1
+        width = (maxend - minstart) - total
+        if width <= slop:
+            out.append((minstart, maxend, width))
         i = next(j for j, h in enumerate(heads) if h[0] == minstart)
         idx[i] += 1
         if idx[i] >= len(span_lists[i]):
-            return count
+            return out
+        if groups and not resolve():
+            return out
+
+
+def near_unordered_intervals_count(
+    span_lists: list[list[tuple[int, int]]], slop: int
+) -> int:
+    """Match count form of near_unordered_intervals_matches (no repeats)."""
+    return len(near_unordered_intervals_matches(span_lists, slop))
 
 
 def near_unordered_general_batch(
@@ -419,11 +467,12 @@ def eval_spans(node, posmap: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             ivs = [(gs, ge) for gs, ge, _w in sub_spans]
             ks = [np.stack([gs, ge]).tobytes() for gs, ge in ivs]
             if len(set(ks)) != len(ks):
-                raise NotImplementedError(
-                    "repeated identical sub-spans in unordered span-near "
-                    "need sequential repeat reconciliation"
-                )
-            gs, ge, w = near_unordered_general_batch(ivs, node.slop)
+                # repeated identical sub-spans: per-doc sequential kernel
+                # with repeat reconciliation (advanceRpts analog over
+                # spans) — bounded by docs containing every clause
+                gs, ge, w = _unordered_repeats_per_doc(ivs, ks, node.slop)
+            else:
+                gs, ge, w = near_unordered_general_batch(ivs, node.slop)
             return _sort_spans(gs, ge, w)
         arrs = [gs for gs, _ge, _w in sub_spans]
         if node.ordered:
@@ -464,6 +513,35 @@ def eval_spans(node, posmap: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         keep = (ge % SHIFT) <= node.end
         return gs[keep], ge[keep], w[keep]
     raise TypeError(f"not a span query: {node!r}")
+
+
+def _unordered_repeats_per_doc(
+    ivs: list[tuple[np.ndarray, np.ndarray]], keys: list, slop: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unordered span-near with REPEATED IDENTICAL sub-clauses: run the
+    sequential reconciliation kernel per candidate doc (docs containing
+    every clause). The repeats case cannot batch (window validity depends
+    on the mutable per-group assignment), so this is the bounded
+    sequential fallback, like engine.span_near for flat repeats."""
+    docsets = [np.unique(gs // SHIFT) for gs, _ge in ivs]
+    cand = docsets[0]
+    for d in docsets[1:]:
+        cand = np.intersect1d(cand, d, assume_unique=True)
+    out_s: list[int] = []
+    out_e: list[int] = []
+    out_w: list[int] = []
+    for doc in cand:
+        lo, hi = doc * SHIFT, (doc + 1) * SHIFT
+        per_doc = []
+        for gs, ge in ivs:
+            a, b = np.searchsorted(gs, lo), np.searchsorted(gs, hi)
+            per_doc.append(list(zip(gs[a:b].tolist(), ge[a:b].tolist())))
+        for s, e, w in near_unordered_intervals_matches(per_doc, slop, keys):
+            out_s.append(s)
+            out_e.append(e)
+            out_w.append(w)
+    return (np.array(out_s, np.int64), np.array(out_e, np.int64),
+            np.array(out_w, np.int64))
 
 
 def span_doc_counts(gs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -455,3 +455,61 @@ def test_unordered_composite_through_engine(searcher, pages_small):
             exp[int(d)] = n
     got = dict(zip(res["docid"].astype(int), res["freq"].astype(int)))
     assert got == exp
+
+
+def test_unordered_repeats_reconciliation_intervals():
+    """Repeated identical sub-clauses must bind DISTINCT spans: a doc
+    with a single composite span cannot satisfy near(inner, inner)."""
+    from lucene_solr_spark.search.spans import (
+        near_unordered_intervals_matches,
+    )
+
+    one = [(0, 2)]
+    assert near_unordered_intervals_matches([one, one], 10, [0, 0]) == []
+    two = [(0, 2), (5, 7)]
+    m = near_unordered_intervals_matches([two, two], 3, [0, 0])
+    assert m == [(0, 7, 3)]
+    assert near_unordered_intervals_matches([two, two], 2, [0, 0]) == []
+    # distinct keys: no reconciliation, self-pairing allowed
+    m2 = near_unordered_intervals_matches([one, one], 10, [0, 1])
+    assert len(m2) == 1 and m2[0][2] < 0  # full overlap, negative width
+
+
+def test_unordered_composite_repeats_through_engine(searcher, pages_small):
+    """near(inner, inner, unordered) through the engine equals a brute
+    per-doc recount with reconciliation (distinct inner spans)."""
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search import spans as SP
+    from lucene_solr_spark.search.spans import (
+        near_unordered_intervals_matches,
+    )
+
+    pages = pages_small
+    urls = pages["url"].to_numpy()
+    docid_by_pos = np.empty(len(urls), np.int64)
+    docid_by_pos[np.argsort(urls)] = np.arange(len(urls))
+    flat = tokenize_series(pages["text"])
+    flat = flat.assign(docid=docid_by_pos[flat["doc_idx"].to_numpy()])
+    t1, t2 = flat["term"].value_counts().index[:2]
+
+    inner = SP.SpanNear((SP.SpanTerm(t1), SP.SpanTerm(t2)), 5, True)
+    outer = SP.SpanNear((inner, inner), 20, False)
+    res = searcher.span_query(outer).toPandas()
+
+    exp = {}
+    for d, g in flat[flat["term"].isin([t1, t2])].groupby("docid"):
+        a = np.sort(g[g["term"] == t1]["pos"].to_numpy())
+        b = np.sort(g[g["term"] == t2]["pos"].to_numpy())
+        ispans = []
+        for pk in b:
+            prior = a[a < pk]
+            if len(prior) and (pk - prior[-1]) - 1 <= 5:
+                ispans.append((int(prior[-1]), int(pk) + 1))
+        ispans = sorted(set(ispans))
+        n = len(near_unordered_intervals_matches(
+            [ispans, ispans], 20, [0, 0]))
+        if n > 0:
+            exp[int(d)] = n
+    got = dict(zip(res["docid"].astype(int), res["freq"].astype(int)))
+    assert got == exp
+    assert exp, "fixture should contain at least one doc with 2 inner spans"
