@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..analysis import tokenize_series
-from ..search import bm25
+from ..search import bm25, spans as spans_mod
 from . import codec, manifest as manifest_mod
 
 LINEAGE_SCHEMA = (
@@ -140,6 +140,14 @@ def _build_segment_pdf(texts: pd.Series, with_positions: bool = True, analyzer: 
     term_codes, term_uniques = _factorize_sorted(flat["term"])
     doc_idx = flat["doc_idx"].to_numpy().astype(np.int64)
     pos = flat["pos"].to_numpy().astype(np.int64)
+    if len(pos) and int(pos.max()) > spans_mod.MAX_POSITION:
+        # IndexWriter.MAX_POSITION analog: a >2^21-token doc would bleed
+        # positions into the next doc's global-coordinate block and
+        # silently corrupt every batched span/phrase kernel (ADVICE r3)
+        raise ValueError(
+            f"document exceeds MAX_POSITION={spans_mod.MAX_POSITION} "
+            f"tokens (got position {int(pos.max())}); refuse to index"
+        )
 
     order = np.lexsort((doc_idx, term_codes))  # stable: keeps pos asc in groups
     ts = term_codes[order]

@@ -1427,16 +1427,40 @@ ORDER BY field, doc_id LIMIT 50""",
     )
 
     def _span_near_unordered(spark, sf):
-        # unordered span-near (distinct-occurrence minimal windows). The
-        # sweep's window enumeration is not expressible in set-based SQL,
-        # so this is a rows-only gate; exact semantics are pinned by the
-        # kernel tests (test_spans.py) and the engine parity test.
+        # unordered span-near over two unit clauses; freq = count of the
+        # sweep's distinct-occurrence minimal windows
         s = gate_searcher(spark, sf)
         return s.span_near("table hash", slop=2, ordered=False).select(
             F.col("docid").alias("doc_id"), "freq"
         )
 
-    R["span_near_unordered"] = (_span_near_unordered, None)
+    # oracle: the two-clause unordered sweep CLOSED FORM (fuzz-verified vs
+    # the sequential kernel in tests/test_spans.py; same shape as the
+    # span_unordered_composite_count oracle) specialized to unit spans:
+    # each 'table' occurrence windows with the first 'hash' at pos >= it,
+    # each 'hash' occurrence with the first 'table' STRICTLY after it
+    # (the tie advances the first clause); width = gap - 1... here
+    # width = partner - mins - 1 since both spans have length 1
+    R["span_near_unordered"] = (
+        _span_near_unordered,
+        f"""{TOKS},
+ta AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+tb AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+m1 AS (SELECT a.doc_id,
+         (SELECT min(b.pos) FROM tb b
+          WHERE b.doc_id = a.doc_id AND b.pos >= a.pos) AS up,
+         a.pos AS mins FROM ta a),
+m2 AS (SELECT b.doc_id,
+         (SELECT min(a.pos) FROM ta a
+          WHERE a.doc_id = b.doc_id AND a.pos > b.pos) AS sp,
+         b.pos AS mins FROM tb b),
+wins AS (
+  SELECT doc_id, up - mins - 1 AS width FROM m1 WHERE up IS NOT NULL
+  UNION ALL
+  SELECT doc_id, sp - mins - 1 AS width FROM m2 WHERE sp IS NOT NULL)
+SELECT doc_id, count(*) AS freq FROM wins WHERE width <= 2
+GROUP BY doc_id ORDER BY doc_id""",
+    )
 
     def _edismax_qf(spark, sf):
         s = gate_searcher_fields(spark, sf)
@@ -1875,6 +1899,58 @@ wins AS (
   FROM m2 WHERE sp IS NOT NULL
 )
 SELECT doc_id, count(*) AS freq FROM wins WHERE width <= 3
+GROUP BY doc_id ORDER BY doc_id""",
+    )
+
+    def _span_same_end(spark, sf):
+        # ordered near whose MIDDLE clause yields same-end spans with
+        # different starts: or(near(table,hash)~0, hash) produces
+        # (t, h+1) and (h, h+1) for adjacent pairs — the r3 greedy
+        # max-start collapse could drop the wider candidate's feasible
+        # chain (ADVICE r3); the exact prefix-min chain evaluates both
+        from ..search import spans as SP
+
+        s = gate_searcher(spark, sf)
+        mid = SP.SpanOr((
+            SP.SpanNear((SP.SpanTerm("table"), SP.SpanTerm("hash")), 0, True),
+            SP.SpanTerm("hash"),
+        ))
+        outer = SP.SpanNear(
+            (SP.SpanTerm("merge"), mid, SP.SpanTerm("join")), 6, True
+        )
+        return s.span_query(outer).select(
+            F.col("docid").alias("doc_id"), "freq"
+        )
+
+    # oracle: one match per 'join' anchor iff the EXACT minimal chain
+    # width <= slop: min over or-spans (s,e) with e <= join of
+    # (join - e) + (s - 1 - max merge pos with merge+1 <= s)
+    R["span_ordered_same_end_count"] = (
+        _span_same_end,
+        f"""{TOKS},
+orsp AS (
+  SELECT a.doc_id, a.pos AS s, a.pos + 2 AS e
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'hash'
+  UNION ALL
+  SELECT doc_id, pos AS s, pos + 1 AS e FROM toks WHERE term = 'hash'
+),
+g1 AS (
+  SELECT o.doc_id, o.s, o.e,
+         o.s - 1 - (SELECT max(m.pos) FROM toks m
+                    WHERE m.doc_id = o.doc_id AND m.term = 'merge'
+                      AND m.pos + 1 <= o.s) AS w1
+  FROM orsp o
+),
+anch AS (
+  SELECT j.doc_id, j.pos,
+         (SELECT min(j.pos - g.e + g.w1) FROM g1 g
+          WHERE g.doc_id = j.doc_id AND g.e <= j.pos
+            AND g.w1 IS NOT NULL) AS w
+  FROM toks j WHERE j.term = 'join'
+)
+SELECT doc_id, count(*) AS freq FROM anch
+WHERE w IS NOT NULL AND w <= 6
 GROUP BY doc_id ORDER BY doc_id""",
     )
 
@@ -2345,32 +2421,37 @@ GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
 # New round-3 gates are appended here as they are written so they also land in
 # the checked window.
 _PRIORITY = [
-    "bm25_mm_2of3", "total_hits_or",
-    "wildcard_match_docs", "wildcard_infix_docs", "wildcard_qmark_docs",
-    "regexp_terms_df", "wildcard_scored_topk",
-    "span_near_ordered", "span_near_unordered",
-    "highlight_best_window", "highlight_snippets",
-    "sort_by_field_topk", "suggest_autocomplete", "spellcheck",
-    "function_query_topk", "more_like_this", "rescore_topk",
-    "tumbling_window_counts", "sessionize_users", "running_value_sum",
-    "funcquery_registry", "tpch_pricing_summary", "tpch_top_customers",
-    # round-3 additions (never driver-checked yet)
-    "fuzzy_scored_topk", "span_not_count", "span_or_near_count",
-    "span_first_topk", "edismax_qf_topk", "funcquery_ord_tf",
-    "funcquery_stats_sources", "ascii_folding_terms", "sstem_terms",
-    "edismax_pf_topk", "wildcard_topterms_scored", "span_nested_near_count",
-    "quality_stats_map", "edismax_ps_topk", "span_unordered_composite_count",
-    "highlight_qf_fields",
+    # round-4 window rotation (VERDICT r3 item 4): the 39 entries whose
+    # driver rows date from r1/r2 (not reached by the r3 50-row window)
+    # come first so the driver refreshes them against current code; new
+    # round-4 gates are appended to this head as they land.
+    "ann_ivf_cosine", "curation_pipeline", "bm25_and_topk", "bm25_or_topk",
+    "bm25_search_after_page2", "terms_component_prefix", "fuzzy_terms",
+    "terms_component_on_index", "geo_radius_filter", "percolate_queries",
+    "knn_classify_lang", "naive_bayes_lang", "suggest_on_index",
+    "spellcheck_on_index", "mlt_on_engine", "sorted_docs_topk",
+    "facet_range_nchars", "facet_query_counts", "pivot_facet_lang_source",
+    "stats_component_nchars", "collapse_top1_per_source",
+    "stats_on_engine_hits", "grouping_on_engine_hits",
+    "facet_field_on_engine_hits", "boolean_not_count", "join_query_source",
+    "block_join_parent", "numeric_range_events", "range_join_stats_tpch",
+    "dedup_exact", "dedup_prefix", "ngram_jaccard_near", "simhash16",
+    "token_counts", "quality_score", "lang_id", "emb_cosine_near_dup",
+    "fingerprint", "ann_brute_cosine",
+    # span_near_unordered gained its SQL oracle in r4 — refresh its row
+    # so the last rows-only gate turns fully green
+    "span_near_unordered",
+    # round-4 gates (each lands here; a green representative below is
+    # dropped to keep the driver's 50-row window covering all of these)
+    "span_ordered_same_end_count",
 ]
 
 # One representative of each already-driver-green family rides along in the
 # head window so a regression there is still caught by the driver.
 _GREEN_REPRESENTATIVES = [
     "bm25_term_topk", "bm25_phrase_topk", "nested_bool_topk",
-    "multi_phrase_topk", "stemmed_term_topk", "bm25_filtered_topk",
-    "dismax_topk", "facet_field_lang", "grouping_top2_per_source",
-    "dedup_exact_planted", "minhash_lsh_pairs", "ann_ivf_cosine",
-    "curation_pipeline",
+    "stemmed_term_topk", "dismax_topk", "facet_field_lang",
+    "dedup_exact_planted", "minhash_lsh_pairs", "span_nested_near_count",
 ]
 
 

@@ -761,6 +761,9 @@ def _phrase_freqs(clause, rows, cand_ids):
                     if len(sub) == 0:
                         continue
                     counts, flat = r.positions_flat(sub)
+                    from .spans import check_positions
+
+                    check_positions(flat, bias)  # 2^21 block guard
                     doc_of_pos = np.repeat(
                         np.flatnonzero(m).astype(np.int64), counts
                     )
@@ -903,6 +906,7 @@ def _span_posmap(node, rows: dict) -> dict:
         if len(sub) == 0:
             continue
         counts, flat = r.positions_flat(sub)
+        SP.check_positions(flat)  # 2^21 block guard
         posmap[t] = np.repeat(sub, counts) * SP.SHIFT + flat
     return posmap
 

@@ -89,7 +89,7 @@ _TOKENIZER = re.compile(
 _PHRASE_TOKEN_RE = re.compile(r"^\"([^\"]*)\"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
 _GROUP_CLOSE_RE = re.compile(r"^\)(?:\^(\d+(?:\.\d+)?))?$")
 _BOOST_SUFFIX_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
-_FUZZY_SUFFIX_RE = re.compile(r"~(\d)?$")
+_FUZZY_SUFFIX_RE = re.compile(r"~(\d+)?$")
 
 
 def parse_query(text: str, mode: str = "OR", analyzer: str = "standard") -> Query:
@@ -242,8 +242,15 @@ def _parse_group(
             if fm and len(word) > len(fm.group(0)):
                 # FuzzyQuery: 'term~' (default 2 edits), 'term~1', 'term~2'
                 # (QueryParserBase.getFuzzyQuery; edits capped at
-                # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE = 2)
-                edits = min(int(fm.group(1)) if fm.group(1) else 2, 2)
+                # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE = 2 —
+                # the reference parser ERRORS past it rather than silently
+                # re-tokenizing, so 'term~10' raises here too, ADVICE r3)
+                edits = int(fm.group(1)) if fm.group(1) else 2
+                if edits > 2:
+                    raise ValueError(
+                        f"fuzzy edit distance {edits} > 2 is unsupported "
+                        f"(LevenshteinAutomata max) in {word!r}"
+                    )
                 base = word[: fm.start()].lower()
                 if neg:
                     raise ValueError(

@@ -108,6 +108,27 @@ def span_near_count(
 
 SHIFT = np.int64(1) << 21  # > max field length (SmallFloat table caps at 2M)
 
+# Largest token position the index accepts, mirroring Lucene's
+# IndexWriter.MAX_POSITION guard (IndexWriter.java: MAX_POSITION =
+# Integer.MAX_VALUE - 128). The 256-slot headroom below SHIFT absorbs the
+# sloppy-phrase offset bias (positions shifted up by max(offsets) in
+# _phrase_freqs) so a biased position can never bleed into the next doc's
+# coordinate block (ADVICE r3).
+MAX_POSITION = int(SHIFT) - 256
+
+
+def check_positions(flat: np.ndarray, bias: int = 0) -> None:
+    """Guard a flat position array before it enters global (docid*SHIFT+pos)
+    coordinates: every position + bias must stay inside one doc block.
+    Raises like IndexWriter does for position overflow instead of silently
+    corrupting the batched span/phrase kernels."""
+    if len(flat) and int(flat.max()) + bias >= int(SHIFT):
+        raise ValueError(
+            f"position {int(flat.max())} + bias {bias} exceeds the "
+            f"2^21-token field limit (MAX_POSITION={MAX_POSITION}); "
+            "re-index with shorter documents"
+        )
+
 
 def near_ordered_spans_batch(
     arrs: list[np.ndarray], slop: int
@@ -578,12 +599,25 @@ def near_ordered_general_batch(
     sub-spans).
 
     subs[j] = (gstart, gend) arrays of sub-clause j's spans. A match
-    anchors at each span of the LAST sub-clause and chains backwards: for
-    each earlier sub-clause, greedily take the span with the largest end
-    <= the current chain start (ties: largest start — the
-    shrinkToAfterShortestMatch-style narrowing; documented greedy, as for
-    the unit kernel). Match width counts THIS level's inter-span gaps:
-    (last.end - first.start) - sum of chosen sub-span extents.
+    anchors at each span of the LAST sub-clause; the chain backwards is
+    EXACT minimal total width, not greedy: for each anchor start x the
+    best chain over clauses j..0 is
+
+        g_j(x) = min over spans (s, e) of clause j with e <= x of
+                 (x - e) + g_{j-1}(s),   g_{-1}(s) = 0
+
+    which is linear in x, so g_j(x) = x + prefixmin_{e <= x}(g_{j-1}(s)
+    - e) — one lexsort + running min per clause, no per-doc loop. The
+    round-3 greedy (max-start per distinct end) under-counted when a
+    clause held same-end spans with different starts (e.g. C1=(0,1),
+    C2={(1,5),(3,5)}, C3=(5,6) has a width-0 chain via (1,5) that
+    max-start pruning dropped — ADVICE r3); the prefix-min form evaluates
+    every feasible candidate per link. Ties on total width keep the
+    largest end, then largest start (shrinkToAfterShortestMatch
+    narrowing). Match width counts THIS level's inter-span gaps:
+    (last.end - first.start) - sum of chosen sub-span extents. Cross-doc
+    chains cost >= SHIFT > any real slop, so the width <= slop test
+    rejects them; the explicit same-doc check stays as a guard.
     """
     k = len(subs)
     z = np.zeros(0, np.int64)
@@ -592,22 +626,41 @@ def near_ordered_general_batch(
     a_gs, a_ge = subs[-1]
     if k == 1:
         return a_gs, a_ge, np.zeros(len(a_gs), np.int64)
-    cur_start = a_gs
-    width = np.zeros(len(a_gs), np.int64)
-    valid = np.ones(len(a_gs), dtype=bool)
-    for j in range(k - 2, -1, -1):
-        gs_j, ge_j = subs[j]
-        order = np.lexsort((gs_j, ge_j))  # by end, then start
-        es, ss = ge_j[order], gs_j[order]
-        # one candidate per distinct end: the max-start (narrowest) span
-        last = np.append(np.flatnonzero(es[1:] != es[:-1]), len(es) - 1)
-        es, ss = es[last], ss[last]
-        idx = np.searchsorted(es, cur_start, side="right") - 1
-        valid &= idx >= 0
-        idx = np.maximum(idx, 0)
-        # width accumulates THIS level's inter-span gaps directly
-        width = width + (cur_start - es[idx])
-        cur_start = ss[idx]
+    assert slop < int(SHIFT) // 2, "slop must stay far below SHIFT"
+    BIG = np.int64(1) << 60  # infeasible sentinel (no chain below)
+
+    def _prefix_min_eval(ss, es, val, chain):
+        """Build g_j from clause-j candidates: returns (es_sorted,
+        key_sorted, chain_at) where g_j(x) = x + key_sorted[best(x)]."""
+        order = np.lexsort((ss, es))
+        es_s, ss_s = es[order], ss[order]
+        key = (val - es)[order]
+        runmin = np.minimum.accumulate(key)
+        # last index attaining the running min -> on width ties prefer
+        # larger e, then larger s (later in the (e, s) sort)
+        attain = np.where(key <= runmin, np.arange(len(key)), -1)
+        best_at = np.maximum.accumulate(attain)
+        return es_s, runmin, chain[order][best_at]
+
+    # clause 0: no chain below; its own start is the chain start
+    s0, e0 = subs[0]
+    es_s, keymin, chain_at = _prefix_min_eval(
+        s0, e0, np.zeros(len(s0), np.int64), s0
+    )
+    for j in range(1, k):
+        x = subs[j][0] if j < k - 1 else a_gs
+        pos = np.searchsorted(es_s, x, side="right") - 1
+        feas = pos >= 0
+        pos = np.maximum(pos, 0)
+        g = np.where(feas, x + keymin[pos], BIG)
+        g = np.minimum(g, BIG)  # clamp accumulated-infeasible sums
+        chain = np.where(feas, chain_at[pos], np.int64(-1))
+        if j == k - 1:
+            width, cur_start = g, chain
+            break
+        es_s, keymin, chain_at = _prefix_min_eval(
+            subs[j][0], subs[j][1], g, chain
+        )
+    valid = (width <= slop) & (cur_start >= 0)
     valid &= (cur_start // SHIFT) == (a_gs // SHIFT)
-    valid &= width <= slop
     return cur_start[valid], a_ge[valid], width[valid]

@@ -513,3 +513,111 @@ def test_unordered_composite_repeats_through_engine(searcher, pages_small):
     got = dict(zip(res["docid"].astype(int), res["freq"].astype(int)))
     assert got == exp
     assert exp, "fixture should contain at least one doc with 2 inner spans"
+
+
+def test_ordered_general_same_end_candidates_exact():
+    """ADVICE r3 case: a clause with same-end, different-start spans must
+    not be collapsed to max-start — C2=(1,5) yields the width-0 chain."""
+    from lucene_solr_spark.search import spans as SP
+
+    subs = [
+        (np.array([0], np.int64), np.array([1], np.int64)),
+        (np.array([1, 3], np.int64), np.array([5, 5], np.int64)),
+        (np.array([5], np.int64), np.array([6], np.int64)),
+    ]
+    gs, ge, w = SP.near_ordered_general_batch(subs, 0)
+    assert list(zip(gs, ge, w)) == [(0, 6, 0)]
+    gs, ge, w = SP.near_ordered_general_batch(subs, 1)
+    assert list(zip(gs, ge, w)) == [(0, 6, 0)]
+
+
+def test_ordered_general_matches_bruteforce_min_width():
+    """Fuzz the exact prefix-min DP against brute-force enumeration of all
+    chains: per anchor, minimal total width and a clause-0 start that
+    attains it."""
+    from itertools import product
+
+    from lucene_solr_spark.search import spans as SP
+
+    rng = np.random.default_rng(404)
+    SH = int(SP.SHIFT)
+    for trial in range(200):
+        k = int(rng.integers(2, 4))
+        nd = int(rng.integers(1, 3))
+        slop = int(rng.integers(0, 5))
+        subs = []
+        for _j in range(k):
+            ss, es = [], []
+            for d in range(nd):
+                n = int(rng.integers(1, 5))
+                for _ in range(n):
+                    s = int(rng.integers(0, 12))
+                    e = s + int(rng.integers(1, 5))
+                    ss.append(d * SH + s)
+                    es.append(d * SH + e)
+            order = np.lexsort((np.array(es), np.array(ss)))
+            subs.append((np.array(ss, np.int64)[order],
+                         np.array(es, np.int64)[order]))
+        gs, ge, w = SP.near_ordered_general_batch(subs, slop)
+        got = sorted(zip(gs.tolist(), ge.tolist(), w.tolist()))
+        # brute force PER ANCHOR (the kernel emits one match per last-
+        # clause span): min total width over all chains ending at it
+        exp = []
+        cand = [list(zip(s.tolist(), e.tolist())) for s, e in subs]
+        for a_s, a_e in cand[-1]:
+            best_w, starts = None, set()
+            for combo in product(*cand[:-1]):
+                chain = list(combo) + [(a_s, a_e)]
+                if len({c[0] // SH for c in chain}) != 1:
+                    continue
+                if not all(chain[j][1] <= chain[j + 1][0]
+                           for j in range(k - 1)):
+                    continue
+                width = sum(chain[j + 1][0] - chain[j][1]
+                            for j in range(k - 1))
+                if best_w is None or width < best_w:
+                    best_w, starts = width, {combo[0][0]}
+                elif width == best_w:
+                    starts.add(combo[0][0])
+            if best_w is not None and best_w <= slop:
+                exp.append((starts, a_e, best_w))
+        assert len(got) == len(exp), f"trial {trial}"
+        # multiset compare on (end, width); starts checked by membership
+        from collections import Counter
+
+        exp_cnt = Counter((e, wd) for _st, e, wd in exp)
+        got_cnt = Counter((e, wd) for _s, e, wd in got)
+        assert got_cnt == exp_cnt, f"trial {trial}"
+        start_union = {}
+        for st, e, wd in exp:
+            start_union.setdefault((e, wd), set()).update(st)
+        for g_s, g_e, g_w in got:
+            assert g_s in start_union[(g_e, g_w)], f"trial {trial}"
+
+
+def test_position_overflow_guard():
+    """Positions past MAX_POSITION raise instead of bleeding into the next
+    doc's coordinate block (ADVICE r3)."""
+    import pandas as pd
+    import pytest
+
+    from lucene_solr_spark.index.build import _build_segment_pdf
+    from lucene_solr_spark.search import spans as SP
+
+    SP.check_positions(np.array([100], np.int64), bias=3)  # fine
+    with pytest.raises(ValueError, match="2\\^21"):
+        SP.check_positions(np.array([int(SP.SHIFT) - 2], np.int64), bias=3)
+    big = pd.Series([" ".join(["tok"] * (SP.MAX_POSITION + 2))])
+    with pytest.raises(ValueError, match="MAX_POSITION"):
+        _build_segment_pdf(big)
+
+
+def test_fuzzy_multidigit_edits_raise():
+    import pytest
+
+    from lucene_solr_spark.search.query import parse_query
+
+    q = parse_query("term~2")
+    assert q.clauses[0].kind == "fuzzy"
+    with pytest.raises(ValueError, match="edit distance"):
+        parse_query("term~10")
