@@ -102,7 +102,8 @@ _ARROW_DELIM = r"[^\pL\pM\pN_.,:'’]+"
 _ARROW_TRIM = ".,:'’"
 
 
-def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
+def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
+                    stopset: frozenset = ENGLISH_STOP_WORDS):
     """C++-side tokenize: lower+split+trim+filter without Python objects.
 
     Returns (doc_idx int64, terms (Categorical), pos int32, doc_lengths)
@@ -177,7 +178,7 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
     pos = (np.arange(n_tok) - np.repeat(starts, run_lens)).astype(np.int32)
 
     keep_len = pc.less_equal(pc.utf8_length(vals), MAX_TOKEN_LENGTH)
-    is_stop = pc.is_in(vals, value_set=pa.array(sorted(ENGLISH_STOP_WORDS)))
+    is_stop = pc.is_in(vals, value_set=pa.array(sorted(stopset)))
     emit_pa = pc.and_(keep_len, pc.invert(is_stop))
     emit = emit_pa.to_numpy(zero_copy_only=False)
 
@@ -194,7 +195,8 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True):
     return doc_idx, terms, pos[emit], lengths
 
 
-def _tokenize_regex(texts: pd.Series) -> tuple:
+def _tokenize_regex(texts: pd.Series,
+                    stopset: frozenset = ENGLISH_STOP_WORDS) -> tuple:
     """Reference regex path (handles CJK per-char expansion)."""
     texts = texts.map(str.lower)
     tok_lists = texts.map(_TOKEN_RE.findall)
@@ -217,7 +219,7 @@ def _tokenize_regex(texts: pd.Series) -> tuple:
     terms = pd.Series(flat, dtype="object")
     if len(terms):
         keep_len = terms.str.len().to_numpy() <= MAX_TOKEN_LENGTH
-        emit = keep_len & ~terms.isin(ENGLISH_STOP_WORDS).to_numpy()
+        emit = keep_len & ~terms.isin(stopset).to_numpy()
     else:
         emit = np.zeros(0, dtype=bool)
     doc_idx = doc_idx[emit]
@@ -235,7 +237,15 @@ def _tokenize_regex(texts: pd.Series) -> tuple:
 #              analysis/common/.../miscellaneous/ASCIIFoldingFilter.java)
 #   english_minimal — + possessive strip + Harman 1991 S-stemmer
 #              (analysis/common/.../en/EnglishMinimalStemFilter.java)
-ANALYZERS = ("standard", "english", "folding", "english_minimal")
+#   german/french/spanish/portuguese/russian — language stop set +
+#              Snowball stemmer (analysis/common/.../snowball/
+#              SnowballFilter.java:53 and the de/fr/es/pt/ru packages;
+#              algorithms re-implemented from the published descriptions
+#              in snowball.py)
+SNOWBALL_ANALYZERS = ("german", "french", "spanish", "portuguese",
+                      "russian")
+ANALYZERS = ("standard", "english", "folding",
+             "english_minimal") + SNOWBALL_ANALYZERS
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
@@ -261,6 +271,15 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; registry: {ANALYZERS}")
+    if analyzer in SNOWBALL_ANALYZERS:
+        from .snowball import SNOWBALL_STOPWORDS
+
+        stopset = SNOWBALL_STOPWORDS[analyzer]
+    else:
+        stopset = ENGLISH_STOP_WORDS
+
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
         arr = pc.fill_null(texts, "")
         if isinstance(arr, pa.ChunkedArray):
@@ -282,15 +301,16 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
 
     try:
         if not cjk.any():
-            fast = _tokenize_arrow(texts, check_cjk=False)
+            fast = _tokenize_arrow(texts, check_cjk=False, stopset=stopset)
         else:
             clean_pos = np.flatnonzero(~cjk)
             cjk_pos = np.flatnonzero(cjk)
-            fa = _tokenize_arrow(_slice(texts, clean_pos), check_cjk=False)
+            fa = _tokenize_arrow(_slice(texts, clean_pos),
+                                 check_cjk=False, stopset=stopset)
             cjk_texts = _slice(texts, cjk_pos)
             if isinstance(cjk_texts, pa.Array):
                 cjk_texts = cjk_texts.to_pandas()
-            fb = _tokenize_regex(cjk_texts)
+            fb = _tokenize_regex(cjk_texts, stopset=stopset)
             from pandas.api.types import union_categoricals
 
             di = np.concatenate([clean_pos[fa[0]], cjk_pos[fb[0]]])
@@ -308,10 +328,8 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
 
         if isinstance(texts, _pa.Array):
             texts = texts.to_pandas()
-        fast = _tokenize_regex(texts)
+        fast = _tokenize_regex(texts, stopset=stopset)
     doc_idx, terms, pos, lengths = fast
-    if analyzer not in ANALYZERS:
-        raise ValueError(f"unknown analyzer {analyzer!r}; registry: {ANALYZERS}")
     if analyzer == "english":
         from .stem import english_filter_terms
 
@@ -329,6 +347,13 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
 
         terms = english_minimal_filter_terms(
             terms if isinstance(terms, pd.Categorical) else np.asarray(terms)
+        )
+    elif analyzer in SNOWBALL_ANALYZERS:
+        from .snowball import snowball_filter_terms
+
+        terms = snowball_filter_terms(
+            terms if isinstance(terms, pd.Categorical) else np.asarray(terms),
+            analyzer,
         )
     out = pd.DataFrame(
         {

@@ -50,8 +50,15 @@ def sql_stoplist() -> str:
 
 
 def sql_tokens_cte(table: str = "documents", id_col: str = "doc_id",
-                   text_col: str = "text") -> str:
-    """DuckDB CTE producing the identical (doc_id, term, pos) relation."""
+                   text_col: str = "text",
+                   stopwords=None) -> str:
+    """DuckDB CTE producing the identical (doc_id, term, pos) relation.
+    ``stopwords`` overrides the English stop set (e.g. a Snowball
+    analyzer's language list, or () for no stop filtering)."""
+    if stopwords is None:
+        stop_sql = sql_stoplist()
+    else:
+        stop_sql = ", ".join(f"'{w}'" for w in sorted(stopwords)) or "''"
     return f"""
 toks_all AS (
   SELECT {id_col} AS doc_id,
@@ -60,5 +67,5 @@ toks_all AS (
   FROM {table}
 ),
 toks AS (
-  SELECT * FROM toks_all WHERE term NOT IN ({sql_stoplist()})
+  SELECT * FROM toks_all WHERE term NOT IN ({stop_sql})
 )"""

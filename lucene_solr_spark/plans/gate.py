@@ -87,6 +87,28 @@ def gate_searcher_english(spark: SparkSession, sf_dir: str):
     return SparkSearcher(spark, idx)
 
 
+def gate_searcher_lang(spark: SparkSession, sf_dir: str, lang: str):
+    """Per-language gate index built with a Snowball analyzer
+    (analysis/snowball.py): build-side stemming + language stop list,
+    manifest-recorded analyzer, query-side stemming — the SnowballFilter
+    registry threaded end-to-end like 'english'."""
+    import hashlib
+
+    from ..index import manifest as mf
+    from ..index.build import build_index
+    from ..search.engine import SparkSearcher
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = os.path.join(_CACHE, f"gate_index_{lang}_{key}")
+    if mf.read_current(idx) is None:
+        corpus = _docs(spark, sf_dir).select(
+            F.format_string("%012d", F.col("doc_id")).alias("url"), "text"
+        )
+        build_index(spark, corpus, idx, num_segments=4,
+                    build_id=f"gate_{lang}", analyzer=lang)
+    return SparkSearcher(spark, idx)
+
+
 def gate_searcher_fields(spark: SparkSession, sf_dir: str):
     """Multi-field gate index: body = text, title = the first two
     space-separated words of text (SQL-recomputable on both engines).
@@ -138,11 +160,16 @@ def _norm_range_values(max_len: int = 2_000_000) -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(terms: list[str], k: int, conjunctive: bool) -> str:
+def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
+              stopwords=None) -> str:
+    """BM25 oracle SQL; ``stopwords`` switches the tokens CTE to a
+    language stop list (Snowball analyzer gates — the stem map is
+    injective over the corpus vocabulary, so raw-term BM25 with the same
+    stop list reproduces the stemmed index's scores exactly)."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     need = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     return f"""
-WITH {sql_tokens_cte("documents")},
+WITH {sql_tokens_cte("documents", stopwords=stopwords)},
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
 qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
@@ -2189,6 +2216,70 @@ FROM toks GROUP BY 1 ORDER BY term""",
             .orderBy("term")
         )
 
+    # ---- Snowball language analyzers (de/fr/es/pt/ru) ---------------------
+    # Index built per language (stop list + Snowball stemmer); query
+    # 'merges' stems to 'merg' in all four Latin languages while the raw
+    # corpus term is 'merge' — the stem map is INJECTIVE over the corpus
+    # vocabulary and stop filtering matches the language list, so the
+    # oracle recomputes the identical BM25 on raw terms (the
+    # stemmed_term_topk trick, per-language).
+    def _lang_topk(lang):
+        def run(spark, sf):
+            s = gate_searcher_lang(spark, sf, lang)
+            res = s.search("merges", k=10, mode="OR", with_url=False)
+            return res.select(
+                F.col("docid").alias("doc_id"),
+                F.round(F.col("score").cast("double") * 1000)
+                 .cast("long").alias("milliscore"),
+            ).orderBy("doc_id")
+        return run
+
+    from ..analysis.snowball import SNOWBALL_STOPWORDS
+
+    for _lang, _code in (("german", "de"), ("french", "fr"),
+                         ("spanish", "es"), ("portuguese", "pt")):
+        R[f"{_code}_stem_topk"] = (
+            _lang_topk(_lang),
+            _bm25_sql(["merge"], 10, False,
+                      stopwords=SNOWBALL_STOPWORDS[_lang]),
+        )
+
+    def _ru_stem(spark, sf):
+        # Cyrillic words through the real russian chain (tokenize -> stop
+        # -> Snowball russian); expected stems hand-traced from the
+        # published algorithm (tests/test_snowball.py has the traces)
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        words = ["книгами", "красивый", "делать", "программы", "большое"]
+        pdf = pd.DataFrame(
+            {"doc_id": list(range(len(words))), "text": words}
+        )
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                flat = tokenize_series(b["text"], analyzer="russian")
+                yield pd.DataFrame({
+                    "doc_id": b["doc_id"].to_numpy()[
+                        flat["doc_idx"].to_numpy()
+                    ],
+                    "stem": flat["term"].astype(str),
+                })
+
+        return df.mapInPandas(run, "doc_id long, stem string").orderBy(
+            "doc_id"
+        )
+
+    R["ru_stem_values"] = (
+        _ru_stem,
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, stem FROM (VALUES
+             (0, 'книг'), (1, 'красив'), (2, 'дела'),
+             (3, 'программ'), (4, 'больш')) AS t(doc_id, stem)
+           ORDER BY doc_id""",
+    )
+
     R["sstem_terms"] = (
         _sstem_terms,
         f"""{TOKS},
@@ -2444,14 +2535,15 @@ _PRIORITY = [
     # round-4 gates (each lands here; a green representative below is
     # dropped to keep the driver's 50-row window covering all of these)
     "span_ordered_same_end_count",
+    "de_stem_topk", "fr_stem_topk", "es_stem_topk", "pt_stem_topk",
+    "ru_stem_values",
 ]
 
 # One representative of each already-driver-green family rides along in the
 # head window so a regression there is still caught by the driver.
 _GREEN_REPRESENTATIVES = [
-    "bm25_term_topk", "bm25_phrase_topk", "nested_bool_topk",
-    "stemmed_term_topk", "dismax_topk", "facet_field_lang",
-    "dedup_exact_planted", "minhash_lsh_pairs", "span_nested_near_count",
+    "bm25_term_topk", "bm25_phrase_topk", "stemmed_term_topk",
+    "dedup_exact_planted",
 ]
 
 

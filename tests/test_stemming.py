@@ -72,7 +72,7 @@ def test_unknown_analyzer_rejected():
     from lucene_solr_spark.analysis import tokenize_series
 
     with pytest.raises(ValueError):
-        tokenize_series(pd.Series(["x"]), analyzer="german")
+        tokenize_series(pd.Series(["x"]), analyzer="klingon")
 
 
 @pytest.fixture(scope="module")
