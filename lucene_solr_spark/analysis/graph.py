@@ -1,0 +1,279 @@
+"""Multi-token (graph) token filters over the flat token stream:
+Shingle, Synonym, WordDelimiter.
+
+The analyzer chain materializes a batch as the flat (doc_idx, term, pos)
+frame (text.tokenize_series); these filters transform that frame the way
+the reference's TokenFilters transform a TokenStream:
+
+  - ShingleFilter (analysis/common/.../shingle/ShingleFilter.java:45):
+    token n-grams with '_' filler tokens for stop-filter holes.
+  - SynonymFilter (analysis/common/.../synonym/SynonymFilter.java:111):
+    inject synonym terms at the same position (posInc 0). Single-token
+    inputs with one-or-more single-token outputs (the SolrSynonymParser
+    equivalence-class case, solr/example schema.xml:126-150); multi-token
+    *match* graphs are out of scope and documented so.
+  - WordDelimiterFilter (analysis/common/.../miscellaneous/
+    WordDelimiterFilter.java:86): split tokens on letter/digit
+    transitions ('x100' -> x, 100), each part consuming a position (the
+    filter's posIncrement semantics renumber everything downstream),
+    optionally preserving the original and/or the catenation at the
+    first part's position.
+
+All three are vectorized numpy/pandas — no per-token Python in the hot
+path except the rare split/match rows — and run identically inside Spark
+pandas UDFs and the DuckDB-oracle generators.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+FILLER = "_"  # ShingleFilter.DEFAULT_FILLER_TOKEN
+
+# Default synonyms.txt for the 'synonym' registry analyzer (the Solr
+# example wires a file exactly like this into text_general,
+# solr/example/solr/collection1/conf/synonyms.txt). One equivalence
+# class (index-time injection: every 'dup' grows a 'duplicate' twin)
+# and one explicit mapping (query-time rewrite: 'blend' never occurs in
+# a corpus, so it only bites when a query uses it).
+DEFAULT_SYNONYM_LINES = [
+    "dup, duplicate",
+    "blend => merge",
+]
+
+
+def _order_by_doc_pos(flat: pd.DataFrame):
+    doc = flat["doc_idx"].to_numpy()
+    pos = flat["pos"].to_numpy()
+    order = np.lexsort((pos, doc))
+    return doc[order], flat["term"].astype(str).to_numpy()[order], pos[order]
+
+
+def shingle_flat(
+    flat: pd.DataFrame,
+    max_shingle: int = 2,
+    output_unigrams: bool = True,
+    sep: str = " ",
+) -> pd.DataFrame:
+    """Token shingles (word n-grams) over the flat stream.
+
+    Holes left by the stop filter become '_' fillers: the filler occupies
+    the removed position inside a shingle, exactly as ShingleFilter
+    inserts fillerToken for positionIncrement > 1. Fillers exist only up
+    to the LAST real token of a doc (nothing carries an increment past
+    it), are never emitted as unigrams, and all-filler shingles are
+    dropped. A shingle's position is its first token's position.
+    """
+    doc, term, pos = _order_by_doc_pos(flat)
+    out_doc, out_term, out_pos = [], [], []
+    if output_unigrams and len(doc):
+        out_doc.append(doc)
+        out_term.append(term)
+        out_pos.append(pos)
+    if len(doc):
+        # position-expanded stream per doc: 0..last_real_pos
+        n_docs = int(doc.max()) + 1
+        last = np.zeros(n_docs, np.int64)
+        np.maximum.at(last, doc, pos)
+        has = np.zeros(n_docs, dtype=bool)
+        has[doc] = True
+        lens = np.where(has, last + 1, 0)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        dense = np.full(total, FILLER, dtype=object)
+        dense[offs[doc] + pos] = term
+        dense_doc = np.repeat(np.arange(n_docs), lens)
+        dense_pos = np.concatenate(
+            [np.arange(n) for n in lens]
+        ) if total else np.zeros(0, np.int64)
+        for k in range(2, max_shingle + 1):
+            if total < k:
+                break
+            parts = [dense[i: total - (k - 1) + i] for i in range(k)]
+            same_doc = dense_doc[: total - (k - 1)] == dense_doc[k - 1:]
+            grams = parts[0].astype(object)
+            all_filler = parts[0] == FILLER
+            for p in parts[1:]:
+                grams = grams + sep + p.astype(object)
+                all_filler &= p == FILLER
+            keep = same_doc & ~all_filler
+            out_doc.append(dense_doc[: total - (k - 1)][keep])
+            out_term.append(grams[keep])
+            out_pos.append(dense_pos[: total - (k - 1)][keep])
+    if not out_doc:
+        out = flat.iloc[0:0].copy()
+        if "doc_lengths" in flat.attrs:
+            out.attrs["doc_lengths"] = np.zeros(
+                len(flat.attrs["doc_lengths"]), dtype=np.int32
+            )
+        return out
+    od = np.concatenate(out_doc)
+    ot = np.concatenate(out_term)
+    op = np.concatenate(out_pos).astype(np.int32)
+    order = np.lexsort((op, od))
+    out = pd.DataFrame(
+        {"doc_idx": od[order].astype(np.int32), "term": ot[order],
+         "pos": op[order]}
+    )
+    if "doc_lengths" in flat.attrs:
+        n = len(flat.attrs["doc_lengths"])
+        lengths = np.zeros(n, dtype=np.int32)
+        if len(od):
+            np.add.at(lengths, od.astype(np.int64), 1)
+        out.attrs["doc_lengths"] = lengths
+    return out
+
+
+def parse_synonym_rules(lines: list[str]) -> dict[str, tuple[str, ...]]:
+    """SolrSynonymParser format (synonym/SolrSynonymParser.java):
+    'a, b, c' = equivalence class (each member maps to all members);
+    'a => b, c' = explicit mapping (a is REPLACED by b and c).
+    Single-token keys/outputs only (documented module limitation)."""
+    rules: dict[str, set[str]] = {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            outs = tuple(t.strip() for t in rhs.split(",") if t.strip())
+            for key in (t.strip() for t in lhs.split(",")):
+                if key:
+                    rules.setdefault(key, set()).update(outs)
+        else:
+            cls = [t.strip() for t in line.split(",") if t.strip()]
+            for key in cls:
+                rules.setdefault(key, set()).update(cls)
+    return {k: tuple(sorted(v)) for k, v in rules.items()}
+
+
+def synonym_flat(
+    flat: pd.DataFrame,
+    rules: dict[str, tuple[str, ...]],
+) -> pd.DataFrame:
+    """Index-time synonym injection: each token whose term has a rule is
+    replaced by the rule's OUTPUTS, all at the token's position (posInc
+    0). Equivalence classes ('a, b') include the key in their outputs so
+    the original survives; '=>' rules don't, so the original is replaced
+    — exactly SolrSynonymParser's two shapes. Vocabulary-level match: the
+    rule lookup runs once per distinct term."""
+    term = flat["term"].astype(str)
+    cats, codes = np.unique(term.to_numpy(), return_inverse=True)
+    add_doc, add_term, add_pos = [], [], []
+    drop = np.zeros(len(flat), dtype=bool)
+    doc = flat["doc_idx"].to_numpy()
+    pos = flat["pos"].to_numpy()
+    for ci, t in enumerate(cats):
+        outs = rules.get(t)
+        if not outs:
+            continue
+        hits = codes == ci
+        for o in outs:
+            if o == t:
+                continue
+            add_doc.append(doc[hits])
+            add_term.append(np.full(int(hits.sum()), o, dtype=object))
+            add_pos.append(pos[hits])
+        if t not in outs:
+            drop |= hits
+    if not add_doc and not drop.any():
+        return flat
+    od = np.concatenate([doc[~drop]] + add_doc)
+    ot = np.concatenate([term.to_numpy()[~drop].astype(object)] + add_term)
+    op = np.concatenate([pos[~drop]] + add_pos)
+    order = np.lexsort((op, od))
+    out = pd.DataFrame(
+        {"doc_idx": od[order], "term": ot[order],
+         "pos": op[order].astype(np.int32)}
+    )
+    if "doc_lengths" in flat.attrs:
+        n = len(flat.attrs["doc_lengths"])
+        lengths = np.zeros(n, dtype=np.int32)
+        if len(od):
+            np.add.at(lengths, od.astype(np.int64), 1)
+        out.attrs["doc_lengths"] = lengths
+    return out
+
+
+_WDF_SPLIT_RE = re.compile(r"[a-zA-Z]+|[0-9]+")
+_WDF_MIXED_RE = re.compile(r"[a-zA-Z][0-9]|[0-9][a-zA-Z]")
+
+
+def word_delimiter_flat(
+    flat: pd.DataFrame,
+    generate_parts: bool = True,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+) -> pd.DataFrame:
+    """WordDelimiterFilter for the post-tokenizer stream: the standard
+    tokenizer already split punctuation, so the remaining work is the
+    letter<->digit transition split ('x100' -> x, 100). Parts consume
+    one position each (the reference emits each subword with
+    posIncrement 1, renumbering everything after it); the catenation
+    and/or preserved original sit at the first part's position
+    (posIncrement 0). Only mixed alnum tokens are touched; the pure
+    word/number fast path is a no-op mask."""
+    doc, term, pos = _order_by_doc_pos(flat)
+    n = len(doc)
+    if n == 0:
+        return flat
+    cats, codes = np.unique(term, return_inverse=True)
+    mixed_cat = np.array(
+        [bool(_WDF_MIXED_RE.search(t)) for t in cats], dtype=bool
+    )
+    mixed = mixed_cat[codes]
+    if not mixed.any():
+        return flat
+    parts_by_cat = {
+        ci: _WDF_SPLIT_RE.findall(cats[ci])
+        for ci in np.flatnonzero(mixed_cat)
+    }
+    # extra positions each token consumes beyond its own (len(parts)-1
+    # for split tokens): downstream tokens shift by the running total,
+    # preserving stop-filter gaps — a segmented exclusive cumsum
+    nparts = np.zeros(len(cats), np.int64)
+    for ci, ps in parts_by_cat.items():
+        nparts[ci] = len(ps)
+    extra = np.where(mixed & generate_parts, nparts[codes] - 1, 0)
+    cs = np.cumsum(extra)
+    excl = cs - extra
+    starts = np.flatnonzero(
+        np.concatenate([[True], doc[1:] != doc[:-1]])
+    )
+    run_lens = np.diff(np.append(starts, n))
+    base_pos = pos + excl - np.repeat(excl[starts], run_lens)
+
+    out_doc = [doc[~mixed]]
+    out_term = [term[~mixed].astype(object)]
+    out_pos = [base_pos[~mixed]]
+    for i in np.flatnonzero(mixed):
+        parts = parts_by_cat[codes[i]]
+        p0 = base_pos[i]
+        if preserve_original:
+            out_doc.append(doc[i: i + 1]); out_pos.append(base_pos[i: i + 1])
+            out_term.append(np.array([term[i]], dtype=object))
+        if generate_parts:
+            out_doc.append(np.full(len(parts), doc[i]))
+            out_term.append(np.array(parts, dtype=object))
+            out_pos.append(p0 + np.arange(len(parts)))
+        if catenate_all:
+            out_doc.append(doc[i: i + 1]); out_pos.append(base_pos[i: i + 1])
+            out_term.append(np.array(["".join(parts)], dtype=object))
+    od = np.concatenate(out_doc)
+    ot = np.concatenate(out_term)
+    op = np.concatenate(out_pos)
+    order = np.lexsort((op, od))
+    out = pd.DataFrame(
+        {"doc_idx": od[order], "term": ot[order],
+         "pos": op[order].astype(np.int32)}
+    )
+    if "doc_lengths" in flat.attrs:
+        nd = len(flat.attrs["doc_lengths"])
+        lengths = np.zeros(nd, dtype=np.int32)
+        if len(od):
+            np.add.at(lengths, od.astype(np.int64), 1)
+        out.attrs["doc_lengths"] = lengths
+    return out

@@ -242,10 +242,16 @@ def _tokenize_regex(texts: pd.Series,
 #              SnowballFilter.java:53 and the de/fr/es/pt/ru packages;
 #              algorithms re-implemented from the published descriptions
 #              in snowball.py)
+#   shingle / synonym / word_delimiter — multi-token (graph) filters on
+#              top of the standard chain (analysis/graph.py):
+#              ShingleFilter word-bigrams with '_' fillers, index-time
+#              SolrSynonymParser rules, WordDelimiterFilter
+#              letter<->digit splits
 SNOWBALL_ANALYZERS = ("german", "french", "spanish", "portuguese",
                       "russian")
+GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter")
 ANALYZERS = ("standard", "english", "folding",
-             "english_minimal") + SNOWBALL_ANALYZERS
+             "english_minimal") + SNOWBALL_ANALYZERS + GRAPH_ANALYZERS
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
@@ -363,6 +369,17 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         }
     )
     out.attrs["doc_lengths"] = lengths
+    if analyzer in GRAPH_ANALYZERS:
+        from . import graph
+
+        if analyzer == "shingle":
+            out = graph.shingle_flat(out)
+        elif analyzer == "synonym":
+            out = graph.synonym_flat(
+                out, graph.parse_synonym_rules(graph.DEFAULT_SYNONYM_LINES)
+            )
+        else:
+            out = graph.word_delimiter_flat(out)
     return out
 
 

@@ -1460,6 +1460,67 @@ class SparkSearcher:
             .limit(n)
         )
 
+    def _suggest_grams(self, min_gram: int = 1, max_gram: int = 7) -> DataFrame:
+        """Edge/infix n-gram sidecar (lucene/analysis/common/.../ngram/
+        EdgeNGramTokenFilter.java + lucene/suggest/.../analyzing/
+        AnalyzingInfixSuggester.java, which indexes grams of every
+        dictionary term so typeahead matches mid-term; edge=true marks the
+        EdgeNGram subset, i.e. plain prefixes). Derived once per manifest
+        generation from the BOUNDED dictionary and persisted range-
+        partitioned + sorted by gram, so a lookup is an equality-pushdown
+        parquet read — at 100 TB the gram table stays vocabulary-sized,
+        orders of magnitude under the corpus."""
+        gen = self.man.get("generation", 0)
+        path = os.path.join(
+            self.index_dir, f"suggest_grams_g{gen}_{min_gram}_{max_gram}"
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            d = self._dictionary.groupBy("term").agg(
+                F.sum("ttf").alias("ttf")
+            )
+            gram_expr = F.expr(
+                f"""flatten(transform(sequence({min_gram}, {max_gram}), g ->
+                      CASE WHEN length(term) >= g THEN
+                        transform(sequence(1, length(term) - g + 1), s ->
+                          struct(substring(term, s, g) AS gram, s = 1 AS edge))
+                      ELSE array() END))"""
+            )
+            (
+                d.select(F.explode(gram_expr).alias("x"), "term", "ttf")
+                .select(
+                    F.col("x.gram").alias("gram"),
+                    F.col("x.edge").alias("edge"), "term", "ttf",
+                )
+                .groupBy("gram", "term")
+                .agg(F.max("edge").alias("edge"), F.max("ttf").alias("ttf"))
+                .repartitionByRange(len(self.seg_meta), "gram")
+                .sortWithinPartitions("gram", "term")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        return self.spark.read.parquet(path)
+
+    def suggest_infix(
+        self, q: str, n: int = 5, min_gram: int = 1, max_gram: int = 7
+    ) -> DataFrame:
+        """AnalyzingInfixSuggester analog: the typed text matches anywhere
+        inside a dictionary term, weighted by total term frequency (edge
+        matches are ordinary prefixes). Inputs up to max_gram chars hit
+        the gram sidecar with an equality predicate; longer inputs fall
+        back to a contains() scan of the bounded dictionary."""
+        q = q.lower()
+        if min_gram <= len(q) <= max_gram:
+            hits = self._suggest_grams(min_gram, max_gram).where(
+                F.col("gram") == q
+            ).select("term", "ttf")
+        else:
+            hits = (
+                self._dictionary.where(F.col("term").contains(q))
+                .groupBy("term")
+                .agg(F.sum("ttf").alias("ttf"))
+            )
+        return hits.orderBy(F.desc("ttf"), F.asc("term")).limit(n)
+
     def spellcheck(self, wrong: str, n: int = 3, max_dist: int = 2) -> DataFrame:
         """DirectSpellChecker over the index dictionary (lucene/suggest/.../
         DirectSpellChecker.java semantics: nearest dictionary terms by edit

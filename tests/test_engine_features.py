@@ -168,6 +168,44 @@ def test_suggest_and_spellcheck_on_index(spark, small_index, pages_small):
     assert (sc["dist"].is_monotonic_increasing)
 
 
+def test_suggest_infix_grams(spark, small_index, pages_small):
+    """AnalyzingInfixSuggester analog: gram-sidecar equality path and the
+    long-input contains() fallback agree with a recomputed dictionary."""
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.search.engine import SparkSearcher
+
+    idx, _ = small_index
+    s = SparkSearcher(spark, idx)
+    flat = tokenize_series(pages_small["text"])
+    terms = flat["term"].astype(str)
+    ttf = terms.value_counts()
+
+    def expected(q, n=5):
+        sub = ttf[ttf.index.str.contains(q, regex=False)]
+        df = sub.rename("ttf").reset_index().rename(columns={"index": "term"})
+        df.columns = ["term", "ttf"]
+        return df.sort_values(["ttf", "term"], ascending=[False, True]).head(n)
+
+    # infix (non-prefix) match through the gram sidecar
+    q = ttf.index[0][1:3]  # interior bigram of the most frequent term
+    got = s.suggest_infix(q, 5).toPandas()
+    exp = expected(q)
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["ttf"].tolist() == exp["ttf"].tolist()
+
+    # edge flag: grams at position 1 are marked edge=true
+    g = s._suggest_grams().toPandas()
+    some = g[g["term"] == ttf.index[0]]
+    pref = some[some["gram"] == ttf.index[0][:2]]
+    assert len(pref) == 1 and bool(pref["edge"].iloc[0])
+
+    # input longer than max_gram falls back to the dictionary scan
+    long_q = ttf.index[0]  # whole term, len may exceed default max_gram
+    got2 = s.suggest_infix(long_q, 5, max_gram=min(3, len(long_q) - 1)).toPandas()
+    exp2 = expected(long_q)
+    assert got2["term"].tolist() == exp2["term"].tolist()
+
+
 def test_more_like_this_engine(spark, small_index, oracle_small, pages_small):
     from lucene_solr_spark.search.engine import SparkSearcher
 

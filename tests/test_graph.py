@@ -1,0 +1,184 @@
+"""Multi-token (graph) token filters: Shingle / Synonym / WordDelimiter.
+
+Reference semantics:
+  shingle/ShingleFilter.java:45 (word n-grams, '_' filler for holes)
+  synonym/SolrSynonymParser.java (equivalence classes vs '=>' mappings)
+  miscellaneous/WordDelimiterFilter.java:86 (letter<->digit splits)
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.analysis import tokenize_series
+from lucene_solr_spark.analysis.graph import (
+    parse_synonym_rules,
+    shingle_flat,
+    synonym_flat,
+    word_delimiter_flat,
+)
+from lucene_solr_spark.analysis.text import analyze_one
+
+
+def _flat(rows):
+    df = pd.DataFrame(rows, columns=["doc_idx", "term", "pos"])
+    df["doc_idx"] = df["doc_idx"].astype(np.int32)
+    df["pos"] = df["pos"].astype(np.int32)
+    n = int(df["doc_idx"].max()) + 1 if len(df) else 0
+    lengths = np.zeros(n, dtype=np.int32)
+    np.add.at(lengths, df["doc_idx"].to_numpy(), 1)
+    df.attrs["doc_lengths"] = lengths
+    return df
+
+
+def _tuples(df):
+    return list(
+        zip(df["doc_idx"].tolist(), df["term"].astype(str).tolist(),
+            df["pos"].tolist())
+    )
+
+
+class TestShingle:
+    def test_plain_bigrams(self):
+        f = _flat([(0, "a", 0), (0, "b", 1), (0, "c", 2)])
+        out = shingle_flat(f)
+        assert _tuples(out) == [
+            (0, "a", 0), (0, "a b", 0),
+            (0, "b", 1), (0, "b c", 1),
+            (0, "c", 2),
+        ]
+        assert out.attrs["doc_lengths"].tolist() == [5]
+
+    def test_stop_hole_filler(self):
+        # pos 1 removed by a stop filter: shingles spanning it get '_'
+        f = _flat([(0, "a", 0), (0, "c", 2)])
+        out = shingle_flat(f)
+        assert _tuples(out) == [
+            (0, "a", 0), (0, "a _", 0),
+            (0, "_ c", 1),
+            (0, "c", 2),
+        ]
+
+    def test_all_filler_dropped_and_no_trailing_filler(self):
+        # holes at 1,2 -> "_ _" dropped; nothing past the last real token
+        f = _flat([(0, "a", 0), (0, "d", 3)])
+        out = shingle_flat(f)
+        assert _tuples(out) == [
+            (0, "a", 0), (0, "a _", 0),
+            (0, "_ d", 2),
+            (0, "d", 3),
+        ]
+
+    def test_per_doc_boundaries(self):
+        f = _flat([(0, "a", 0), (0, "b", 1), (1, "x", 0), (1, "y", 1)])
+        out = shingle_flat(f)
+        grams = [t for t in _tuples(out) if " " in t[1]]
+        assert grams == [(0, "a b", 0), (1, "x y", 0)]
+
+    def test_trigrams(self):
+        f = _flat([(0, "a", 0), (0, "b", 1), (0, "c", 2)])
+        out = shingle_flat(f, max_shingle=3, output_unigrams=False)
+        assert _tuples(out) == [
+            (0, "a b", 0), (0, "a b c", 0), (0, "b c", 1),
+        ]
+
+    def test_empty(self):
+        f = _flat([])
+        out = shingle_flat(f)
+        assert len(out) == 0
+
+
+class TestSynonym:
+    def test_parse_equivalence_and_mapping(self):
+        rules = parse_synonym_rules(
+            ["a, b", "x => y, z", "# comment", ""]
+        )
+        assert rules["a"] == ("a", "b")
+        assert rules["b"] == ("a", "b")
+        assert rules["x"] == ("y", "z")  # x NOT in outputs: replaced
+
+    def test_equivalence_injects_at_same_pos(self):
+        rules = parse_synonym_rules(["dup, duplicate"])
+        f = _flat([(0, "dup", 0), (0, "rows", 1)])
+        out = synonym_flat(f, rules)
+        assert _tuples(out) == [
+            (0, "dup", 0), (0, "duplicate", 0), (0, "rows", 1),
+        ]
+        assert out.attrs["doc_lengths"].tolist() == [3]
+
+    def test_mapping_replaces_original(self):
+        rules = parse_synonym_rules(["blend => merge"])
+        f = _flat([(0, "blend", 0), (0, "rows", 1)])
+        out = synonym_flat(f, rules)
+        assert _tuples(out) == [(0, "merge", 0), (0, "rows", 1)]
+
+    def test_no_rule_no_change(self):
+        rules = parse_synonym_rules(["blend => merge"])
+        f = _flat([(0, "rows", 0)])
+        out = synonym_flat(f, rules)
+        assert _tuples(out) == [(0, "rows", 0)]
+
+    def test_query_side_expansion(self):
+        assert analyze_one("blend", analyzer="synonym") == [("merge", 0)]
+        assert analyze_one("duplicate", analyzer="synonym") == [
+            ("duplicate", 0), ("dup", 0),
+        ]
+
+
+class TestWordDelimiter:
+    def test_letter_digit_split_renumbers(self):
+        f = _flat([(0, "x100", 0), (0, "runs", 1)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [
+            (0, "x", 0), (0, "100", 1), (0, "runs", 2),
+        ]
+        assert out.attrs["doc_lengths"].tolist() == [3]
+
+    def test_pure_tokens_untouched(self):
+        f = _flat([(0, "abc", 0), (0, "123", 1)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [(0, "abc", 0), (0, "123", 1)]
+
+    def test_stop_gap_preserved(self):
+        # hole at pos 1 stays a hole after the shift
+        f = _flat([(0, "a1b", 0), (0, "end", 3)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [
+            (0, "a", 0), (0, "1", 1), (0, "b", 2), (0, "end", 5),
+        ]
+
+    def test_preserve_original_and_catenate(self):
+        f = _flat([(0, "x100", 0)])
+        out = word_delimiter_flat(
+            f, preserve_original=True, catenate_all=True
+        )
+        got = _tuples(out)
+        assert (0, "x100", 0) in got and (0, "x", 0) in got
+        assert (0, "100", 1) in got and (0, "x100", 0) in got
+
+    def test_per_doc_independent_shift(self):
+        f = _flat([(0, "x100", 0), (1, "plain", 0), (1, "y2", 1)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [
+            (0, "x", 0), (0, "100", 1),
+            (1, "plain", 0), (1, "y", 1), (1, "2", 2),
+        ]
+
+
+class TestChainIntegration:
+    def test_shingle_through_chain(self):
+        f = tokenize_series(pd.Series(["the data table"]), analyzer="shingle")
+        assert _tuples(f) == [
+            (0, "_ data", 0), (0, "data", 1), (0, "data table", 1),
+            (0, "table", 2),
+        ]
+
+    def test_word_delimiter_through_chain(self):
+        f = tokenize_series(pd.Series(["x100 runs"]),
+                            analyzer="word_delimiter")
+        assert _tuples(f) == [(0, "x", 0), (0, "100", 1), (0, "runs", 2)]
+
+    def test_synonym_through_chain_lengths(self):
+        f = tokenize_series(pd.Series(["dup rows", "table scan"]),
+                            analyzer="synonym")
+        assert f.attrs["doc_lengths"].tolist() == [3, 2]
