@@ -1271,6 +1271,21 @@ SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%or%' ORDER BY doc_id""",
 SELECT DISTINCT doc_id FROM toks WHERE term LIKE '_a__' ORDER BY doc_id""",
     )
 
+    def _wildcard_leading(spark, sf):
+        # leading wildcard with a literal tail: '*ow' seeks the
+        # reversed-terms sidecar (ReversedWildcardFilterFactory analog,
+        # PushedFilters: StringStartsWith(term_rev, 'wo')) instead of
+        # scanning the dictionary; matches slow/row/window
+        s = gate_searcher(spark, sf)
+        terms = s.expand_wildcard("*ow")
+        return s.matching_docids(terms).select(F.col("docid").alias("doc_id"))
+
+    R["wildcard_leading_docs"] = (
+        _wildcard_leading,
+        f"""{TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE '%ow' ORDER BY doc_id""",
+    )
+
     def _regexp_terms(spark, sf):
         # RegexpQuery over the terms dictionary: full-term match, df per term
         s = gate_searcher(spark, sf)
@@ -2699,7 +2714,7 @@ _PRIORITY = [
     "de_stem_topk", "fr_stem_topk", "es_stem_topk", "pt_stem_topk",
     "ru_stem_values",
     "shingle_terms_df", "synonym_index_topk", "synonym_query_topk",
-    "wdf_values", "suggest_infix",
+    "wdf_values", "suggest_infix", "wildcard_leading_docs",
     # then the round-4 window rotation (VERDICT r3 item 4): the entries
     # whose driver rows date from r1/r2 (not reached by the r3 50-row
     # window), so the driver refreshes them against current code; any

@@ -1653,12 +1653,18 @@ class SparkSearcher:
         (codecs/blocktree/IntersectTermsEnum.java semantics). The literal
         prefix before the first wildcard pre-filters the term-sorted
         parquet scan, so `wi*ow` prunes row groups like BlockTree's FST
-        seek; leading wildcards scan the whole dictionary (as in Lucene
-        without a reversed field)."""
+        seek; leading-wildcard patterns with a literal TAIL (`*dow`) seek
+        the reversed-terms sidecar instead (ReversedWildcardFilter
+        analog), so they also prune rather than scanning the whole
+        dictionary."""
         import re as _re
 
         prefix = _re.match(r"^[^*?]*", pattern).group(0)
-        return self._expand_regex(self.wildcard_to_regex(pattern), prefix, max_expansions)
+        suffix = _re.search(r"[^*?]*$", pattern).group(0)
+        return self._expand_regex(
+            self.wildcard_to_regex(pattern), prefix, max_expansions,
+            suffix=suffix,
+        )
 
     def expand_fuzzy(
         self, target: str, max_edits: int = 2, max_expansions: int = 50
@@ -1732,10 +1738,44 @@ class SparkSearcher:
             prefix += ch
         return self._expand_regex(f"^(?:{regex})$", prefix, max_expansions)
 
-    def _expand_regex(self, anchored: str, prefix: str, max_expansions: int) -> list[str]:
-        t = self._dictionary.select("term")
-        if prefix:
-            t = t.where(F.col("term").startswith(prefix))
+    def _reversed_dictionary(self) -> DataFrame:
+        """Reversed-terms sidecar (solr/core/.../analysis/
+        ReversedWildcardFilterFactory.java keeps a reversed copy of every
+        term so leading wildcards become prefix seeks): (term_rev, term)
+        derived once per manifest generation from the BOUNDED dictionary,
+        persisted range-partitioned + sorted by term_rev — a `*dow`
+        lookup shows PushedFilters: StringStartsWith(term_rev, 'wod')
+        instead of a full dictionary scan."""
+        gen = self.man.get("generation", 0)
+        path = os.path.join(self.index_dir, f"terms_rev_g{gen}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                self._dictionary.select("term").distinct()
+                .withColumn("term_rev", F.reverse(F.col("term")))
+                .repartitionByRange(len(self.seg_meta), "term_rev")
+                .sortWithinPartitions("term_rev")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        return self.spark.read.parquet(path)
+
+    def _expand_regex(
+        self, anchored: str, prefix: str, max_expansions: int,
+        suffix: str = "",
+    ) -> list[str]:
+        if not prefix and suffix:
+            # leading wildcard, literal tail: prefix-seek the reversed
+            # sidecar, then confirm against the full pattern
+            try:
+                t = self._reversed_dictionary().where(
+                    F.col("term_rev").startswith(suffix[::-1])
+                ).select("term")
+            except Exception:  # read-only index dir: plain dictionary scan
+                t = self._dictionary.select("term")
+        else:
+            t = self._dictionary.select("term")
+            if prefix:
+                t = t.where(F.col("term").startswith(prefix))
         rows = (
             t.where(F.col("term").rlike(anchored))
             .distinct()

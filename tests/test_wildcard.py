@@ -241,3 +241,25 @@ def test_wildcard_topterms_scoring_rewrite(searcher, vocab_and_docs):
         stats = searcher._term_stats(allc)
         exp = sorted(sorted(allc, key=lambda t: (-stats.get(t, 0), t))[:50])
         assert searcher.expand_wildcard_topterms("*a*") == exp
+
+
+def test_leading_wildcard_reversed_pushdown(searcher, vocab_and_docs):
+    """'*suffix' patterns seek the reversed-terms sidecar: the scan plan
+    carries PushedFilters: StringStartsWith(term_rev, ...) instead of a
+    full dictionary read, and the expansion is unchanged."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    vocab, _ = vocab_and_docs
+    exp = sorted(t for t in vocab if fnmatch.fnmatchcase(t, "*o"))
+    assert searcher.expand_wildcard("*o", max_expansions=1 << 20) == exp
+
+    rd = searcher._reversed_dictionary()
+    q = rd.where(F.col("term_rev").startswith("o")).select("term")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(True)
+    plan = buf.getvalue()
+    assert "StartsWith(term_rev" in plan and "PushedFilters" in plan
