@@ -19,10 +19,19 @@ JFlex grammar is covered by the unicode edge-case corpus in tests.
 from __future__ import annotations
 
 import html as _html
+import os as _os
 import re
 
 import numpy as np
 import pandas as pd
+
+# Bench-attribution toggle (BENCH.md A/B protocol): skip the joiner-run
+# pre-gate scan. NEVER set in production — tokens with ".." runs would
+# diverge from the reference regex path. Read at import so Spark local
+# workers inherit it from the driver environment.
+_SKIP_JOINER_RECHECK = (
+    _os.environ.get("SPARK_GRAFT_SKIP_JOINER_RECHECK") == "1"
+)
 
 # StopAnalyzer.ENGLISH_STOP_WORDS_SET (core/StopAnalyzer.java:42-47)
 ENGLISH_STOP_WORDS = frozenset(
@@ -136,7 +145,7 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
     # regex here, so the Arrow path is exactly the regex path. A doc-level
     # pre-gate (one scan of the batch, not of every token) keeps the
     # common no-joiner-run batch at full speed.
-    if not pc.any(
+    if _SKIP_JOINER_RECHECK or not pc.any(
         pc.match_substring_regex(low, "[.,:'’]{2}")
     ).as_py():
         viol = np.zeros(0, dtype=bool)

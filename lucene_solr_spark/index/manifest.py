@@ -137,3 +137,161 @@ def commit(
         os.fsync(f.fileno())
     os.rename(tmp, dst)  # the segments_N swap
     return result
+
+
+# ---------------------------------------------------------------------------
+# Iceberg projection (ICEBERG.md documents the field-by-field mapping)
+# ---------------------------------------------------------------------------
+
+# the postings table schema as Iceberg struct fields (ids are stable)
+_ICEBERG_SCHEMA_FIELDS = [
+    {"id": 1, "name": "segment_id", "required": True, "type": "string"},
+    {"id": 2, "name": "term", "required": True, "type": "string"},
+    {"id": 3, "name": "df", "required": True, "type": "long"},
+    {"id": 4, "name": "ttf", "required": True, "type": "long"},
+    {"id": 5, "name": "doc_blocks", "required": True, "type": "binary"},
+    {"id": 6, "name": "freq_blocks", "required": True, "type": "binary"},
+    {"id": 7, "name": "pos_blocks", "required": True, "type": "binary"},
+]
+
+
+def to_iceberg_metadata(index_dir: str) -> dict:
+    """Project the manifest chain into Iceberg v2 TableMetadata JSON
+    (iceberg spec §Table Metadata; no runtime jar exists in this sandbox,
+    so this is the checkable statement of the claim "the manifest layer
+    is Iceberg-shaped" — every commit/read primitive here has a 1:1
+    Iceberg counterpart, see ICEBERG.md).
+
+    generation        <-> snapshot-id / sequence-number (monotonic)
+    committed_at_ms   <-> snapshot timestamp-ms
+    manifest_{N}.json <-> vN.metadata.json + manifest list
+    segment_shards    <-> manifest-list -> manifest-file indirection
+    atomic rename     <-> atomic metadata pointer swap (catalog CAS)
+    read_generation() <-> snapshot-id time travel
+    """
+    import uuid
+
+    gens = _generations(index_dir)
+    if not gens:
+        raise FileNotFoundError(f"no manifests in {index_dir}")
+    snaps, log = [], []
+    by_gen = {}
+    for g in gens:
+        man = read_generation(index_dir, g)
+        by_gen[g] = man
+        n_files = len(man["segments"])
+        snaps.append(
+            {
+                "snapshot-id": g,
+                "sequence-number": g,
+                "timestamp-ms": man["committed_at_ms"],
+                "summary": {
+                    "operation": "append",
+                    "total-records": str(man["fieldstats"]["max_doc"]),
+                    "total-data-files": str(n_files),
+                },
+                "manifest-list": f"manifest_{g}.json",
+                "schema-id": 0,
+            }
+        )
+        log.append({"snapshot-id": g, "timestamp-ms": man["committed_at_ms"]})
+    cur = by_gen[gens[-1]]
+    return {
+        "format-version": 2,
+        "table-uuid": str(
+            uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(index_dir))
+        ),
+        "location": os.path.abspath(index_dir),
+        "last-sequence-number": gens[-1],
+        "last-updated-ms": cur["committed_at_ms"],
+        "last-column-id": _ICEBERG_SCHEMA_FIELDS[-1]["id"],
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": _ICEBERG_SCHEMA_FIELDS,
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "segment_id",
+                        "transform": "identity",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "sort-orders": [
+            {
+                "order-id": 1,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": 2,
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                ],
+            }
+        ],
+        "default-sort-order-id": 1,
+        "properties": {"build-id": str(cur.get("build_id", ""))},
+        "current-snapshot-id": gens[-1],
+        "snapshots": snaps,
+        "snapshot-log": log,
+        "metadata-log": [],
+    }
+
+
+def iceberg_manifest_entries(index_dir: str, generation: int | None = None) -> list[dict]:
+    """The snapshot's data-file manifest entries (iceberg spec §Manifests):
+    one per immutable parquet file we can truthfully describe — postings
+    (record-count = term rows, file-size = postings_bytes) and docmap
+    (record-count = max_doc)."""
+    man = (
+        read_current(index_dir)
+        if generation is None
+        else read_generation(index_dir, generation)
+    )
+    if man is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    gen = man["generation"]
+    entries = []
+    for s in man["segments"]:
+        part = {"segment_id": s["segment_id"]}
+        entries.append(
+            {
+                "status": 1,
+                "snapshot-id": gen,
+                "sequence-number": gen,
+                "data-file": {
+                    "content": 0,
+                    "file-path": os.path.join(s["path"], "postings.parquet"),
+                    "file-format": "PARQUET",
+                    "partition": part,
+                    "record-count": s["term_count"],
+                    "file-size-in-bytes": s["postings_bytes"],
+                },
+            }
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot-id": gen,
+                "sequence-number": gen,
+                "data-file": {
+                    "content": 0,
+                    "file-path": os.path.join(s["path"], "docmap.parquet"),
+                    "file-format": "PARQUET",
+                    "partition": part,
+                    "record-count": s["max_doc"],
+                },
+            }
+        )
+    return entries
