@@ -41,17 +41,76 @@ ENGLISH_STOP_WORDS = frozenset(
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 
-# UAX#29-style word: runs of word chars joined by MidLetter/MidNum/MidNumLet
-# (period, colon, comma, apostrophes) only when followed by another word char
-# -- keeps "3.14", "example.com", "can't", "foo_bar"; splits on hyphen/space
-# like the reference tokenizer (standard/StandardTokenizer.java:45-94).
-_TOKEN_RE = re.compile(r"\w+(?:[.,:'’]\w+)*", re.UNICODE)
+# UAX#29 word: runs of word chars joined by the mid-token classes of the
+# JFlex grammar (standard/StandardTokenizer.java:45-94, word-break rules
+# WB6/7 and WB11/12), with the EXACT per-class neighbor constraints:
+#   MidNumLet + Single_Quote ('.', "'", '’'): letter.letter OR digit.digit
+#   MidLetter (':'):                          letter:letter only
+#   MidNum (','):                             digit,digit only
+# so "3.14", "example.com", "can't", "1,000", "a:b", "ab1.2cd" hold
+# together while "1:30", "a,b", "a.4", "a_.b" split — matching JFlex
+# (the pre-r4 approximation joined any \w neighbors). '_' is
+# ExtendNumLet (WB13a/b): glued inside \w runs but never a joiner
+# neighbor. WB4 (X [Extend Format]* -> X) is honored when the `regex`
+# module is importable: combining marks (M) and format chars (Cf, e.g.
+# ZWJ/ZWNJ) glue to the preceding base char instead of breaking the
+# token — decomposed "café" and Indic matras stay whole, matching
+# the JFlex Ex-suffixed classes ({ALetterEx} = ALetter [Format Extend]*).
+# Divergences kept: the mid classes cover the web-text subset
+# {. , : ' ’} not the full Unicode sets, Nl/No "letters" (Ⅻ, ①) don't
+# serve as joiner context (JFlex ALetter includes most Nl), and without
+# the regex module marks break tokens (NFC input unaffected).
+# Joiner contexts use L / N (not Nd) so they stay consistent with the
+# Arrow-side _ARROW_SUSPECT classes — a shape the suspect scan does NOT
+# flag must tokenize identically under this regex.
+_L = r"[^\W\d_]"  # \w letters (no digits, no underscore)
+try:
+    import regex as _regex  # third-party; supports \p{..}, var-len lookbehind
 
-# CJK ideographs + Hiragana/Katakana are emitted one-token-per-character by
-# StandardTokenizer (token type <CJ>/<IDEOGRAPHIC>).
-_CJK_CLASS = "\u2e80-\u2eff\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+    _HAS_REGEX = True
+    _M = r"[\p{M}\p{Cf}]"
+    _TOKEN_RE = _regex.compile(
+        rf"(?:[\p{{L}}\p{{N}}_]{_M}*)+"
+        rf"(?:(?:(?<=\p{{L}}{_M}*)[.:'’]{_M}*(?=\p{{L}})"
+        rf"|(?<=\p{{N}}{_M}*)[.,'’]{_M}*(?=\p{{N}}))"
+        rf"(?:[\p{{L}}\p{{N}}_]{_M}*)+)*"
+    )
+except ImportError:  # pragma: no cover - regex is in the container
+    _HAS_REGEX = False
+    _TOKEN_RE = re.compile(
+        rf"\w+(?:(?:(?<={_L})[.:'’](?={_L})|(?<=\d)[.,'’](?=\d))\w+)*",
+        re.UNICODE,
+    )
+
+# CJK handling per the JFlex grammar (StandardTokenizerImpl.jflex:55-60,
+# 135, 190-191): Han ideographs and Hiragana are emitted one token per
+# character ({HanEx} IDEOGRAPHIC_TYPE / {HiraganaEx} HIRAGANA_TYPE), while
+# Katakana chains into runs ({KatakanaEx}+, WB13 Katakana x Katakana) \u2014
+# including the prolonged-sound mark U+30FC, phonetic extensions, and
+# halfwidth forms. Marks/format chars glue to the preceding kana/ideograph
+# (the Ex suffix). Divergence kept: ExtendNumLet ('_') does not chain
+# katakana runs across it (WB13a/b), and U+30FB middle dot splits (it is
+# not a \w char here; JFlex keeps it out of tokens too).
+_KATAKANA_CLASS = "\u30a0-\u30fa\u30fc-\u30ff\u31f0-\u31ff\uff66-\uff9f"
+_CJK_SINGLE_CLASS = (
+    "\u2e80-\u2eff\u3040-\u309f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+)
+_CJK_CLASS = _CJK_SINGLE_CLASS + _KATAKANA_CLASS
 _CJK_RE = re.compile(f"[{_CJK_CLASS}]")
-_CJK_SPLIT_RE = re.compile(f"([{_CJK_CLASS}])")
+# combining marks that appear glued after kana/ideographs (voiced-sound
+# marks, variation selectors, generic combining block); the full \p{M}
+# set needs the regex module
+_CJK_MARKS = "\u3099\u309a\ufe00-\ufe0f\u0300-\u036f"
+if _HAS_REGEX:
+    _CJK_SPLIT_RE = _regex.compile(
+        f"([{_KATAKANA_CLASS}](?:[\\p{{M}}\\p{{Cf}}{_KATAKANA_CLASS}])*"
+        f"|[{_CJK_SINGLE_CLASS}][\\p{{M}}\\p{{Cf}}]*)"
+    )
+else:  # pragma: no cover - regex is in the container
+    _CJK_SPLIT_RE = re.compile(
+        f"([{_KATAKANA_CLASS}](?:[{_CJK_MARKS}{_KATAKANA_CLASS}])*"
+        f"|[{_CJK_SINGLE_CLASS}][{_CJK_MARKS}]*)"
+    )
 
 # ---------------------------------------------------------------------------
 # HTML strip (charfilter/HTMLStripCharFilter.java semantics, subset)
@@ -102,13 +161,25 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
 # Arrow fast path: the token charset of _TOKEN_RE re-expressed as a
 # delimiter split + edge trim. Tokens are runs of [\w joiner]; a leading/
 # trailing joiner is trimmed (matching the regex, which only keeps joiners
-# *between* word chars). Tokens with >=2 consecutive interior joiners
-# ("a..b") re-split through the regex post-hoc (rare), so the fast path is
-# byte-identical to the regex path (tested).
-# RE2 (Arrow's engine) treats \w as ASCII; spell out the unicode word
-# classes (letters, marks, numbers, underscore) to match Python's \w
-_ARROW_DELIM = r"[^\pL\pM\pN_.,:'’]+"
+# *between* word chars). Tokens containing any SUSPECT shape — a joiner
+# whose neighbors violate its UAX#29 class constraint, a >=2 joiner run,
+# or a combining mark (outside Python \w) — re-split through the regex
+# post-hoc (rare), so the fast path is byte-identical to the regex path
+# (tested). RE2 (Arrow's engine) treats \w as ASCII; spell out the
+# unicode word classes (letters, marks, numbers, underscore).
+_ARROW_DELIM = r"[^\pL\pM\pN\p{Cf}_.,:'’]+"
 _ARROW_TRIM = ".,:'’"
+# interior contexts only (edge joiners are trimmed): colon next to
+# digit/underscore, comma next to letter/underscore, dot/quote between
+# mixed letter-digit or next to underscore, joiner runs, any mark or
+# format char (WB4 gluing happens in the regex resplit)
+_ARROW_SUSPECT = (
+    r"[.,:'’]{2}"
+    r"|[\pN_]:[\pL\pN_]|[\pL\pN_]:[\pN_]"
+    r"|[\pL_],[\pL\pN_]|[\pL\pN_],[\pL_]"
+    r"|\pL[.'’][\pN_]|\pN[.'’][\pL_]|_[.'’][\pL\pN_]"
+    r"|\pM|\p{Cf}"
+)
 
 
 def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
@@ -139,18 +210,19 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
     parents = parents[ne]
     n_docs = len(texts)
 
-    # joiner-run fidelity: the delimiter split keeps "a..b" as one token
-    # while the reference regex (joiners only BETWEEN word chars) splits
-    # it. Rare tokens with >=2 consecutive joiners re-split through the
-    # regex here, so the Arrow path is exactly the regex path. A doc-level
-    # pre-gate (one scan of the batch, not of every token) keeps the
-    # common no-joiner-run batch at full speed.
+    # joiner fidelity: the delimiter split keeps any joiner between token
+    # chars, while the reference regex enforces the UAX#29 per-class
+    # neighbor constraints (see _TOKEN_RE). Rare tokens with a suspect
+    # shape (_ARROW_SUSPECT) re-split through the regex here, so the
+    # Arrow path is exactly the regex path. A doc-level pre-gate (one
+    # scan of the batch, not of every token) keeps the common
+    # no-suspect-shape batch at full speed.
     if _SKIP_JOINER_RECHECK or not pc.any(
-        pc.match_substring_regex(low, "[.,:'’]{2}")
+        pc.match_substring_regex(low, _ARROW_SUSPECT)
     ).as_py():
         viol = np.zeros(0, dtype=bool)
     else:
-        viol = pc.match_substring_regex(vals, "[.,:'’]{2}").to_numpy(
+        viol = pc.match_substring_regex(vals, _ARROW_SUSPECT).to_numpy(
             zero_copy_only=False
         )
     if viol.any():

@@ -27,9 +27,80 @@ def test_uax29_word_shapes():
     assert toks == ["audi", "a4", "3.14", "example.com", "can't", "wi", "fi", "1,000", "x_y"]
 
 
+def test_uax29_mid_joiner_class_constraints():
+    """Per-class UAX#29 mid-token rules (WB6/7, WB11/12): MidNumLet and
+    Single_Quote (. ' ’) join letter.letter or digit.digit; MidLetter (:)
+    joins letters only; MidNum (,) joins digits only; '_' (ExtendNumLet)
+    glues inside runs but is never a joiner neighbor
+    (standard/StandardTokenizerImpl.java word-break grammar)."""
+    from lucene_solr_spark.analysis.text import _TOKEN_RE
+
+    cases = {
+        "3.14": ["3.14"], "example.com": ["example.com"], "can't": ["can't"],
+        "1,000,000": ["1,000,000"], "a:b:c": ["a:b:c"], "1'2": ["1'2"],
+        # cross-class splits the pre-r4 approximation got wrong:
+        "1:30": ["1", "30"], "a,b": ["a", "b"], "a.4": ["a", "4"],
+        "4.a": ["4", "a"], "a'1": ["a", "1"], "ab1.2cd": ["ab1.2cd"],
+        # underscore: in-run glue, never a joiner neighbor
+        "foo_bar": ["foo_bar"], "_a.b_": ["_a.b_"], "a_._b": ["a_", "_b"],
+        "a_.b": ["a_", "b"],
+    }
+    for src, want in cases.items():
+        assert _TOKEN_RE.findall(src) == want, src
+
+
+def test_arrow_path_matches_regex_on_class_constraints():
+    """Arrow fast path must stay byte-identical to the regex under the
+    per-class joiner rules, including unicode letters and combining
+    marks (which route through the _ARROW_SUSPECT resplit)."""
+    from lucene_solr_spark.analysis.text import _tokenize_arrow, _tokenize_regex
+
+    rng = np.random.default_rng(7)
+    chars = list("ab .,:'x19_é:’") + ["́", "‍", "‌"]
+    docs = ["".join(rng.choice(chars, rng.integers(0, 80))) for _ in range(1500)]
+    docs += ["á.b", "é,1", "x̀:y", "café 1:30 a,b 3.14", "a‍b c‌.d", "‍ ́"]
+    s = pd.Series(docs)
+    fa = _tokenize_arrow(s, check_cjk=False)
+    fr = _tokenize_regex(s)
+    assert list(fa[1]) == list(fr[1])
+    np.testing.assert_array_equal(np.asarray(fa[0]), np.asarray(fr[0]))
+    np.testing.assert_array_equal(np.asarray(fa[2]), np.asarray(fr[2]))
+    np.testing.assert_array_equal(np.asarray(fa[3]), np.asarray(fr[3]))
+
+
 def test_cjk_per_char():
     toks = [t for t, _ in analyze_one("index 中文网 docs")]
     assert toks == ["index", "中", "文", "网", "docs"]
+
+
+def test_katakana_runs_hiragana_han_per_char():
+    """JFlex emits {KatakanaEx}+ as one token (WB13) but Han/Hiragana one
+    per character (StandardTokenizerImpl.jflex:135,190-191), including the
+    prolonged-sound mark U+30FC and halfwidth forms."""
+    assert [t for t, _ in analyze_one("テーブル")] == ["テーブル"]
+    assert [t for t, _ in analyze_one("あいう")] == ["あ", "い", "う"]
+    assert [t for t, _ in analyze_one("アイウあ漢カナ")] == [
+        "アイウ", "あ", "漢", "カナ"]
+    assert [t for t, _ in analyze_one("ｶﾞｷﾞ")] == ["ｶﾞｷﾞ"]
+    assert [t for t, _ in analyze_one("パーティー化")] == ["パーティー", "化"]
+
+
+def test_wb4_mark_and_format_gluing():
+    """UAX#29 WB4: Extend (combining marks) and Format (ZWJ/ZWNJ) glue to
+    the preceding base char (the JFlex Ex-suffixed classes) instead of
+    breaking the token; they also glue across mid-token joiners."""
+    import pytest
+
+    from lucene_solr_spark.analysis.text import _HAS_REGEX, _TOKEN_RE
+
+    if not _HAS_REGEX:
+        pytest.skip("regex module unavailable; marks break tokens")
+    assert _TOKEN_RE.findall("café") == ["café"]
+    assert _TOKEN_RE.findall("a‍b") == ["a‍b"]  # ZWJ
+    assert _TOKEN_RE.findall("x́.y") == ["x́.y"]
+    assert _TOKEN_RE.findall("1́,2") == ["1́,2"]
+    # a mark after a non-token char attaches to nothing emittable
+    assert _TOKEN_RE.findall(" ́ab") == ["ab"]
 
 
 def test_max_token_length_dropped_but_takes_position():
