@@ -798,6 +798,401 @@ def russian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Scandinavian family (Danish / Norwegian / Swedish)
+#
+# All three share the structure of the published algorithms (and the
+# reference's generated programs, org/tartarus/snowball/ext/
+# {Danish,Norwegian,Swedish}Stemmer.java): R1 with a 3-letter minimum,
+# a main-suffix step with an s-ending side condition, a consonant-pair
+# step that removes the final letter, and an other-suffix step.
+# ---------------------------------------------------------------------------
+
+
+def _longest_in(w: str, sufs, r: int) -> str | None:
+    """Longest suffix of ``w`` lying wholly inside the region starting at
+    offset ``r`` (Snowball's find_among_b under "setlimit tomark p1":
+    shorter suffixes ARE tried when a longer one crosses the boundary)."""
+    for s in sufs:
+        if w.endswith(s) and len(w) - len(s) >= r:
+            return s
+    return None
+
+
+_DA_VOWELS = frozenset("aeiouyæåø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = _bylen((
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "s",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+))
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_OTHER = _bylen(("ig", "lig", "elig", "els", "løst"))
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish: R1(>=3) main suffixes, s after a valid s-ending,
+    consonant-pair trim, igst/ig/lig/elig/els/løst, and undoubling."""
+    w = word
+    r1 = max(_std_regions(w, _DA_VOWELS)[0], 3)
+
+    def cons_pair(w: str) -> str:
+        if len(w) - 2 >= r1 and w[-2:] in _DA_PAIRS:
+            return w[:-1]
+        return w
+
+    s = _longest_in(w, _DA_STEP1, r1)
+    if s == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_END:
+            w = w[:-1]
+    elif s:
+        w = w[: len(w) - len(s)]
+
+    w = cons_pair(w)
+
+    if w.endswith("igst"):
+        w = w[:-2]
+    s = _longest_in(w, _DA_OTHER, r1)
+    if s == "løst":
+        w = w[:-1]
+    elif s:
+        w = w[: len(w) - len(s)]
+        w = cons_pair(w)
+
+    if (len(w) >= 2 and len(w) - 1 >= r1 and w[-1] not in _DA_VOWELS
+            and w[-1] == w[-2]):
+        w = w[:-1]
+    return w
+
+
+_NO_VOWELS = frozenset("aeiouyæåø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1 = _bylen((
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "erte",
+    "en", "heten", "ar", "er", "heter", "s", "as", "es", "edes",
+    "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets", "et",
+    "het", "ert", "ast",
+))
+_NO_OTHER = _bylen(("leg", "eleg", "ig", "eig", "lig", "elig", "els",
+                    "lov", "elov", "slov", "hetslov"))
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian: R1(>=3) main suffixes (erte/ert -> er; s after
+    a valid s-ending or k-after-consonant), dt/vt trim, other suffixes."""
+    w = word
+    r1 = max(_std_regions(w, _NO_VOWELS)[0], 3)
+
+    s = _longest_in(w, _NO_STEP1, r1)
+    if s in ("erte", "ert"):
+        w = w[: len(w) - len(s)] + "er"
+    elif s == "s":
+        prev = w[-2] if len(w) >= 2 else ""
+        if prev in _NO_S_END or (
+            prev == "k" and len(w) >= 3 and w[-3] not in _NO_VOWELS
+        ):
+            w = w[:-1]
+    elif s:
+        w = w[: len(w) - len(s)]
+
+    if len(w) - 2 >= r1 and w[-2:] in ("dt", "vt"):
+        w = w[:-1]
+
+    s = _longest_in(w, _NO_OTHER, r1)
+    if s:
+        w = w[: len(w) - len(s)]
+    return w
+
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_STEP1 = _bylen((
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "s", "as", "arnas", "ernas", "ornas", "es",
+    "ades", "andes", "ens", "arens", "hetens", "erns", "at", "andet",
+    "het", "ast",
+))
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_OTHER = _bylen(("ig", "lig", "els", "fullt", "löst"))
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish: R1(>=3) main suffixes, s after a valid s-ending,
+    consonant-pair trim, ig/lig/els delete + fullt/löst undress."""
+    w = word
+    r1 = max(_std_regions(w, _SV_VOWELS)[0], 3)
+
+    s = _longest_in(w, _SV_STEP1, r1)
+    if s == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_END:
+            w = w[:-1]
+    elif s:
+        w = w[: len(w) - len(s)]
+
+    if len(w) - 2 >= r1 and w[-2:] in _SV_PAIRS:
+        w = w[:-1]
+
+    s = _longest_in(w, _SV_OTHER, r1)
+    if s in ("fullt", "löst"):
+        w = w[:-1]
+    elif s:
+        w = w[: len(w) - len(s)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Italian (org/tartarus/snowball/ext/ItalianStemmer.java; the published
+# Romance structure shared with the Spanish/Portuguese implementations
+# above: prelude marks, RV/R1/R2, pronoun step, standard vs verb
+# suffixes, vowel tidy-up)
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_PRON = _bylen((
+    "la", "cela", "gliela", "mela", "tela", "vela", "le", "cele",
+    "gliele", "mele", "tele", "vele", "ne", "cene", "gliene", "mene",
+    "sene", "tene", "vene", "ci", "li", "celi", "glieli", "meli",
+    "teli", "veli", "gli", "mi", "si", "ti", "vi", "lo", "celo",
+    "glielo", "melo", "telo", "velo",
+))
+_IT_PRON_PRE = _bylen(("ando", "endo"), ("ar", "er", "ir"))
+_IT_G1 = ("ica", "osa", "ista", "anza", "ice", "atrice", "iche",
+          "abile", "ibile", "ose", "ante", "mente", "iste", "anze",
+          "ici", "atrici", "ichi", "abili", "ibili", "ismi",
+          "osi", "anti", "isti", "ico", "ismo", "oso", "istà", "istè",
+          "istì")
+_IT_STD = _bylen(
+    _IT_G1,
+    ("logia", "logie"), ("azione", "azioni", "atore", "atori"),
+    ("usione", "uzione", "usioni", "uzioni"), ("enza", "enze"),
+    ("amento", "amenti", "imento", "imenti"), ("amente",),
+    ("ità",), ("iva", "ive", "ivi", "ivo"),
+)
+_IT_VERB = _bylen((
+    "isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva",
+    "erebbe", "irebbe", "isce", "ende", "are", "ere", "ire", "asse",
+    "ate", "avate", "evate", "ivate", "ete", "erete", "irete", "ite",
+    "ereste", "ireste", "ute", "erai", "irai", "isci", "endi", "erei",
+    "irei", "assi", "ati", "iti", "eresti", "iresti", "uti", "avi",
+    "evi", "ivi", "isco", "ando", "endo", "Yamo", "iamo", "avamo",
+    "evamo", "ivamo", "eremo", "iremo", "assimo", "ammo", "emmo",
+    "eremmo", "iremmo", "immo", "ano", "iscano", "avano", "evano",
+    "ivano", "eranno", "iranno", "ono", "iscono", "arono", "erono",
+    "irono", "erebbero", "irebbero", "assero", "essero", "issero",
+    "ato", "ito", "uto", "avo", "evo", "ivo", "ar", "ir", "erà",
+    "irà", "erò", "irò",
+))
+_IT_AEIO = frozenset("aeioàèìò")
+
+
+def italian_stem(word: str) -> str:
+    """Snowball Italian: accent fold-to-grave + qu/intervocalic u,i
+    marking, attached-pronoun strip, standard-else-verb suffixes in
+    RV/R1/R2, final-vowel + ch/gh tidy."""
+    w = word
+    for a, b in (("á", "à"), ("é", "è"), ("í", "ì"),
+                 ("ó", "ò"), ("ú", "ù")):
+        w = w.replace(a, b)
+    w = w.replace("qu", "qU")
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if (chars[i] in ("u", "i") and chars[i - 1] in _IT_VOWELS
+                and chars[i + 1] in _IT_VOWELS):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+
+    rv = _rv_iberian(w, _IT_VOWELS)
+    r1, r2 = _std_regions(w, _IT_VOWELS)
+
+    # step 0: attached pronoun — preceding ando/endo (delete) or
+    # ar/er/ir (replace pronoun with e), the preceding part in RV
+    s = _longest(w, _IT_PRON)
+    if s:
+        stem_part = w[: len(w) - len(s)]
+        m = _longest(stem_part, _IT_PRON_PRE)
+        if m and len(stem_part) - len(m) >= rv:
+            w = stem_part if m in ("ando", "endo") else stem_part + "e"
+
+    # step 1: standard suffixes (longest match anywhere; conditions
+    # carry the region checks, with no shorter-suffix fallback)
+    before = w
+    s = _longest(w, _IT_STD)
+    if s:
+        p = len(w) - len(s)
+        if s in ("amento", "amenti", "imento", "imenti"):
+            if p >= rv:
+                w = w[:p]
+        elif s == "amente":
+            if p >= r1:
+                w = w[:p]
+                t = _longest_in(w, _bylen(("ic", "abil", "os", "iv")), r2)
+                if t:
+                    w = w[: len(w) - len(t)]
+                    if t == "iv" and _longest_in(w, ("at",), r2):
+                        w = w[:-2]
+        elif p >= r2:
+            if s in ("logia", "logie"):
+                w = w[:p] + "log"
+            elif s in ("usione", "uzione", "usioni", "uzioni"):
+                w = w[:p] + "u"
+            elif s in ("enza", "enze"):
+                w = w[:p] + "ente"
+            elif s in ("azione", "azioni", "atore", "atori"):
+                w = w[:p]
+                if _longest_in(w, ("ic",), r2):
+                    w = w[:-2]
+            elif s == "ità":
+                w = w[:p]
+                t = _longest_in(w, _bylen(("ic", "abil", "iv")), r2)
+                if t:
+                    w = w[: len(w) - len(t)]
+            elif s in ("iva", "ive", "ivi", "ivo"):
+                w = w[:p]
+                if _longest_in(w, ("at",), r2):
+                    w = w[:-2]
+                    if _longest_in(w, ("ic",), r2):
+                        w = w[:-2]
+            else:
+                w = w[:p]
+
+    # step 2: verb suffixes in RV, only if step 1 removed nothing
+    if w == before:
+        s = _longest_in(w, _IT_VERB, rv)
+        if s:
+            w = w[: len(w) - len(s)]
+
+    # step 3a: final vowel (and then i) in RV
+    if w and w[-1] in _IT_AEIO and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w and w[-1] == "i" and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: ch/gh -> c/g in RV
+    if len(w) >= 2 and w[-1] == "h" and w[-2] in ("c", "g") \
+            and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Dutch (org/tartarus/snowball/ext/DutchStemmer.java)
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = frozenset("aeiouyè")
+_NL_STEP1 = _bylen(("heden",), ("ene", "en"), ("se", "s"))
+
+
+def dutch_stem(word: str) -> str:
+    """Snowball Dutch: accent strip + y/i marking, en/s/e suffixes with
+    ending conditions and kk/dd/tt undoubling, heid + d-suffixes,
+    final double-vowel undoubling (maan -> man)."""
+    w = word
+    for a, b in (("ä", "a"), ("á", "a"), ("ë", "e"), ("é", "e"),
+                 ("ï", "i"), ("í", "i"), ("ö", "o"), ("ó", "o"),
+                 ("ü", "u"), ("ú", "u")):
+        w = w.replace(a, b)
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    i = 1
+    while i < len(chars):
+        if chars[i - 1] in _NL_VOWELS:
+            if (chars[i] == "i" and i + 1 < len(chars)
+                    and chars[i + 1] in _NL_VOWELS):
+                chars[i] = "I"
+            elif chars[i] == "y":
+                chars[i] = "Y"
+        i += 1
+    w = "".join(chars)
+
+    r1, r2 = _std_regions(w, _NL_VOWELS)
+    r1 = max(r1, 3)
+    e_found = False
+
+    def undouble(w: str) -> str:
+        if w[-2:] in ("kk", "dd", "tt"):
+            return w[:-1]
+        return w
+
+    def en_ending(w: str) -> str:
+        # R1, preceded by a non-vowel that isn't part of 'gem', then
+        # undouble (the caller already stripped en/ene)
+        return undouble(w)
+
+    # step 1
+    s = _longest(w, _NL_STEP1)
+    if s == "heden":
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "heid"
+    elif s in ("en", "ene"):
+        p = len(w) - len(s)
+        if (p >= r1 and p > 0 and w[p - 1] not in _NL_VOWELS
+                and w[max(0, p - 3):p] != "gem"):
+            w = en_ending(w[:p])
+    elif s in ("s", "se"):
+        p = len(w) - len(s)
+        if p >= r1 and p > 0 and w[p - 1] not in _NL_VOWELS \
+                and w[p - 1] != "j":
+            w = w[:p]
+
+    # step 2: final e after a non-vowel in R1, then undouble
+    if (w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2
+            and w[-2] not in _NL_VOWELS):
+        w = undouble(w[:-1])
+        e_found = True
+
+    # step 3a: heid (not after c) in R2, then the en treatment
+    if w.endswith("heid") and len(w) - 4 >= r2 \
+            and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            p = len(w) - 2
+            if (p >= r1 and p > 0 and w[p - 1] not in _NL_VOWELS
+                    and w[max(0, p - 3):p] != "gem"):
+                w = en_ending(w[:p])
+
+    # step 3b: d-suffixes
+    s = _longest(w, _bylen(("end", "ing"), ("lijk",), ("baar",),
+                           ("bar",), ("ig",)))
+    if s in ("end", "ing"):
+        p = len(w) - 3
+        if p >= r2:
+            w = w[:p]
+            if (w.endswith("ig") and len(w) - 2 >= r2
+                    and (len(w) < 3 or w[-3] != "e")):
+                w = w[:-2]
+            else:
+                w = undouble(w)
+    elif s == "ig":
+        p = len(w) - 2
+        if p >= r2 and (len(w) < 3 or w[-3] != "e"):
+            w = w[:p]
+    elif s == "lijk":
+        p = len(w) - 4
+        if p >= r2:
+            w = w[:p]
+            if (w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2
+                    and w[-2] not in _NL_VOWELS):
+                w = undouble(w[:-1])
+                e_found = True
+    elif s == "baar":
+        if len(w) - 4 >= r2:
+            w = w[:-4]
+    elif s == "bar":
+        if len(w) - 3 >= r2 and e_found:
+            w = w[:-3]
+
+    # step 4: undouble vowel — C V V D with D a non-vowel other than I
+    if (len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I"
+            and w[-2] == w[-3] and w[-2] in "aeou"
+            and w[-4] not in _NL_VOWELS):
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -807,6 +1202,11 @@ SNOWBALL_STEMMERS = {
     "spanish": spanish_stem,
     "portuguese": portuguese_stem,
     "russian": russian_stem,
+    "italian": italian_stem,
+    "dutch": dutch_stem,
+    "swedish": swedish_stem,
+    "norwegian": norwegian_stem,
+    "danish": danish_stem,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -843,6 +1243,39 @@ SNOWBALL_STOPWORDS = {
         """и в во не что он на я с со как а то все она так его но да ты
         к у же вы за бы по ее мне было вот от меня еще нет о из ему
         теперь когда даже ну ли если уже или ни был него до вас""".split()
+    ),
+    "italian": frozenset(
+        """il lo la i gli le un uno una e o ma non è sono era di del
+        della dei delle al alla a in con su per tra fra da io tu lui
+        lei noi voi loro che chi come quando dove suo sua suoi sue mio
+        mia se si ci ne più questo questa""".split()
+    ),
+    "dutch": frozenset(
+        """de het een en of maar niet is zijn was waren ik je hij zij
+        ze we wij jullie in op te met van voor als ook aan bij naar om
+        uit zo dat wat men er dan nog al tot der den""".split()
+    ),
+    "swedish": frozenset(
+        """och det att i en jag hon som han på den med var sig för så
+        till är men ett om hade de av icke mig du henne då sin nu har
+        inte hans honom skulle hennes där min man ej vid kunde något
+        från ut när efter upp vi dem vara vad över än dig kan sina här
+        ha mot alla under någon eller allt mycket sedan ju denna""".split()
+    ),
+    "norwegian": frozenset(
+        """og i jeg det at en et den til er som på de med han av ikke
+        der så var meg seg men ett har om vi min mitt ha hadde hun nå
+        over da ved fra du ut sin dem oss opp man kan hans hvor eller
+        hva skal selv sjøl her alle vil bli ble blitt kunne inn når
+        være kom noen noe""".split()
+    ),
+    "danish": frozenset(
+        """og i jeg det at en den til er som på de med han af for ikke
+        der var mig sig men et har om vi min havde ham hun nu over da
+        fra du ud sin dem os op man hans hvor eller hvad skal selv her
+        alle vil blev kunne ind når være dog noget ville jo deres
+        efter ned skulle denne end dette mit også under have dig anden
+        hende mine alt meget sit sine vor mod disse hvis din nogle""".split()
     ),
 }
 

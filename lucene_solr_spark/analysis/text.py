@@ -318,18 +318,19 @@ def _tokenize_regex(texts: pd.Series,
 #              analysis/common/.../miscellaneous/ASCIIFoldingFilter.java)
 #   english_minimal — + possessive strip + Harman 1991 S-stemmer
 #              (analysis/common/.../en/EnglishMinimalStemFilter.java)
-#   german/french/spanish/portuguese/russian — language stop set +
-#              Snowball stemmer (analysis/common/.../snowball/
-#              SnowballFilter.java:53 and the de/fr/es/pt/ru packages;
-#              algorithms re-implemented from the published descriptions
-#              in snowball.py)
+#   german/french/spanish/portuguese/russian/italian/dutch/swedish/
+#   norwegian/danish — language stop set + Snowball stemmer
+#              (analysis/common/.../snowball/SnowballFilter.java:53 and
+#              the per-language packages; algorithms re-implemented
+#              from the published descriptions in snowball.py)
 #   shingle / synonym / word_delimiter — multi-token (graph) filters on
 #              top of the standard chain (analysis/graph.py):
 #              ShingleFilter word-bigrams with '_' fillers, index-time
 #              SolrSynonymParser rules, WordDelimiterFilter
 #              letter<->digit splits
 SNOWBALL_ANALYZERS = ("german", "french", "spanish", "portuguese",
-                      "russian")
+                      "russian", "italian", "dutch", "swedish",
+                      "norwegian", "danish")
 GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter")
 ANALYZERS = ("standard", "english", "folding",
              "english_minimal") + SNOWBALL_ANALYZERS + GRAPH_ANALYZERS

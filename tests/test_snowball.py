@@ -9,12 +9,17 @@ import pytest
 from lucene_solr_spark.analysis.snowball import (
     SNOWBALL_STEMMERS,
     SNOWBALL_STOPWORDS,
+    danish_stem,
+    dutch_stem,
     french_stem,
     german_stem,
+    italian_stem,
+    norwegian_stem,
     portuguese_stem,
     russian_stem,
     snowball_filter_terms,
     spanish_stem,
+    swedish_stem,
 )
 from lucene_solr_spark.analysis import tokenize_series
 
@@ -49,6 +54,50 @@ PORTUGUESE = [
     ("falando", "fal"),          # step2 'ando'
     ("meninas", "menin"),        # step2 'as'
 ]
+ITALIAN = [
+    ("abbandonata", "abbandon"),     # verb 'ata' in RV
+    ("abbandonarlo", "abbandon"),    # pronoun 'lo' after 'ar' -> +e, 'are'
+    ("nazionale", "nazional"),       # final vowel in RV
+    ("nazioni", "nazion"),           # final 'i' in RV
+    ("logia", "log"),                # step1 'logia' -> log
+    ("caratteristiche", "caratterist"),  # step1 'iche' in R2
+    ("mangiano", "mang"),            # verb 'ano' + final-vowel 'i' tidy
+    ("amichevole", "amichevol"),     # no suffix matches; vowel tidy only
+]
+DUTCH = [
+    ("lichamelijk", "licham"),       # lijk in R2 + e-ending (worked example)
+    ("opvoeding", "opvoed"),         # ing in R2 (worked example)
+    ("maan", "man"),                 # step4 undouble vowel (worked example)
+    ("brood", "brod"),               # step4 undouble vowel (worked example)
+    ("bedden", "bed"),               # en-ending + kk/dd/tt undouble
+    ("huizen", "huiz"),              # en-ending (worked example)
+    ("gemeenten", "gemeent"),        # 'gem' guard is 3-back from en, passes
+    ("mogelijkheden", "mogelijk"),   # heden->heid then heid deleted in R2
+]
+SWEDISH = [
+    ("flickorna", "flick"),          # step1 'orna'
+    ("klubbarna", "klubb"),          # step1 'arna'
+    ("inledningen", "inledning"),    # step1 'en'
+    ("vackraste", "vackr"),          # step1 'aste'
+    ("husets", "huset"),             # only 's' (no 'ets' in Swedish)
+    ("möjligheterna", "möj"),        # 'heterna' + other-suffix 'lig'
+]
+NORWEGIAN = [
+    ("huset", "hus"),                # step1 'et'
+    ("bilene", "bil"),               # step1 'ene'
+    ("naturlig", "natur"),           # other-suffix 'lig'
+    ("vakkert", "vakker"),           # step1 'ert' -> 'er'
+    ("forsøkene", "forsøk"),         # step1 'ene'
+    ("kjærlighetens", "kjær"),       # 'hetens' + 'lig'
+]
+DANISH = [
+    ("hundene", "hund"),             # step1 'ene'
+    ("katten", "kat"),               # step1 'en' + undouble tt
+    ("kattens", "kat"),              # step1 'ens' + undouble
+    ("venligst", "ven"),             # igst -> -st, then 'lig'
+    ("frygteligt", "frygt"),         # gt pair trim, then 'elig'
+    ("spørgsmålet", "spørgsmål"),    # step1 'et'
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
@@ -62,6 +111,8 @@ RUSSIAN = [
 @pytest.mark.parametrize("fn,vectors", [
     (german_stem, GERMAN), (french_stem, FRENCH), (spanish_stem, SPANISH),
     (portuguese_stem, PORTUGUESE), (russian_stem, RUSSIAN),
+    (italian_stem, ITALIAN), (dutch_stem, DUTCH), (swedish_stem, SWEDISH),
+    (norwegian_stem, NORWEGIAN), (danish_stem, DANISH),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
@@ -116,10 +167,11 @@ def test_stop_lists_disjoint_from_corpus_vocab():
         "small", "sort", "spark", "stream", "table", "the", "value",
         "vector", "window",
     }
-    for lang in ("german", "russian"):
-        assert not (vocab & SNOWBALL_STOPWORDS[lang])
-    for lang in ("french", "spanish", "portuguese"):
-        assert (vocab & SNOWBALL_STOPWORDS[lang]) == {"a"}
+    for lang in ("german", "russian", "dutch", "swedish", "norwegian",
+                 "danish"):
+        assert not (vocab & SNOWBALL_STOPWORDS[lang]), lang
+    for lang in ("french", "spanish", "portuguese", "italian"):
+        assert (vocab & SNOWBALL_STOPWORDS[lang]) == {"a"}, lang
 
 
 def test_injective_over_corpus_vocab():
@@ -130,14 +182,18 @@ def test_injective_over_corpus_vocab():
         "small", "sort", "spark", "stream", "table", "the", "value",
         "vector", "window", "a", "merges",
     ]
+    # per-language query word whose stem conflates with corpus 'merge'
+    # (the *_stem_topk gate's query-side check); Italian keeps final s,
+    # Dutch only strips s after a non-vowel, so those use other forms
+    conflator = {"italian": "mergi", "dutch": "mergen"}
     for lang, stem in SNOWBALL_STEMMERS.items():
         kept = [t for t in vocab if t not in SNOWBALL_STOPWORDS[lang]
                 and t != "merges"]
         stems = [stem(t) for t in kept]
         assert len(set(stems)) == len(stems), lang
         if lang != "russian":
-            # the gate's query-side check: 'merges' conflates with 'merge'
-            assert stem("merges") == stem("merge") == "merg", lang
+            q = conflator.get(lang, "merges")
+            assert stem(q) == stem("merge") == "merg", lang
 
 
 def test_german_marking_u_y_between_vowels():
