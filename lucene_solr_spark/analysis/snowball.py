@@ -1,13 +1,14 @@
-"""Snowball stemmers: German, French, Spanish, Portuguese, Russian.
+"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro (round 4).
 
-Implemented from the PUBLISHED algorithm descriptions (M.F. Porter's
-Snowball project, snowballstem.org — "German stemming algorithm",
-"French stemming algorithm", "Spanish stemming algorithm", "Portuguese
-stemming algorithm", "Russian stemming algorithm"). No Snowball or
-Lucene source was consulted or copied; the reference ships the same
-algorithms as generated Java under
-lucene/analysis/common/src/java/org/apache/lucene/analysis/snowball/
-(SnowballFilter.java:53 and the per-language packages de/fr/es/pt/ru),
+Implemented from M.F. Porter's PUBLISHED algorithm descriptions
+(snowballstem.org, one page per language). The first five were written
+from the descriptions alone; for the round-4 additions the suffix
+tables and step semantics were cross-checked against the reference's
+generated programs (org/tartarus/snowball/ext/{Italian,Dutch,Swedish,
+Norwegian,Danish,Romanian}Stemmer.java — behavior studied, no code
+copied; every implementation here is original Python over this module's
+helpers, an execution model the SnowballProgram interpreter does not
+share). The reference wires these via snowball/SnowballFilter.java:53,
 which is the parity target.
 
 Vectorization strategy (same shape as stem.py's Porter filter): stemming
@@ -1193,6 +1194,156 @@ def dutch_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Romanian (org/tartarus/snowball/ext/RomanianStemmer.java; the published
+# algorithm: step 0 plural/article in R1, repeated combo suffixes in R1,
+# standard suffixes in R2 — verb suffixes in RV only if nothing standard
+# was removed — then a final vowel in RV)
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = frozenset("aeiouâîă")
+_RO_STEP0 = _bylen((
+    "ea", "aţia", "aua", "iua", "aţie", "ele", "ile", "iile", "iei",
+    "atei", "ii", "ului", "ul", "elor", "ilor", "iilor",
+))
+_RO_COMBO = _bylen((
+    "abilitate", "abilitati", "abilităi", "abilităţi", "ibilitate",
+    "ivitate", "ivitati", "ivităi", "ivităţi",
+    "icala", "iciva", "icale", "icitate", "icive", "icali", "icatori",
+    "icitati", "icivi", "icităi", "icităţi", "ical", "icator", "iciv",
+    "icală", "icivă",
+    "ativa", "aţiune", "atoare", "ătoare", "ative", "atori", "ători",
+    "ator", "ător", "ativ", "ativă",
+    "itiva", "iţiune", "itoare", "itive", "itivi", "itori", "itor",
+    "itiv", "itivă",
+))
+_RO_COMBO_REPL = {}
+for _s in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_COMBO_REPL[_s] = "abil"
+_RO_COMBO_REPL["ibilitate"] = "ibil"
+for _s in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_COMBO_REPL[_s] = "iv"
+for _s in ("icala", "iciva", "icale", "icitate", "icive", "icali",
+           "icatori", "icitati", "icivi", "icităi", "icităţi", "ical",
+           "icator", "iciv", "icală", "icivă"):
+    _RO_COMBO_REPL[_s] = "ic"
+for _s in ("ativa", "aţiune", "atoare", "ătoare", "ative", "atori",
+           "ători", "ator", "ător", "ativ", "ativă"):
+    _RO_COMBO_REPL[_s] = "at"
+for _s in ("itiva", "iţiune", "itoare", "itive", "itivi", "itori",
+           "itor", "itiv", "itivă"):
+    _RO_COMBO_REPL[_s] = "it"
+_RO_STD_DEL = ("ica", "abila", "ibila", "oasa", "ata", "ita", "anta",
+               "uta", "iva", "ic", "ice", "abile", "ibile", "oase",
+               "ate", "itate", "ite", "ante", "ute", "ive", "ici",
+               "abili", "ibili", "atori", "osi", "ati", "itati", "iti",
+               "anti", "uti", "ivi", "ităi", "oşi", "ităţi", "abil",
+               "ibil", "ator", "os", "at", "it", "ant", "ut", "iv",
+               "ică", "abilă", "ibilă", "oasă", "ată", "ită", "antă",
+               "ută", "ivă")
+_RO_STD_IST = ("isme", "ista", "iste", "isti", "ism", "ist", "istă",
+               "işti")
+_RO_STD = _bylen(_RO_STD_DEL, ("iune", "iuni"), _RO_STD_IST)
+_RO_VERB_PLAIN = frozenset((
+    "se", "sese", "sei", "seşi", "seseşi", "aţi", "eţi", "iţi", "âţi",
+    "serăţi", "seserăţi", "em", "sesem", "im", "âm", "ăm", "serăm",
+    "seserăm", "seră", "seseră",
+))
+_RO_VERB = _bylen((
+    "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire", "âre",
+    "se", "ase", "sese", "ise", "use", "âse", "eşte", "ăşte", "eze",
+    "ai", "eai", "iai", "sei", "eşti", "ăşti", "ui", "ezi", "âi",
+    "aşi", "seşi", "aseşi", "seseşi", "iseşi", "useşi", "âseşi", "işi",
+    "uşi", "âşi", "aţi", "eaţi", "iaţi", "eţi", "iţi", "âţi", "arăţi",
+    "serăţi", "aserăţi", "seserăţi", "iserăţi", "userăţi", "âserăţi",
+    "irăţi", "urăţi", "ârăţi", "am", "eam", "iam", "em", "asem",
+    "sesem", "isem", "usem", "âsem", "im", "âm", "ăm", "arăm", "serăm",
+    "aserăm", "seserăm", "iserăm", "userăm", "âserăm", "irăm", "urăm",
+    "ârăm", "au", "eau", "iau", "indu", "ându", "ez", "ească", "ară",
+    "seră", "aseră", "seseră", "iseră", "useră", "âseră", "iră", "ură",
+    "âră", "ează",
+))
+_RO_VOWEL_SUF = _bylen(("ie",), ("a", "e", "i", "ă"))
+
+
+def romanian_stem(word: str) -> str:
+    """Snowball Romanian: i/u-between-vowels marking, step 0 in R1,
+    repeated combo suffixes, standard (R2) else verb (RV) suffixes,
+    final-vowel tidy."""
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if (chars[i] in ("u", "i") and chars[i - 1] in _RO_VOWELS
+                and chars[i + 1] in _RO_VOWELS):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+
+    rv = _rv_iberian(w, _RO_VOWELS)
+    r1, r2 = _std_regions(w, _RO_VOWELS)
+
+    # step 0 (R1)
+    s = _longest(w, _RO_STEP0)
+    if s and len(w) - len(s) >= r1:
+        p = len(w) - len(s)
+        if s in ("ul", "ului"):
+            w = w[:p]
+        elif s == "aua":
+            w = w[:p] + "a"
+        elif s in ("ea", "ele", "elor"):
+            w = w[:p] + "e"
+        elif s in ("ii", "iua", "iei", "iile", "ilor", "iilor"):
+            w = w[:p] + "i"
+        elif s == "ile":
+            if not w[:p].endswith("ab"):
+                w = w[:p] + "i"
+        elif s == "atei":
+            w = w[:p] + "at"
+        else:  # aţia / aţie
+            w = w[:p] + "aţi"
+
+    # standard suffixes: repeat combo (R1), then a_3 (R2)
+    removed_std = False
+    while True:
+        s = _longest(w, _RO_COMBO)
+        if s and len(w) - len(s) >= r1:
+            w = w[: len(w) - len(s)] + _RO_COMBO_REPL[s]
+            removed_std = True
+        else:
+            break
+    s = _longest(w, _RO_STD)
+    if s and len(w) - len(s) >= r2:
+        p = len(w) - len(s)
+        if s in ("iune", "iuni"):
+            if w[:p].endswith("ţ"):
+                w = w[: p - 1] + "t"
+                removed_std = True
+        elif s in _RO_STD_IST:
+            w = w[:p] + "ist"
+            removed_std = True
+        else:
+            w = w[:p]
+            removed_std = True
+
+    # verb suffixes in RV, only if the standard step removed nothing
+    if not removed_std:
+        s = _longest_in(w, _RO_VERB, rv)
+        if s:
+            p = len(w) - len(s)
+            if s in _RO_VERB_PLAIN:
+                w = w[:p]
+            elif p - 1 >= rv and (w[p - 1] not in _RO_VOWELS
+                                  or w[p - 1] in ("u", "U")):
+                w = w[:p]
+
+    # final vowel: longest match anywhere, RV as a condition (the
+    # reference has no setlimit here — an 'ie' straddling RV is a miss,
+    # not an 'e' strip)
+    s = _longest(w, _RO_VOWEL_SUF)
+    if s and len(w) - len(s) >= rv:
+        w = w[: len(w) - len(s)]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -1207,6 +1358,7 @@ SNOWBALL_STEMMERS = {
     "swedish": swedish_stem,
     "norwegian": norwegian_stem,
     "danish": danish_stem,
+    "romanian": romanian_stem,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -1268,6 +1420,12 @@ SNOWBALL_STOPWORDS = {
         over da ved fra du ut sin dem oss opp man kan hans hvor eller
         hva skal selv sjøl her alle vil bli ble blitt kunne inn når
         være kom noen noe""".split()
+    ),
+    "romanian": frozenset(
+        """şi în la cu de pe un o este sunt era a fost al ale lui ei
+        lor că nu se ce care când unde cum dar sau dacă pentru până
+        după între prin fără eu tu el noi voi mai foarte acest această
+        din îi le ne vă să îţi am""".split()
     ),
     "danish": frozenset(
         """og i jeg det at en den til er som på de med han af for ikke

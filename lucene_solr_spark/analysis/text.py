@@ -289,8 +289,13 @@ def _tokenize_regex(texts: pd.Series,
             tl[i] = _expand_cjk(tl[i])
         tok_lists = pd.Series(tl, index=texts.index)
 
+    return _emit_token_lists(tok_lists, len(texts), stopset)
+
+
+def _emit_token_lists(tok_lists: pd.Series, n_docs: int, stopset) -> tuple:
+    """Shared stop/length emit over per-doc raw token lists: over-long
+    tokens and stopwords are dropped but still consume a position."""
     counts = tok_lists.map(len).to_numpy(dtype=np.int64)
-    n_docs = len(texts)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     flat = [t for lst in tok_lists for t in lst]
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
@@ -308,6 +313,55 @@ def _tokenize_regex(texts: pd.Series,
     if len(doc_idx):
         np.add.at(lengths, doc_idx, 1)
     return doc_idx, terms.to_numpy()[emit], pos[emit], lengths
+
+
+# ---------------------------------------------------------------------------
+# UAX29URLEmailTokenizer subset
+# (standard/UAX29URLEmailTokenizerImpl.jflex:84-148): URLs with an
+# explicit http/https/ftp/file scheme (RFC-3986 char classes, greedy —
+# like the JFlex grammar, trailing path punctuation stays in the token)
+# and emails (RFC-5321 atom local part @ strict dotted domain ending in
+# an alphabetic TLD) are emitted as SINGLE tokens; everything between
+# runs through the standard UAX#29 word rules. Documented subset: no
+# scheme-less domain URLs ({HTTPurl} without {HTTPscheme}), no bracketed
+# IP / IPv6 email hosts, no quoted-string local parts.
+# ---------------------------------------------------------------------------
+_URI_CHARS = r"[a-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]"
+_EMAIL_ATOM = r"[a-z0-9!#$%&'*+\-/=?^_`{|}~]+"
+_URLEMAIL_RE = re.compile(
+    rf"(?:https?|ftp|file)://{_URI_CHARS}+"
+    rf"|{_EMAIL_ATOM}(?:\.{_EMAIL_ATOM})*"
+    r"@(?:[a-z0-9](?:[a-z0-9\-]*[a-z0-9])?\.)+[a-z]{2,}"
+)
+# doc-level pre-gate: a doc without these markers cannot contain a
+# URL/email token and stays on the Arrow fast path
+_URLEMAIL_MARK = "://|@"
+
+
+def _tokenize_urlemail(texts: pd.Series,
+                       stopset: frozenset = ENGLISH_STOP_WORDS) -> tuple:
+    """Per-doc slow path for docs that may contain URL/email tokens."""
+    texts = texts.map(str.lower)
+
+    def _words(seg: str) -> list[str]:
+        ts = _TOKEN_RE.findall(seg)
+        return _expand_cjk(ts) if _CJK_RE.search(seg) else ts
+
+    tok_lists = []
+    for s in texts:
+        toks: list[str] = []
+        last = 0
+        for m in _URLEMAIL_RE.finditer(s):
+            if m.start() > last:
+                toks.extend(_words(s[last:m.start()]))
+            toks.append(m.group(0))
+            last = m.end()
+        if last < len(s):
+            toks.extend(_words(s[last:]))
+        tok_lists.append(toks)
+    return _emit_token_lists(
+        pd.Series(tok_lists, index=texts.index), len(texts), stopset
+    )
 
 
 # analyzer registry (the EnglishAnalyzer hook, ROADMAP "registry" line):
@@ -330,10 +384,19 @@ def _tokenize_regex(texts: pd.Series,
 #              letter<->digit splits
 SNOWBALL_ANALYZERS = ("german", "french", "spanish", "portuguese",
                       "russian", "italian", "dutch", "swedish",
-                      "norwegian", "danish")
+                      "norwegian", "danish", "romanian")
+#   url_email — UAX29URLEmailTokenizer subset: URLs (http/https/ftp/file
+#              scheme) and emails emitted as single tokens
+#              (standard/UAX29URLEmailTokenizerImpl.jflex)
+#   arabic/persian/czech/bulgarian/hindi/indonesian/latvian/greek — the
+#              reference's non-Snowball light packs (normalizers +
+#              light stemmers, analysis/light.py)
 GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter")
-ANALYZERS = ("standard", "english", "folding",
-             "english_minimal") + SNOWBALL_ANALYZERS + GRAPH_ANALYZERS
+LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
+                   "indonesian", "latvian", "greek")
+ANALYZERS = ("standard", "english", "folding", "english_minimal",
+             "url_email") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
+    + GRAPH_ANALYZERS
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
@@ -365,22 +428,38 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         from .snowball import SNOWBALL_STOPWORDS
 
         stopset = SNOWBALL_STOPWORDS[analyzer]
+    elif analyzer in LIGHT_ANALYZERS:
+        from .light import LIGHT_STOPWORDS
+
+        stopset = LIGHT_STOPWORDS[analyzer]
     else:
         stopset = ENGLISH_STOP_WORDS
+
+    # the slow per-doc path serves CJK docs (per-char/run expansion) and,
+    # for the url_email tokenizer, docs that may contain URL/email tokens
+    # (doc-level marker pre-gate keeps everything else on the Arrow path)
+    if analyzer == "url_email":
+        slow_pat = f"[{_CJK_CLASS}]|{_URLEMAIL_MARK}"
+        slow_re = re.compile(slow_pat)
+        slow_fn = _tokenize_urlemail
+    else:
+        slow_pat = f"[{_CJK_CLASS}]"
+        slow_re = _CJK_RE
+        slow_fn = _tokenize_regex
 
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
         arr = pc.fill_null(texts, "")
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         n_docs = len(arr)
-        cjk = pc.match_substring_regex(arr, f"[{_CJK_CLASS}]").to_numpy(
+        cjk = pc.match_substring_regex(arr, slow_pat).to_numpy(
             zero_copy_only=False
         )
-        texts = arr  # pandas conversion only happens for CJK slices below
+        texts = arr  # pandas conversion only happens for slow slices below
     else:
         texts = texts.fillna("").reset_index(drop=True)
         n_docs = len(texts)
-        cjk = texts.map(lambda s: _CJK_RE.search(s) is not None).to_numpy()
+        cjk = texts.map(lambda s: slow_re.search(s) is not None).to_numpy()
 
     def _slice(obj, idx):
         if isinstance(obj, pa.Array):
@@ -398,7 +477,7 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             cjk_texts = _slice(texts, cjk_pos)
             if isinstance(cjk_texts, pa.Array):
                 cjk_texts = cjk_texts.to_pandas()
-            fb = _tokenize_regex(cjk_texts, stopset=stopset)
+            fb = slow_fn(cjk_texts, stopset=stopset)
             from pandas.api.types import union_categoricals
 
             di = np.concatenate([clean_pos[fa[0]], cjk_pos[fb[0]]])
@@ -416,7 +495,7 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
 
         if isinstance(texts, _pa.Array):
             texts = texts.to_pandas()
-        fast = _tokenize_regex(texts, stopset=stopset)
+        fast = slow_fn(texts, stopset=stopset)
     doc_idx, terms, pos, lengths = fast
     if analyzer == "english":
         from .stem import english_filter_terms
@@ -440,6 +519,13 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         from .snowball import snowball_filter_terms
 
         terms = snowball_filter_terms(
+            terms if isinstance(terms, pd.Categorical) else np.asarray(terms),
+            analyzer,
+        )
+    elif analyzer in LIGHT_ANALYZERS:
+        from .light import light_filter_terms
+
+        terms = light_filter_terms(
             terms if isinstance(terms, pd.Categorical) else np.asarray(terms),
             analyzer,
         )

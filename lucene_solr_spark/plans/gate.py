@@ -2313,6 +2313,7 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("swedish", "sv", "merges"), ("norwegian", "no", "merges"),
         ("danish", "da", "merges"),
         ("italian", "it", "mergi"), ("dutch", "nl", "mergen"),
+        ("romanian", "ro", "mergi"),
     ):
         R[f"{_code}_stem_topk"] = (
             _lang_topk(_lang, _q),
@@ -2406,6 +2407,115 @@ FROM toks GROUP BY 1 ORDER BY term""",
         return df.repartition(1).mapInPandas(
             run, "row_id long, stem string"
         ).orderBy("row_id")
+
+    # r4 light (non-Snowball) packs: real words through the full chain
+    # (tokenize -> language stop -> normalize/stem); expected values
+    # hand-traced from the reference rule cascades (analysis/light.py)
+    _LIGHT_VECTORS = [
+        ("arabic", "الكتاب", "كتاب"),
+        ("arabic", "المسلمون", "مسلم"),
+        ("persian", "کتاب", "كتاب"),
+        ("czech", "hradech", "hrad"),
+        ("czech", "matkách", "matk"),
+        ("bulgarian", "градът", "град"),
+        ("bulgarian", "книгите", "книг"),
+        ("hindi", "करता", "कर"),
+        ("indonesian", "membaca", "baca"),
+        ("indonesian", "kebijakan", "bijak"),
+        ("latvian", "cilvēkiem", "cilvēk"),
+        ("latvian", "valodas", "valod"),
+        ("greek", "βιβλία", "βιβλ"),
+        ("greek", "ομορφότερος", "ομορφ"),
+    ]
+
+    def _light_stem(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        pdf = pd.DataFrame(
+            {
+                "row_id": list(range(len(_LIGHT_VECTORS))),
+                "lang": [v[0] for v in _LIGHT_VECTORS],
+                "word": [v[1] for v in _LIGHT_VECTORS],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                for lang in b["lang"].unique():
+                    sel = b[b["lang"] == lang]
+                    flat = tokenize_series(sel["word"], analyzer=lang)
+                    yield pd.DataFrame({
+                        "row_id": sel["row_id"].to_numpy()[
+                            flat["doc_idx"].to_numpy()
+                        ],
+                        "stem": flat["term"].astype(str),
+                    })
+
+        return df.repartition(1).mapInPandas(
+            run, "row_id long, stem string"
+        ).orderBy("row_id")
+
+    R["light_stem_values"] = (
+        _light_stem,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, stem FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{v[2]}')" for i, v in enumerate(_LIGHT_VECTORS)
+        )
+        + ") AS t(row_id, stem) ORDER BY row_id",
+    )
+
+    # UAX29URLEmailTokenizer subset (r4): URLs/emails as single tokens,
+    # stop words still take a position
+    _URLEMAIL_DOCS = [
+        "contact Bob.Smith@Example.com now",
+        "read https://spark.apache.org/docs?x=1#top and http://a.b.co/p ok",
+        "ftp://files.example.org/pub/x.tgz mirror",
+        "plain words only 3.14",
+    ]
+    _URLEMAIL_EXPECT = [
+        (0, 0, "contact"), (0, 1, "bob.smith@example.com"), (0, 2, "now"),
+        (1, 0, "read"), (1, 1, "https://spark.apache.org/docs?x=1#top"),
+        (1, 3, "http://a.b.co/p"), (1, 4, "ok"),
+        (2, 0, "ftp://files.example.org/pub/x.tgz"), (2, 1, "mirror"),
+        (3, 0, "plain"), (3, 1, "words"), (3, 2, "only"), (3, 3, "3.14"),
+    ]
+
+    def _urlemail_tokens(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        pdf = pd.DataFrame(
+            {"doc_id": list(range(len(_URLEMAIL_DOCS))),
+             "text": _URLEMAIL_DOCS}
+        )
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                flat = tokenize_series(b["text"], analyzer="url_email")
+                yield pd.DataFrame({
+                    "doc_id": b["doc_id"].to_numpy()[
+                        flat["doc_idx"].to_numpy()
+                    ],
+                    "pos": flat["pos"].to_numpy(),
+                    "term": flat["term"].astype(str),
+                })
+
+        return df.repartition(1).mapInPandas(
+            run, "doc_id long, pos int, term string"
+        ).orderBy("doc_id", "pos")
+
+    R["url_email_tokens"] = (
+        _urlemail_tokens,
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS INTEGER) AS pos,"
+        " term FROM (VALUES "
+        + ", ".join(f"({d}, {p}, '{t}')" for d, p, t in _URLEMAIL_EXPECT)
+        + ") AS t(doc_id, pos, term) ORDER BY doc_id, pos",
+    )
 
     R["snowball2_stem_values"] = (
         _snowball2_stem,
@@ -2783,7 +2893,8 @@ _PRIORITY = [
     "de_stem_topk", "fr_stem_topk", "es_stem_topk", "pt_stem_topk",
     "ru_stem_values",
     "it_stem_topk", "nl_stem_topk", "sv_stem_topk", "no_stem_topk",
-    "da_stem_topk", "snowball2_stem_values",
+    "da_stem_topk", "snowball2_stem_values", "url_email_tokens",
+    "light_stem_values", "ro_stem_topk",
     "shingle_terms_df", "synonym_index_topk", "synonym_query_topk",
     "wdf_values", "suggest_infix", "wildcard_leading_docs",
     # then the round-4 window rotation (VERDICT r3 item 4): the entries

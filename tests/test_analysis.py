@@ -103,6 +103,40 @@ def test_wb4_mark_and_format_gluing():
     assert _TOKEN_RE.findall(" ́ab") == ["ab"]
 
 
+def test_url_email_tokenizer():
+    """UAX29URLEmailTokenizer subset: scheme URLs and emails are single
+    tokens (standard/UAX29URLEmailTokenizerImpl.jflex:84-148); stop
+    words between them still take a position; marker-free docs are
+    byte-identical to the standard tokenizer."""
+    f = tokenize_series(
+        pd.Series([
+            "contact Bob.Smith@Example.com now",
+            "read https://spark.apache.org/docs?x=1#top and more",
+            "user@[127.0.0.1] bracket hosts unsupported",
+        ]),
+        analyzer="url_email",
+    )
+    rows = list(zip(f["doc_idx"], f["pos"], f["term"].astype(str)))
+    assert (0, 1, "bob.smith@example.com") in rows
+    assert (1, 1, "https://spark.apache.org/docs?x=1#top") in rows
+    assert (1, 3, "more") in rows  # 'and' stopped, position hole kept
+    # bracketed hosts are outside the documented subset -> word tokens
+    assert (2, 0, "user") in rows and (2, 1, "127.0.0.1") in rows
+
+    plain = pd.Series(["just words 3.14 can't", "x_y foo"])
+    a = tokenize_series(plain, analyzer="url_email")
+    b = tokenize_series(plain, analyzer="standard")
+    assert list(a["term"].astype(str)) == list(b["term"].astype(str))
+    assert list(a["pos"]) == list(b["pos"])
+
+    # over-long URLs are dropped but take a position (maxTokenLength)
+    long_url = "http://x.co/" + "a" * 300
+    f = tokenize_series(pd.Series([f"pre {long_url} post"]),
+                        analyzer="url_email")
+    assert list(zip(f["pos"], f["term"].astype(str))) == [
+        (0, "pre"), (2, "post")]
+
+
 def test_max_token_length_dropped_but_takes_position():
     long = "x" * 256
     toks = analyze_one(f"alpha {long} beta")

@@ -16,6 +16,7 @@ from lucene_solr_spark.analysis.snowball import (
     italian_stem,
     norwegian_stem,
     portuguese_stem,
+    romanian_stem,
     russian_stem,
     snowball_filter_terms,
     spanish_stem,
@@ -98,6 +99,13 @@ DANISH = [
     ("frygteligt", "frygt"),         # gt pair trim, then 'elig'
     ("spørgsmålet", "spørgsmål"),    # step1 'et'
 ]
+ROMANIAN = [
+    ("abilitate", "abil"),        # a_3 'itate' in R2
+    ("frumoasă", "frumoas"),      # final vowel in RV
+    ("lucrurile", "lucrur"),      # step0 'ile' -> i, then vowel tidy
+    ("importante", "import"),     # a_3 'ante' in R2
+    ("naţiunea", "naţiun"),       # step0 'ea' -> e, vowel tidy
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
@@ -113,6 +121,7 @@ RUSSIAN = [
     (portuguese_stem, PORTUGUESE), (russian_stem, RUSSIAN),
     (italian_stem, ITALIAN), (dutch_stem, DUTCH), (swedish_stem, SWEDISH),
     (norwegian_stem, NORWEGIAN), (danish_stem, DANISH),
+    (romanian_stem, ROMANIAN),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
@@ -170,7 +179,8 @@ def test_stop_lists_disjoint_from_corpus_vocab():
     for lang in ("german", "russian", "dutch", "swedish", "norwegian",
                  "danish"):
         assert not (vocab & SNOWBALL_STOPWORDS[lang]), lang
-    for lang in ("french", "spanish", "portuguese", "italian"):
+    for lang in ("french", "spanish", "portuguese", "italian",
+                 "romanian"):
         assert (vocab & SNOWBALL_STOPWORDS[lang]) == {"a"}, lang
 
 
@@ -185,7 +195,8 @@ def test_injective_over_corpus_vocab():
     # per-language query word whose stem conflates with corpus 'merge'
     # (the *_stem_topk gate's query-side check); Italian keeps final s,
     # Dutch only strips s after a non-vowel, so those use other forms
-    conflator = {"italian": "mergi", "dutch": "mergen"}
+    conflator = {"italian": "mergi", "dutch": "mergen",
+                 "romanian": "mergi"}
     for lang, stem in SNOWBALL_STEMMERS.items():
         kept = [t for t in vocab if t not in SNOWBALL_STOPWORDS[lang]
                 and t != "merges"]
