@@ -277,3 +277,38 @@ def word_delimiter_flat(
             np.add.at(lengths, od.astype(np.int64), 1)
         out.attrs["doc_lengths"] = lengths
     return out
+
+
+def common_grams_flat(flat: pd.DataFrame, common: frozenset,
+                      sep: str = "_") -> pd.DataFrame:
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:52): for
+    every adjacent token pair where either word is in the common set,
+    add a "w1_w2" gram at the FIRST word's position (posIncrement 0).
+    All unigrams are kept — the chain runs with no stop filter, so
+    positions are dense and adjacency is pos+1."""
+    doc, term, pos = _order_by_doc_pos(flat)
+    out = flat.copy()
+    if len(doc) > 1:
+        same_doc = doc[1:] == doc[:-1]
+        adjacent = pos[1:] == pos[:-1] + 1
+        is_common = np.isin(term, list(common))
+        pair = same_doc & adjacent & (is_common[:-1] | is_common[1:])
+        if pair.any():
+            idx = np.flatnonzero(pair)
+            grams = pd.DataFrame({
+                "doc_idx": doc[idx].astype(np.int32),
+                "term": term[idx].astype(object) + sep
+                        + term[idx + 1].astype(object),
+                "pos": pos[idx],
+            })
+            lengths = out.attrs.get("doc_lengths")
+            out = pd.concat([out, grams], ignore_index=True)
+            order = np.lexsort(
+                (out["pos"].to_numpy(), out["doc_idx"].to_numpy())
+            )
+            out = out.iloc[order].reset_index(drop=True)
+            if lengths is not None:
+                lengths = np.asarray(lengths).copy()
+                np.add.at(lengths, doc[idx].astype(np.int64), 1)
+                out.attrs["doc_lengths"] = lengths
+    return out

@@ -158,6 +158,46 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
     return out
 
 
+# CJKBigramFilter (cjk/CJKBigramFilter.java:48, flags HAN | HIRAGANA |
+# KATAKANA | HANGUL, outputUnigrams=false — the CJKAnalyzer default):
+# contiguous CJK characters form overlapping character bigrams; an
+# isolated single CJK char stays a unigram. Contiguity is what the
+# filter derives from offsets; here it falls out of the tokenizer
+# naturally: CJK chars inside ONE \w-matched token are adjacent in the
+# source text, while chars in different tokens had a delimiter between
+# them (so no bigram across). Hangul runs (ALetter in our grammar, its
+# own HANGUL type in the reference's) are split out and bigrammed only
+# in this mode; mixed Hangul+Latin tokens stay word tokens (documented
+# divergence — the reference splits them).
+_HANGUL_CLASS = "ᄀ-ᇿ㄰-㆏가-힯"
+_CJK_BIGRAM_SPLIT_RE = re.compile(
+    f"([{_CJK_CLASS}{_HANGUL_CLASS}]+)"
+)
+_HAS_BIGRAMMABLE_RE = re.compile(f"[{_CJK_CLASS}{_HANGUL_CLASS}]")
+
+
+def _expand_cjk_bigram(tokens: list[str]) -> list[str]:
+    """CJK bigram expansion: each maximal in-token CJK/Hangul run emits
+    its character bigrams (or a unigram when length 1)."""
+    out: list[str] = []
+    for t in tokens:
+        if _HAS_BIGRAMMABLE_RE.search(t):
+            for piece in _CJK_BIGRAM_SPLIT_RE.split(t):
+                if not piece:
+                    continue
+                if _HAS_BIGRAMMABLE_RE.match(piece):
+                    if len(piece) == 1:
+                        out.append(piece)
+                    else:
+                        out.extend(piece[i:i + 2]
+                                   for i in range(len(piece) - 1))
+                else:
+                    out.append(piece)
+        else:
+            out.append(t)
+    return out
+
+
 # Arrow fast path: the token charset of _TOKEN_RE re-expressed as a
 # delimiter split + edge trim. Tokens are runs of [\w joiner]; a leading/
 # trailing joiner is trimmed (matching the regex, which only keeps joiners
@@ -277,19 +317,28 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
 
 
 def _tokenize_regex(texts: pd.Series,
-                    stopset: frozenset = ENGLISH_STOP_WORDS) -> tuple:
-    """Reference regex path (handles CJK per-char expansion)."""
+                    stopset: frozenset = ENGLISH_STOP_WORDS,
+                    expand=_expand_cjk, expand_re=None) -> tuple:
+    """Reference regex path (handles CJK per-char/bigram expansion)."""
+    expand_re = expand_re if expand_re is not None else _CJK_RE
     texts = texts.map(str.lower)
     tok_lists = texts.map(_TOKEN_RE.findall)
-    has_cjk = texts.map(lambda s: _CJK_RE.search(s) is not None)
+    has_cjk = texts.map(lambda s: expand_re.search(s) is not None)
     if has_cjk.any():
         idx = np.flatnonzero(has_cjk.to_numpy())
         tl = tok_lists.to_numpy(dtype=object)
         for i in idx:
-            tl[i] = _expand_cjk(tl[i])
+            tl[i] = expand(tl[i])
         tok_lists = pd.Series(tl, index=texts.index)
 
     return _emit_token_lists(tok_lists, len(texts), stopset)
+
+
+def _tokenize_regex_cjk_bigram(texts: pd.Series,
+                               stopset: frozenset = ENGLISH_STOP_WORDS):
+    return _tokenize_regex(texts, stopset=stopset,
+                           expand=_expand_cjk_bigram,
+                           expand_re=_HAS_BIGRAMMABLE_RE)
 
 
 def _emit_token_lists(tok_lists: pd.Series, n_docs: int, stopset) -> tuple:
@@ -391,11 +440,17 @@ SNOWBALL_ANALYZERS = ("german", "french", "spanish", "portuguese",
 #   arabic/persian/czech/bulgarian/hindi/indonesian/latvian/greek — the
 #              reference's non-Snowball light packs (normalizers +
 #              light stemmers, analysis/light.py)
-GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter")
+#   cjk — CJKAnalyzer profile: contiguous CJK/Hangul chars as
+#              overlapping character bigrams (cjk/CJKBigramFilter.java:48)
+#   common_grams — no stop removal; adjacent pairs containing a common
+#              word add a "w1_w2" gram at the first word's position
+#              (commongrams/CommonGramsFilter.java:52)
+GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter",
+                   "common_grams")
 LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
                    "indonesian", "latvian", "greek")
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
-             "url_email") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
+             "url_email", "cjk") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
     + GRAPH_ANALYZERS
 
 
@@ -432,6 +487,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         from .light import LIGHT_STOPWORDS
 
         stopset = LIGHT_STOPWORDS[analyzer]
+    elif analyzer == "common_grams":
+        # CommonGramsFilter replaces stop removal: common words stay as
+        # unigrams AND seed the grams
+        stopset = frozenset()
     else:
         stopset = ENGLISH_STOP_WORDS
 
@@ -442,6 +501,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         slow_pat = f"[{_CJK_CLASS}]|{_URLEMAIL_MARK}"
         slow_re = re.compile(slow_pat)
         slow_fn = _tokenize_urlemail
+    elif analyzer == "cjk":
+        slow_pat = f"[{_CJK_CLASS}{_HANGUL_CLASS}]"
+        slow_re = _HAS_BIGRAMMABLE_RE
+        slow_fn = _tokenize_regex_cjk_bigram
     else:
         slow_pat = f"[{_CJK_CLASS}]"
         slow_re = _CJK_RE
@@ -546,6 +609,8 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             out = graph.synonym_flat(
                 out, graph.parse_synonym_rules(graph.DEFAULT_SYNONYM_LINES)
             )
+        elif analyzer == "common_grams":
+            out = graph.common_grams_flat(out, ENGLISH_STOP_WORDS)
         else:
             out = graph.word_delimiter_flat(out)
     return out

@@ -2467,6 +2467,58 @@ FROM toks GROUP BY 1 ORDER BY term""",
         + ") AS t(row_id, stem) ORDER BY row_id",
     )
 
+    # r4: CJK bigram + CommonGrams analyzers, token-level VALUES gates
+    _CJKCG_DOCS = [
+        ("cjk", "index 中文网 docs"),
+        ("cjk", "テーブル 化"),
+        ("common_grams", "the quick fox"),
+    ]
+    _CJKCG_EXPECT = [
+        (0, 0, "index"), (0, 1, "中文"), (0, 2, "文网"), (0, 3, "docs"),
+        (1, 0, "テー"), (1, 1, "ーブ"), (1, 2, "ブル"), (1, 3, "化"),
+        (2, 0, "the"), (2, 0, "the_quick"), (2, 1, "quick"),
+        (2, 2, "fox"),
+    ]
+
+    def _cjk_cg_tokens(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        pdf = pd.DataFrame(
+            {
+                "row_id": list(range(len(_CJKCG_DOCS))),
+                "analyzer": [d[0] for d in _CJKCG_DOCS],
+                "text": [d[1] for d in _CJKCG_DOCS],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                for az in b["analyzer"].unique():
+                    sel = b[b["analyzer"] == az]
+                    flat = tokenize_series(sel["text"], analyzer=az)
+                    yield pd.DataFrame({
+                        "row_id": sel["row_id"].to_numpy()[
+                            flat["doc_idx"].to_numpy()
+                        ],
+                        "pos": flat["pos"].to_numpy(),
+                        "term": flat["term"].astype(str),
+                    })
+
+        return df.repartition(1).mapInPandas(
+            run, "row_id long, pos int, term string"
+        ).orderBy("row_id", "pos", "term")
+
+    R["cjk_commongrams_tokens"] = (
+        _cjk_cg_tokens,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, CAST(pos AS INTEGER)"
+        " AS pos, term FROM (VALUES "
+        + ", ".join(f"({d}, {p}, '{t}')" for d, p, t in _CJKCG_EXPECT)
+        + ") AS t(row_id, pos, term) ORDER BY row_id, pos, term",
+    )
+
     # UAX29URLEmailTokenizer subset (r4): URLs/emails as single tokens,
     # stop words still take a position
     _URLEMAIL_DOCS = [
@@ -2894,7 +2946,7 @@ _PRIORITY = [
     "ru_stem_values",
     "it_stem_topk", "nl_stem_topk", "sv_stem_topk", "no_stem_topk",
     "da_stem_topk", "snowball2_stem_values", "url_email_tokens",
-    "light_stem_values", "ro_stem_topk",
+    "light_stem_values", "ro_stem_topk", "cjk_commongrams_tokens",
     "shingle_terms_df", "synonym_index_topk", "synonym_query_topk",
     "wdf_values", "suggest_infix", "wildcard_leading_docs",
     # then the round-4 window rotation (VERDICT r3 item 4): the entries

@@ -85,6 +85,34 @@ def test_katakana_runs_hiragana_han_per_char():
     assert [t for t, _ in analyze_one("パーティー化")] == ["パーティー", "化"]
 
 
+def test_cjk_bigram_analyzer():
+    """CJKAnalyzer profile (cjk/CJKBigramFilter.java:48): contiguous
+    CJK/Hangul chars emit overlapping character bigrams; isolated chars
+    stay unigrams; no bigram across a delimiter."""
+    f = tokenize_series(pd.Series(["index 中文网 docs"]), analyzer="cjk")
+    assert list(zip(f["pos"], f["term"].astype(str))) == [
+        (0, "index"), (1, "中文"), (2, "文网"), (3, "docs")]
+    f = tokenize_series(pd.Series(["テーブル 化 한글"]), analyzer="cjk")
+    assert list(f["term"].astype(str)) == ["テー", "ーブ", "ブル", "化", "한글"]
+    # a space between CJK chars is a real break: no bigram across it
+    f = tokenize_series(pd.Series(["中 文"]), analyzer="cjk")
+    assert list(f["term"].astype(str)) == ["中", "文"]
+
+
+def test_common_grams_analyzer():
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:52): stop
+    words stay as unigrams AND seed w1_w2 grams at the first word's
+    position (posIncrement 0)."""
+    f = tokenize_series(
+        pd.Series(["the quick brown fox is fast"]), analyzer="common_grams"
+    )
+    rows = list(zip(f["pos"], f["term"].astype(str)))
+    assert rows == [
+        (0, "the"), (0, "the_quick"), (1, "quick"), (2, "brown"),
+        (3, "fox"), (3, "fox_is"), (4, "is"), (4, "is_fast"), (5, "fast")]
+    assert list(f.attrs["doc_lengths"]) == [9]
+
+
 def test_wb4_mark_and_format_gluing():
     """UAX#29 WB4: Extend (combining marks) and Format (ZWJ/ZWNJ) glue to
     the preceding base char (the JFlex Ex-suffixed classes) instead of
