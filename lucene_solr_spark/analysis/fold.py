@@ -44,21 +44,8 @@ def ascii_fold(term: str) -> str:
 
 
 def fold_filter_terms(terms):
-    """Vocabulary-vectorized fold over an analyzed term column (the same
-    Categorical-dictionary transform shape as stem.english_filter_terms —
-    folds can conflate terms, so codes are remapped)."""
-    if isinstance(terms, pd.Categorical):
-        cats = terms.categories.to_numpy(dtype=object)
-        new = np.array([ascii_fold(t) for t in cats], dtype=object)
-        uniq, inv = np.unique(new, return_inverse=True)
-        codes = np.asarray(terms.codes)
-        return pd.Categorical.from_codes(
-            inv[codes] if len(codes) else np.zeros(0, np.int64),
-            categories=uniq,
-        )
-    arr = np.asarray(terms, dtype=object)
-    if len(arr) == 0:
-        return arr
-    uniq, inv = np.unique(arr, return_inverse=True)
-    folded = np.array([ascii_fold(t) for t in uniq], dtype=object)
-    return folded[inv]
+    """Vocabulary-vectorized fold over an analyzed term column (folds can
+    conflate terms, so codes are remapped by stem.vocab_map_terms)."""
+    from .stem import vocab_map_terms
+
+    return vocab_map_terms(terms, ascii_fold)

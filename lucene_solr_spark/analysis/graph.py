@@ -198,8 +198,13 @@ def synonym_flat(
     return out
 
 
-_WDF_SPLIT_RE = re.compile(r"[a-zA-Z]+|[0-9]+")
-_WDF_MIXED_RE = re.compile(r"[a-zA-Z][0-9]|[0-9][a-zA-Z]")
+# Unicode-aware, like the reference's WordDelimiterIterator char types
+# (Character.isLetter/isDigit): [^\W\d_] is "any unicode letter or mark"
+# under Python re, \d any unicode decimal digit. '_' is SUBWORD_DELIM in
+# the reference's DEFAULT_WORD_DELIM_TABLE, so a token that carries one
+# (UAX#29 ExtendNumLet keeps it) is split too and the underscore dropped.
+_WDF_SPLIT_RE = re.compile(r"[^\W\d_]+|\d+")
+_WDF_MIXED_RE = re.compile(r"[^\W\d_]\d|\d[^\W\d_]|_")
 
 
 def word_delimiter_flat(
@@ -237,7 +242,12 @@ def word_delimiter_flat(
     nparts = np.zeros(len(cats), np.int64)
     for ci, ps in parts_by_cat.items():
         nparts[ci] = len(ps)
-    extra = np.where(mixed & generate_parts, nparts[codes] - 1, 0)
+    # a token that yields no parts at all (e.g. pure '_') vanishes but its
+    # position gap remains (the reference accumulates the skipped token's
+    # posIncrement onto the next emitted one) -> extra 0, never -1
+    extra = np.where(
+        mixed & generate_parts, np.maximum(nparts[codes] - 1, 0), 0
+    )
     cs = np.cumsum(extra)
     excl = cs - extra
     starts = np.flatnonzero(
@@ -259,7 +269,7 @@ def word_delimiter_flat(
             out_doc.append(np.full(len(parts), doc[i]))
             out_term.append(np.array(parts, dtype=object))
             out_pos.append(p0 + np.arange(len(parts)))
-        if catenate_all:
+        if catenate_all and parts:
             out_doc.append(doc[i: i + 1]); out_pos.append(base_pos[i: i + 1])
             out_term.append(np.array(["".join(parts)], dtype=object))
     od = np.concatenate(out_doc)

@@ -480,22 +480,8 @@ LIGHT_STOPWORDS = {
 
 
 def light_filter_terms(terms, lang: str):
-    """Light-stemmer analog of snowball_filter_terms: only the
-    Categorical dictionary is mapped; codes are remapped (stems may
-    conflate)."""
-    stem = LIGHT_STEMMERS[lang]
-    if isinstance(terms, pd.Categorical):
-        cats = terms.categories.to_numpy(dtype=object)
-        new = np.array([stem(t) for t in cats], dtype=object)
-        uniq, inv = np.unique(new, return_inverse=True)
-        codes = np.asarray(terms.codes)
-        return pd.Categorical.from_codes(
-            inv[codes] if len(codes) else np.zeros(0, np.int64),
-            categories=uniq,
-        )
-    arr = np.asarray(terms, dtype=object)
-    if len(arr) == 0:
-        return arr
-    uniq, inv = np.unique(arr, return_inverse=True)
-    stemmed = np.array([stem(t) for t in uniq], dtype=object)
-    return stemmed[inv]
+    """Light-stemmer analog of snowball_filter_terms: dictionary-only
+    map, codes remapped (stems may conflate) via stem.vocab_map_terms."""
+    from .stem import vocab_map_terms
+
+    return vocab_map_terms(terms, LIGHT_STEMMERS[lang])

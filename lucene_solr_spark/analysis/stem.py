@@ -178,17 +178,15 @@ def _strip_possessive(t: str) -> str:
     return t
 
 
-def english_filter_terms(terms):
-    """EnglishAnalyzer's tail filters over an analyzed term column:
-    possessive strip + Porter stem (EnglishAnalyzer.java chain: possessive
-    -> lowercase -> stop -> porter; lowercase+stop run upstream).
-    Categorical-aware — only the dictionary is transformed; stems can
-    collide (conflation IS the point) so codes are remapped."""
+def vocab_map_terms(terms, fn):
+    """Apply a term->term function vocabulary-vectorized: only the
+    Categorical dictionary (or the unique values of a plain array) is
+    transformed, and codes are remapped because the map can conflate
+    terms (stems/folds colliding IS the point). Shared by every
+    stemming/folding filter in the analyzer registry."""
     if isinstance(terms, pd.Categorical):
         cats = terms.categories.to_numpy(dtype=object)
-        new = np.array(
-            [porter_stem(_strip_possessive(t)) for t in cats], dtype=object
-        )
+        new = np.array([fn(t) for t in cats], dtype=object)
         uniq, inv = np.unique(new, return_inverse=True)
         codes = np.asarray(terms.codes)
         return pd.Categorical.from_codes(
@@ -199,10 +197,15 @@ def english_filter_terms(terms):
     if len(arr) == 0:
         return arr
     uniq, inv = np.unique(arr, return_inverse=True)
-    stemmed = np.array(
-        [porter_stem(_strip_possessive(t)) for t in uniq], dtype=object
-    )
-    return stemmed[inv]
+    mapped = np.array([fn(t) for t in uniq], dtype=object)
+    return mapped[inv]
+
+
+def english_filter_terms(terms):
+    """EnglishAnalyzer's tail filters over an analyzed term column:
+    possessive strip + Porter stem (EnglishAnalyzer.java chain: possessive
+    -> lowercase -> stop -> porter; lowercase+stop run upstream)."""
+    return vocab_map_terms(terms, lambda t: porter_stem(_strip_possessive(t)))
 
 
 def minimal_english_stem(word: str) -> str:
@@ -236,25 +239,7 @@ def minimal_english_stem(word: str) -> str:
 
 def english_minimal_filter_terms(terms):
     """Possessive strip + minimal plural stem over an analyzed term column
-    (vocabulary-vectorized, same shape as english_filter_terms)."""
-    if isinstance(terms, pd.Categorical):
-        cats = terms.categories.to_numpy(dtype=object)
-        new = np.array(
-            [minimal_english_stem(_strip_possessive(t)) for t in cats],
-            dtype=object,
-        )
-        uniq, inv = np.unique(new, return_inverse=True)
-        codes = np.asarray(terms.codes)
-        return pd.Categorical.from_codes(
-            inv[codes] if len(codes) else np.zeros(0, np.int64),
-            categories=uniq,
-        )
-    arr = np.asarray(terms, dtype=object)
-    if len(arr) == 0:
-        return arr
-    uniq, inv = np.unique(arr, return_inverse=True)
-    stemmed = np.array(
-        [minimal_english_stem(_strip_possessive(t)) for t in uniq],
-        dtype=object,
+    (vocabulary-vectorized via vocab_map_terms)."""
+    return vocab_map_terms(
+        terms, lambda t: minimal_english_stem(_strip_possessive(t))
     )
-    return stemmed[inv]

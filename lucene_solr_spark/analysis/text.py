@@ -39,6 +39,10 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
+# CJKAnalyzer's default set (analysis/cjk/stopwords.txt): the classic
+# English set plus the possessive fragments s/t and 'www'
+CJK_STOP_WORDS = ENGLISH_STOP_WORDS | frozenset({"s", "t", "www"})
+
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 
 # UAX#29 word: runs of word chars joined by the mid-token classes of the
@@ -169,7 +173,13 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
 # own HANGUL type in the reference's) are split out and bigrammed only
 # in this mode; mixed Hangul+Latin tokens stay word tokens (documented
 # divergence — the reference splits them).
-_HANGUL_CLASS = "ᄀ-ᇿ㄰-㆏가-힯"
+# Jamo, Compatibility Jamo, Jamo Extended-A/B, Syllables, halfwidth
+# forms — UAX#29 Hangul script members the reference's HANGUL_TYPE
+# covers (halfwidth Katakana was already in _KATAKANA_CLASS; halfwidth
+# Hangul U+FFA0-FFDC gets the same treatment)
+_HANGUL_CLASS = (
+    "ᄀ-ᇿ㄰-㆏ꥠ-꥿가-퟿ﾠ-ￜ"
+)
 _CJK_BIGRAM_SPLIT_RE = re.compile(
     f"([{_CJK_CLASS}{_HANGUL_CLASS}]+)"
 )
@@ -491,6 +501,8 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         # CommonGramsFilter replaces stop removal: common words stay as
         # unigrams AND seed the grams
         stopset = frozenset()
+    elif analyzer == "cjk":
+        stopset = CJK_STOP_WORDS
     else:
         stopset = ENGLISH_STOP_WORDS
 

@@ -2378,35 +2378,51 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("danish", "venligst", "ven"),
     ]
 
-    def _snowball2_stem(spark, sf):
-        import pandas as pd
+    def _make_stem_vector_gate(vectors):
+        """(lang, word, expected) vectors -> gate fn running each word
+        through its language's full analyzer chain. One harness serves
+        every per-language stemmer family."""
 
-        from ..analysis import tokenize_series
+        def gate(spark, sf):
+            import pandas as pd
 
-        pdf = pd.DataFrame(
-            {
-                "row_id": list(range(len(_SNOWBALL2_VECTORS))),
-                "lang": [v[0] for v in _SNOWBALL2_VECTORS],
-                "word": [v[1] for v in _SNOWBALL2_VECTORS],
-            }
+            from ..analysis import tokenize_series
+
+            pdf = pd.DataFrame(
+                {
+                    "row_id": list(range(len(vectors))),
+                    "lang": [v[0] for v in vectors],
+                    "word": [v[1] for v in vectors],
+                }
+            )
+            df = spark.createDataFrame(pdf)
+
+            def run(batches):
+                for b in batches:
+                    for lang in b["lang"].unique():
+                        sel = b[b["lang"] == lang]
+                        flat = tokenize_series(sel["word"], analyzer=lang)
+                        yield pd.DataFrame({
+                            "row_id": sel["row_id"].to_numpy()[
+                                flat["doc_idx"].to_numpy()
+                            ],
+                            "stem": flat["term"].astype(str),
+                        })
+
+            return df.repartition(1).mapInPandas(
+                run, "row_id long, stem string"
+            ).orderBy("row_id")
+
+        return gate
+
+    def _stem_vector_oracle(vectors):
+        return (
+            "SELECT CAST(row_id AS BIGINT) AS row_id, stem FROM (VALUES "
+            + ", ".join(f"({i}, '{v[2]}')" for i, v in enumerate(vectors))
+            + ") AS t(row_id, stem) ORDER BY row_id"
         )
-        df = spark.createDataFrame(pdf)
 
-        def run(batches):
-            for b in batches:
-                for lang in b["lang"].unique():
-                    sel = b[b["lang"] == lang]
-                    flat = tokenize_series(sel["word"], analyzer=lang)
-                    yield pd.DataFrame({
-                        "row_id": sel["row_id"].to_numpy()[
-                            flat["doc_idx"].to_numpy()
-                        ],
-                        "stem": flat["term"].astype(str),
-                    })
-
-        return df.repartition(1).mapInPandas(
-            run, "row_id long, stem string"
-        ).orderBy("row_id")
+    _snowball2_stem = _make_stem_vector_gate(_SNOWBALL2_VECTORS)
 
     # r4 light (non-Snowball) packs: real words through the full chain
     # (tokenize -> language stop -> normalize/stem); expected values
@@ -2428,56 +2444,30 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("greek", "ομορφότερος", "ομορφ"),
     ]
 
-    def _light_stem(spark, sf):
-        import pandas as pd
-
-        from ..analysis import tokenize_series
-
-        pdf = pd.DataFrame(
-            {
-                "row_id": list(range(len(_LIGHT_VECTORS))),
-                "lang": [v[0] for v in _LIGHT_VECTORS],
-                "word": [v[1] for v in _LIGHT_VECTORS],
-            }
-        )
-        df = spark.createDataFrame(pdf)
-
-        def run(batches):
-            for b in batches:
-                for lang in b["lang"].unique():
-                    sel = b[b["lang"] == lang]
-                    flat = tokenize_series(sel["word"], analyzer=lang)
-                    yield pd.DataFrame({
-                        "row_id": sel["row_id"].to_numpy()[
-                            flat["doc_idx"].to_numpy()
-                        ],
-                        "stem": flat["term"].astype(str),
-                    })
-
-        return df.repartition(1).mapInPandas(
-            run, "row_id long, stem string"
-        ).orderBy("row_id")
-
     R["light_stem_values"] = (
-        _light_stem,
-        "SELECT CAST(row_id AS BIGINT) AS row_id, stem FROM (VALUES "
-        + ", ".join(
-            f"({i}, '{v[2]}')" for i, v in enumerate(_LIGHT_VECTORS)
-        )
-        + ") AS t(row_id, stem) ORDER BY row_id",
+        _make_stem_vector_gate(_LIGHT_VECTORS),
+        _stem_vector_oracle(_LIGHT_VECTORS),
     )
 
-    # r4: CJK bigram + CommonGrams analyzers, token-level VALUES gates
+    # r4: CJK bigram + CommonGrams analyzers, token-level VALUES gates.
+    # Row 3 covers the CJKAnalyzer stop set ('www' dropped, position gap
+    # kept) and halfwidth-Hangul bigrams; row 4 the Unicode-aware
+    # WordDelimiter split (ü kept, '_' a subword delimiter).
     _CJKCG_DOCS = [
         ("cjk", "index 中文网 docs"),
         ("cjk", "テーブル 化"),
         ("common_grams", "the quick fox"),
+        ("cjk", "www ﾡﾢﾣ site"),
+        ("word_delimiter", "über1 wi_fi x100"),
     ]
     _CJKCG_EXPECT = [
         (0, 0, "index"), (0, 1, "中文"), (0, 2, "文网"), (0, 3, "docs"),
         (1, 0, "テー"), (1, 1, "ーブ"), (1, 2, "ブル"), (1, 3, "化"),
         (2, 0, "the"), (2, 0, "the_quick"), (2, 1, "quick"),
         (2, 2, "fox"),
+        (3, 1, "ﾡﾢ"), (3, 2, "ﾢﾣ"), (3, 3, "site"),
+        (4, 0, "über"), (4, 1, "1"), (4, 2, "wi"), (4, 3, "fi"),
+        (4, 4, "x"), (4, 5, "100"),
     ]
 
     def _cjk_cg_tokens(spark, sf):
@@ -2571,11 +2561,7 @@ FROM toks GROUP BY 1 ORDER BY term""",
 
     R["snowball2_stem_values"] = (
         _snowball2_stem,
-        "SELECT CAST(row_id AS BIGINT) AS row_id, stem FROM (VALUES "
-        + ", ".join(
-            f"({i}, '{v[2]}')" for i, v in enumerate(_SNOWBALL2_VECTORS)
-        )
-        + ") AS t(row_id, stem) ORDER BY row_id",
+        _stem_vector_oracle(_SNOWBALL2_VECTORS),
     )
 
     R["sstem_terms"] = (

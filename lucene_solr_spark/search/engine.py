@@ -748,40 +748,46 @@ def _phrase_freqs(clause, rows, cand_ids):
             # candidate docs at once (spans.sweep_windows_batch) — replaces
             # the per-candidate-doc Python loop; float64 accumulation order
             # matches the sequential kernel bit-for-bit
-            from .spans import SHIFT, sloppy_phrase_freqs_batch
+            from .spans import (SHIFT, PositionOverflow, check_positions,
+                                sloppy_phrase_freqs_batch)
 
             bias = max(offsets)
-            arrs = []
-            for rs, off in zip(slot_rows, offsets):
-                keys_parts = []
-                for r in rs:
-                    _, tfs = r.lookup(ids)
-                    m = tfs > 0
-                    sub = ids[m]
-                    if len(sub) == 0:
-                        continue
-                    counts, flat = r.positions_flat(sub)
-                    from .spans import check_positions
-
-                    check_positions(flat, bias)  # 2^21 block guard
-                    doc_of_pos = np.repeat(
-                        np.flatnonzero(m).astype(np.int64), counts
-                    )
-                    keys_parts.append(
-                        doc_of_pos * SHIFT + (flat - off + bias)
-                    )
-                if len(keys_parts) == 1:
-                    arrs.append(keys_parts[0])
-                elif keys_parts:
-                    arrs.append(np.unique(np.concatenate(keys_parts)))
-                else:
-                    arrs.append(np.zeros(0, np.int64))
-            docs_j, freqs = sloppy_phrase_freqs_batch(
-                arrs, clause.slop, len(ids)
-            )
-            return ids[docs_j], freqs
-        # repeated slots ("b b"~2): per-doc sequential kernel with repeat
-        # reconciliation (SloppyPhraseScorer.advanceRpts analog)
+            try:
+                arrs = []
+                for rs, off in zip(slot_rows, offsets):
+                    keys_parts = []
+                    for r in rs:
+                        _, tfs = r.lookup(ids)
+                        m = tfs > 0
+                        sub = ids[m]
+                        if len(sub) == 0:
+                            continue
+                        counts, flat = r.positions_flat(sub)
+                        check_positions(flat, bias)  # 2^21 block guard
+                        doc_of_pos = np.repeat(
+                            np.flatnonzero(m).astype(np.int64), counts
+                        )
+                        keys_parts.append(
+                            doc_of_pos * SHIFT + (flat - off + bias)
+                        )
+                    if len(keys_parts) == 1:
+                        arrs.append(keys_parts[0])
+                    elif keys_parts:
+                        arrs.append(np.unique(np.concatenate(keys_parts)))
+                    else:
+                        arrs.append(np.zeros(0, np.int64))
+                docs_j, freqs = sloppy_phrase_freqs_batch(
+                    arrs, clause.slop, len(ids)
+                )
+                return ids[docs_j], freqs
+            except PositionOverflow:
+                # legal index, but a very long phrase's offset bias would
+                # cross the 2^21 block edge: the sequential kernel below
+                # works in per-doc coordinates and has no such limit
+                pass
+        # repeated slots ("b b"~2) or block-edge bias overflow: per-doc
+        # sequential kernel with repeat reconciliation
+        # (SloppyPhraseScorer.advanceRpts analog)
         from .sloppy import sloppy_phrase_freq
 
         slot_pos = [_slot_positions(rs, ids) for rs in slot_rows]
@@ -1474,30 +1480,40 @@ class SparkSearcher:
         path = os.path.join(
             self.index_dir, f"suggest_grams_g{gen}_{min_gram}_{max_gram}"
         )
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            d = self._dictionary.groupBy("term").agg(
-                F.sum("ttf").alias("ttf")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return self.spark.read.parquet(path)
+        d = self._dictionary.groupBy("term").agg(
+            F.sum("ttf").alias("ttf")
+        )
+        gram_expr = F.expr(
+            f"""flatten(transform(sequence({min_gram}, {max_gram}), g ->
+                  CASE WHEN length(term) >= g THEN
+                    transform(sequence(1, length(term) - g + 1), s ->
+                      struct(substring(term, s, g) AS gram, s = 1 AS edge))
+                  ELSE array() END))"""
+        )
+        grams = (
+            d.select(F.explode(gram_expr).alias("x"), "term", "ttf")
+            .select(
+                F.col("x.gram").alias("gram"),
+                F.col("x.edge").alias("edge"), "term", "ttf",
             )
-            gram_expr = F.expr(
-                f"""flatten(transform(sequence({min_gram}, {max_gram}), g ->
-                      CASE WHEN length(term) >= g THEN
-                        transform(sequence(1, length(term) - g + 1), s ->
-                          struct(substring(term, s, g) AS gram, s = 1 AS edge))
-                      ELSE array() END))"""
-            )
+            .groupBy("gram", "term")
+            .agg(F.max("edge").alias("edge"), F.max("ttf").alias("ttf"))
+        )
+        try:
             (
-                d.select(F.explode(gram_expr).alias("x"), "term", "ttf")
-                .select(
-                    F.col("x.gram").alias("gram"),
-                    F.col("x.edge").alias("edge"), "term", "ttf",
-                )
-                .groupBy("gram", "term")
-                .agg(F.max("edge").alias("edge"), F.max("ttf").alias("ttf"))
+                grams
                 .repartitionByRange(len(self.seg_meta), "gram")
                 .sortWithinPartitions("gram", "term")
                 .write.mode("overwrite")
                 .parquet(path)
             )
+        except Exception:
+            # read-only index dir (snapshot/replica mount): serve the
+            # grams straight from the bounded dictionary, same as the
+            # reversed-terms sidecar degrades in _expand_regex
+            return grams
         return self.spark.read.parquet(path)
 
     def suggest_infix(

@@ -117,16 +117,24 @@ SHIFT = np.int64(1) << 21  # > max field length (SmallFloat table caps at 2M)
 MAX_POSITION = int(SHIFT) - 256
 
 
+class PositionOverflow(ValueError):
+    """A position (+ query-side bias) would cross its doc's 2^21 global-
+    coordinate block. Callers with a sequential per-doc kernel catch this
+    and fall back; only a truly illegal index (position > MAX_POSITION,
+    which the build guard rejects) surfaces it to the user."""
+
+
 def check_positions(flat: np.ndarray, bias: int = 0) -> None:
     """Guard a flat position array before it enters global (docid*SHIFT+pos)
     coordinates: every position + bias must stay inside one doc block.
-    Raises like IndexWriter does for position overflow instead of silently
-    corrupting the batched span/phrase kernels."""
+    Raises PositionOverflow instead of silently corrupting the batched
+    span/phrase kernels; a legal index can still trip this when a very
+    long sloppy phrase's offset bias pushes past the block edge, so the
+    sloppy path treats it as 'use the sequential kernel', not an error."""
     if len(flat) and int(flat.max()) + bias >= int(SHIFT):
-        raise ValueError(
+        raise PositionOverflow(
             f"position {int(flat.max())} + bias {bias} exceeds the "
-            f"2^21-token field limit (MAX_POSITION={MAX_POSITION}); "
-            "re-index with shorter documents"
+            f"2^21-token field limit (MAX_POSITION={MAX_POSITION})"
         )
 
 
@@ -626,8 +634,13 @@ def near_ordered_general_batch(
     a_gs, a_ge = subs[-1]
     if k == 1:
         return a_gs, a_ge, np.zeros(len(a_gs), np.int64)
-    assert slop < int(SHIFT) // 2, "slop must stay far below SHIFT"
+    # No slop ceiling needed (Lucene allows slop up to MAX_VALUE): the
+    # same-doc check on cur_start below rejects cross-doc chains on its
+    # own — docs occupy contiguous global ranges and an ordered chain's
+    # interior spans all lie between cur_start and the anchor, so start
+    # and anchor sharing a block implies the whole chain does.
     BIG = np.int64(1) << 60  # infeasible sentinel (no chain below)
+    slop = min(int(slop), int(BIG) - 1)  # keep the int64 compare exact
 
     def _prefix_min_eval(ss, es, val, chain):
         """Build g_j from clause-j candidates: returns (es_sorted,

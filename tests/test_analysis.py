@@ -99,6 +99,26 @@ def test_cjk_bigram_analyzer():
     assert list(f["term"].astype(str)) == ["中", "文"]
 
 
+def test_cjk_stopset_matches_reference():
+    """CJKAnalyzer's default stop set is the classic English set PLUS
+    s/t/www (analysis/cjk/stopwords.txt) — 'www' must not be indexed."""
+    f = tokenize_series(pd.Series(["www 中文 site s t the"]), analyzer="cjk")
+    terms = list(f["term"].astype(str))
+    assert terms == ["中文", "site"]
+    # the stop removals leave position gaps
+    assert list(f["pos"]) == [1, 2]
+
+
+def test_cjk_halfwidth_hangul_and_jamo_extended_bigram():
+    """Halfwidth Hangul (U+FFA0-FFDC) and Jamo Extended-A/B are HANGUL
+    script to the reference's CJKBigramFilter; they must bigram too and
+    divert off the Arrow word path."""
+    f = tokenize_series(pd.Series(["ﾡﾢﾣ"]), analyzer="cjk")
+    assert list(f["term"].astype(str)) == ["ﾡﾢ", "ﾢﾣ"]
+    f = tokenize_series(pd.Series(["ힱힲ"]), analyzer="cjk")  # Jamo Ext-B
+    assert list(f["term"].astype(str)) == ["ힱힲ"]
+
+
 def test_common_grams_analyzer():
     """CommonGramsFilter (commongrams/CommonGramsFilter.java:52): stop
     words stay as unigrams AND seed w1_w2 grams at the first word's

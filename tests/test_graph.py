@@ -164,6 +164,33 @@ class TestWordDelimiter:
             (1, "plain", 0), (1, "y", 1), (1, "2", 2),
         ]
 
+    def test_unicode_letters_kept(self):
+        # r4 review: the ASCII-only split dropped 'ü'/'é' from mixed
+        # tokens; WordDelimiterIterator uses Character.isLetter
+        f = _flat([(0, "über1", 0), (0, "café2", 1)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [
+            (0, "über", 0), (0, "1", 1), (0, "café", 2), (0, "2", 3),
+        ]
+
+    def test_underscore_is_delimiter(self):
+        # '_' survives UAX#29 (ExtendNumLet) but is SUBWORD_DELIM in the
+        # reference's DEFAULT_WORD_DELIM_TABLE
+        f = _flat([(0, "wi_fi", 0), (0, "next", 1)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [
+            (0, "wi", 0), (0, "fi", 1), (0, "next", 2),
+        ]
+
+    def test_all_delimiter_token_vanishes_but_keeps_gap(self):
+        # a token of only delimiters emits nothing; its position gap
+        # remains (accumulated posIncrement semantics)
+        f = _flat([(0, "a_1", 0), (0, "__", 1), (0, "b", 2)])
+        out = word_delimiter_flat(f)
+        assert _tuples(out) == [
+            (0, "a", 0), (0, "1", 1), (0, "b", 3),
+        ]
+
 
 class TestChainIntegration:
     def test_shingle_through_chain(self):

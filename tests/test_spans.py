@@ -531,6 +531,38 @@ def test_ordered_general_same_end_candidates_exact():
     assert list(zip(gs, ge, w)) == [(0, 6, 0)]
 
 
+def test_ordered_general_unbounded_slop():
+    """Slop up to Integer.MAX_VALUE is legal (Lucene never caps it); the
+    r4 SHIFT//2 assert is gone and cross-doc chains stay rejected by the
+    same-doc guard alone."""
+    from lucene_solr_spark.search import spans as SP
+
+    SH = int(SP.SHIFT)
+    subs = [
+        (np.array([0, SH], np.int64), np.array([1, SH + 1], np.int64)),
+        (np.array([10, SH + 10], np.int64),
+         np.array([11, SH + 11], np.int64)),
+    ]
+    gs, ge, w = SP.near_ordered_general_batch(subs, 2**31 - 1)
+    assert list(zip(gs, ge, w)) == [(0, 11, 9), (SH, SH + 11, 9)]
+
+
+def test_check_positions_typed_overflow():
+    """check_positions raises the dedicated PositionOverflow (a ValueError)
+    so the sloppy-phrase path can fall back to its sequential kernel when
+    a long phrase's offset bias would cross the 2^21 block edge."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.search import spans as SP
+
+    SP.check_positions(np.array([5], np.int64), 10)  # fine
+    with _pytest.raises(SP.PositionOverflow):
+        SP.check_positions(
+            np.array([SP.MAX_POSITION], np.int64), 512
+        )
+    assert issubclass(SP.PositionOverflow, ValueError)
+
+
 def test_ordered_general_matches_bruteforce_min_width():
     """Fuzz the exact prefix-min DP against brute-force enumeration of all
     chains: per anchor, minimal total width and a clause-0 start that
