@@ -1,4 +1,4 @@
-"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro (round 4).
+"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro/fi/hu (round 4).
 
 Implemented from M.F. Porter's PUBLISHED algorithm descriptions
 (snowballstem.org, one page per language). The first five were written
@@ -1344,6 +1344,349 @@ def romanian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Finnish (org/tartarus/snowball/ext/FinnishStemmer.java; the published
+# algorithm: particles/possessives/case endings in R1, comparatives in
+# R2, i/t-plural, then a tidy pass ending in consonant undoubling).
+# Grouping tables decoded from the generated program's bit vectors:
+# V1 = aeiouyäö, V2 = V1 minus y, AEI = aeiä, particle_end = V1+{n,t}.
+# Suffix-table nuances kept: no hun/hyn case endings in this Lucene
+# vintage, and den/seen/tten/siin carry VI/LONG match-time conditions
+# whose failure falls back to the bare 'n' entry (the among-tree parent),
+# while switch-time conditions (hXn, tta, a/ä after cv) fail outright.
+# All post-match context tests run with the R1 limit lifted (the
+# generated code restores limit_backward before the switch), so 'kse'->
+# 'ksi' etc. may look left of R1; tidy's four steps are the exception —
+# they stay limited to R1 through the final undouble, which is not.
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = frozenset("aeiouyäö")  # g_V1
+_FI_V2 = frozenset("aeiouäö")       # g_V2 (no y): the VI test's vowels
+_FI_AEI = frozenset("aeiä")         # g_AEI
+_FI_PARTICLE_END = _FI_VOWELS | {"n", "t"}
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_AN_PRE = ("lla", "na", "ssa", "ta", "lta", "sta")
+_FI_AEN_PRE = ("llä", "nä", "ssä", "tä", "ltä", "stä")
+_FI_CASE_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+                "hän": "ä", "hön": "ö"}
+_FI_CASE_PLAIN3 = frozenset((
+    "lla", "ssa", "lta", "sta", "lle", "ine", "ksi",
+    "llä", "ssä", "ltä", "stä",
+))
+# longest-first among order (a_6); within a length suffixes are disjoint
+_FI_CASE_ORDER = (
+    "seen", "siin", "tten",
+    "lla", "ssa", "lta", "sta", "tta", "lle", "ine", "ksi",
+    "han", "den", "hen", "hin", "hon", "hän", "hön",
+    "llä", "ssä", "ltä", "stä", "ttä",
+    "na", "ta", "nä", "tä",
+    "n", "a", "ä",
+)
+_FI_OTHER = (
+    "imma", "impa", "immi", "impi", "immä", "impä",
+    "eja", "ejä", "mma", "mpa", "mmi", "mpi", "mmä", "mpä",
+)
+_FI_OTHER_PO = frozenset(("mma", "mpa", "mmi", "mpi", "mmä", "mpä"))
+
+
+def _fi_strip_n(w: str) -> str:
+    """Case ending 'n': delete it, and one more char when the stem then
+    ends in a long vowel or 'ie' (case 7's try-block)."""
+    st = w[:-1]
+    if st[-2:] in _FI_LONG or st.endswith("ie"):
+        st = st[:-1]
+    return st
+
+
+def _fi_case_ending(w: str, r1: int) -> tuple[str, bool]:
+    """Step 3 (case endings) in R1; returns (word, ending_removed)."""
+    for s in _FI_CASE_ORDER:
+        n = len(w)
+        if not w.endswith(s) or n - len(s) < r1:
+            continue  # crossing R1: the among tries shorter suffixes
+        st = w[: n - len(s)]
+        if s in ("siin", "tten", "den"):
+            # VI: preceded by i preceded by a non-y vowel, else -> 'n'
+            if len(st) >= 2 and st[-1] == "i" and st[-2] in _FI_V2:
+                return st, True
+            return _fi_strip_n(w), True
+        if s == "seen":
+            # LONG: preceded by a doubled vowel, else -> 'n'
+            if st[-2:] in _FI_LONG:
+                return st, True
+            return _fi_strip_n(w), True
+        if s in ("tta", "ttä"):
+            return (st, True) if st.endswith("e") else (w, False)
+        if s in _FI_CASE_HXN:
+            ok = st.endswith(_FI_CASE_HXN[s])
+            return (st, True) if ok else (w, False)
+        if s == "n":
+            return _fi_strip_n(w), True
+        if s in ("a", "ä"):
+            # preceded by cv (consonant then vowel, left of the suffix)
+            ok = (len(st) >= 2 and st[-1] in _FI_VOWELS
+                  and st[-2] not in _FI_VOWELS)
+            return (st, True) if ok else (w, False)
+        return st, True  # plain 2/3-letter case endings
+    return w, False
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish over the region/suffix helpers above."""
+    w = word
+    r1, r2 = _std_regions(w, _FI_VOWELS)
+
+    # step 1: particles (R1; kin-family needs vowel/n/t before, sti R2)
+    for s in ("kaan", "kään", "kin", "han", "hän", "sti", "ko", "kö",
+              "pa", "pä"):
+        n = len(w)
+        if not w.endswith(s) or n - len(s) < r1:
+            continue
+        if s == "sti":
+            if n - 3 >= r2:
+                w = w[:-3]
+        else:
+            st = w[: n - len(s)]
+            if st and st[-1] in _FI_PARTICLE_END:
+                w = st
+        break
+
+    # step 2: possessives (R1)
+    for s in ("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en"):
+        n = len(w)
+        if not w.endswith(s) or n - len(s) < r1:
+            continue
+        st = w[: n - len(s)]
+        if s == "si":
+            if not st.endswith("k"):
+                w = st
+        elif s == "ni":
+            w = st[:-3] + "ksi" if st.endswith("kse") else st
+        elif s in ("nsa", "nsä", "mme", "nne"):
+            w = st
+        elif s == "an":
+            if st.endswith(_FI_AN_PRE):
+                w = st
+        elif s == "än":
+            if st.endswith(_FI_AEN_PRE):
+                w = st
+        else:  # en
+            if st.endswith(("lle", "ine")):
+                w = st
+        break
+
+    # step 3: case endings (R1)
+    w, removed = _fi_case_ending(w, r1)
+
+    # step 4: comparatives etc. (R2); mp*/mm* blocked after 'po'
+    for s in _FI_OTHER:
+        n = len(w)
+        if not w.endswith(s) or n - len(s) < r2:
+            continue
+        st = w[: n - len(s)]
+        if not (s in _FI_OTHER_PO and st.endswith("po")):
+            w = st
+        break
+
+    # step 5: i-plural after a removed case ending, else t-plural
+    if removed:
+        if w[-1:] in ("i", "j") and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        n = len(w)
+        if (w.endswith("t") and n - 2 >= r1 and w[-2] in _FI_VOWELS):
+            w = w[:-1]
+            for s in ("imma", "mma"):
+                n = len(w)
+                if not w.endswith(s) or n - len(s) < r2:
+                    continue
+                st = w[: n - len(s)]
+                if not (s == "mma" and st.endswith("po")):
+                    w = st
+                break
+
+    # step 6: tidy (each sub-step within R1)
+    if len(w) - 2 >= r1 and w[-2:] in _FI_LONG:
+        w = w[:-1]
+    if (len(w) - 2 >= r1 and w[-1] in _FI_AEI
+            and w[-2] not in _FI_VOWELS):
+        w = w[:-1]
+    if len(w) - 2 >= r1 and w[-1] == "j" and w[-2] in ("o", "u"):
+        w = w[:-1]
+    if len(w) - 2 >= r1 and w[-1] == "o" and w[-2] == "j":
+        w = w[:-1]
+    # undouble the rightmost consonant pair (whole word, no limit)
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and w[i - 1] == w[i]:
+        w = w[:i] + w[i + 1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (org/tartarus/snowball/ext/HungarianStemmer.java): R1 with
+# digraph awareness (cs/dzs/gy/ly/ny/sz/ty/zs count as one consonant when
+# the word starts with a vowel), then nine independent suffix passes:
+# instrumental (-val/-vel assimilated: double consonant + al/el, with
+# undoubling), general case endings + final á/é normalization, special
+# and -stul/-stül cases, factive -vá/-vé (assimilated), owned/owner
+# suffix families, and plurals. Every pass matches the longest suffix
+# FIRST and only then checks R1 — a longest match outside R1 fails the
+# whole pass (no shorter-suffix fallback; unlike Finnish these amongs
+# run unlimited). Vintage fidelity kept: the grouping table uses õ/û
+# (U+00F5/U+00FB), NOT the modern ő/ű, so ő is a consonant here exactly
+# as in the reference's table.
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = frozenset("aeiouáéíóöõúüû")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = _bylen((
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+    "rr", "ss", "tt", "vv", "zz", "ccs", "zzs", "ggy", "lly", "nny",
+    "tty", "ssz",
+))
+_HU_CASE = _bylen((
+    "képpen", "anként", "enként", "onként", "képp", "ként",
+    "nak", "nek", "val", "vel", "nál", "nél", "ból", "ról", "tól",
+    "bõl", "rõl", "tõl", "ban", "ben", "kor", "hez", "hoz", "höz",
+    "ért",
+    "ba", "ra", "be", "re", "ig", "ul", "ül", "an", "en", "on", "ön",
+    "at", "et", "ot", "öt", "vá", "vé",
+    "n", "t",
+))
+_HU_OWNED_A = frozenset(("áéi", "áké"))
+_HU_OWNED_E = frozenset(("ééi", "éké", "éé"))
+_HU_OWNED = _bylen((
+    "áéi", "ééi", "aké", "eké", "oké", "áké", "éké", "öké",
+    "éi", "ké", "éé", "é",
+))
+_HU_SING_A = frozenset(("ánk", "ájuk", "ám", "ád", "á"))
+_HU_SING_E = frozenset(("énk", "éjük", "ém", "éd", "é"))
+_HU_SING = _bylen((
+    "ájuk", "éjük",
+    "unk", "ánk", "énk", "ünk", "juk", "jük",
+    "ja", "ad", "ed", "od", "ád", "éd", "öd", "je", "nk", "uk", "ük",
+    "am", "em", "om", "ám", "ém",
+    "a", "d", "e", "m", "o", "á", "é",
+))
+_HU_PLUR_A = frozenset(("áim", "áid", "ái", "áink", "áitok", "áik"))
+_HU_PLUR_E = frozenset(("éim", "éid", "éi", "éink", "éitek", "éik"))
+_HU_PLUR = _bylen((
+    "jaitok", "jeitek",
+    "jaink", "jeink", "aitok", "áitok", "eitek", "éitek",
+    "jaim", "jeim", "jaid", "jeid", "itek", "jaik", "jeik", "aink",
+    "eink", "áink", "éink",
+    "áim", "éim", "aim", "eim", "áid", "éid", "aid", "eid", "jai",
+    "jei", "áik", "éik", "aik", "eik", "ink",
+    "im", "id", "ái", "éi", "ai", "ei", "ik",
+    "i",
+))
+_HU_PLURAL = _bylen(("ák", "ék", "ak", "ek", "ok", "ök", "k"))
+
+
+def _hu_r1(w: str) -> int:
+    """Hungarian R1: vowel-initial words break after the first consonant
+    (a digraph counts whole); consonant-initial words after the first
+    vowel; no break -> R1 empty (offset = len)."""
+    if not w:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < len(w) and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= len(w):
+            return len(w)
+        for d in _HU_DIGRAPHS:
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 1
+    while i < len(w) and w[i] not in _HU_VOWELS:
+        i += 1
+    return min(i + 1, len(w))
+
+
+def hungarian_stem(word: str) -> str:
+    """Snowball Hungarian over the tables above."""
+    w = word
+    r1 = _hu_r1(w)
+
+    def in_r1(s: str) -> bool:
+        return len(w) - len(s) >= r1
+
+    def undouble(x: str) -> str:
+        return x[:-2] + x[-1]
+
+    # instrumental: double + al/el -> delete + undouble
+    s = _longest(w, ("al", "el"))
+    if s and in_r1(s):
+        st = w[: len(w) - 2]
+        if _longest(st, _HU_DOUBLES):
+            w = undouble(st)
+
+    # general case endings, then final á/é -> a/e
+    s = _longest(w, _HU_CASE)
+    if s and in_r1(s):
+        w = w[: len(w) - len(s)]
+        if w.endswith("á") and len(w) - 1 >= r1:
+            w = w[:-1] + "a"
+        elif w.endswith("é") and len(w) - 1 >= r1:
+            w = w[:-1] + "e"
+
+    # special cases: én -> e, án/ánként -> a
+    s = _longest(w, ("ánként", "án", "én"))
+    if s and in_r1(s):
+        w = w[: len(w) - len(s)] + ("e" if s == "én" else "a")
+
+    # -stul/-stül family
+    s = _longest(w, ("astul", "ástul", "estül", "éstül", "stul", "stül"))
+    if s and in_r1(s):
+        st = w[: len(w) - len(s)]
+        if s == "ástul":
+            w = st + "a"
+        elif s == "éstül":
+            w = st + "e"
+        else:
+            w = st
+
+    # factive á/é after a double consonant -> delete + undouble
+    s = _longest(w, ("á", "é"))
+    if s and in_r1(s):
+        st = w[:-1]
+        if _longest(st, _HU_DOUBLES):
+            w = undouble(st)
+
+    # owned (-é/-éi families)
+    s = _longest(w, _HU_OWNED)
+    if s and in_r1(s):
+        st = w[: len(w) - len(s)]
+        w = st + ("a" if s in _HU_OWNED_A
+                  else "e" if s in _HU_OWNED_E else "")
+
+    # singular owner
+    s = _longest(w, _HU_SING)
+    if s and in_r1(s):
+        st = w[: len(w) - len(s)]
+        w = st + ("a" if s in _HU_SING_A
+                  else "e" if s in _HU_SING_E else "")
+
+    # plural owner
+    s = _longest(w, _HU_PLUR)
+    if s and in_r1(s):
+        st = w[: len(w) - len(s)]
+        w = st + ("a" if s in _HU_PLUR_A
+                  else "e" if s in _HU_PLUR_E else "")
+
+    # plural
+    s = _longest(w, _HU_PLURAL)
+    if s and in_r1(s):
+        st = w[: len(w) - len(s)]
+        w = st + ("a" if s == "ák" else "e" if s == "ék" else "")
+
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -1359,6 +1702,8 @@ SNOWBALL_STEMMERS = {
     "norwegian": norwegian_stem,
     "danish": danish_stem,
     "romanian": romanian_stem,
+    "finnish": finnish_stem,
+    "hungarian": hungarian_stem,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -1435,26 +1780,27 @@ SNOWBALL_STOPWORDS = {
         efter ned skulle denne end dette mit også under have dig anden
         hende mine alt meget sit sine vor mod disse hvis din nogle""".split()
     ),
+    "finnish": frozenset(
+        """ja on ei se että hän joka oli en mutta niin kuin myös mitä
+        tämä minä sinä me te he ne jos nyt vain sitten kun siis eli tai
+        sekä koska vaan mukaan jälkeen ennen yli noin kanssa ovat olla
+        olen olet olemme ole olivat sen sitä tässä tästä tähän missä
+        mistä mihin kuka mikä miksi miten siellä täällä jo ihan""".split()
+    ),
+    "hungarian": frozenset(
+        """a az és van nem hogy egy ez azt is de mint már csak meg volt
+        lesz ha mi ki mert még el fel le be ott itt én te õ õk ezek
+        azok ilyen olyan minden vagy pedig sem lehet kell voltak nincs
+        úgy így arra erre abban ebben annak ennek után elõtt között
+        által nélkül ellen felé alatt fölött majd tehát illetve""".split()
+    ),
 }
 
 
 def snowball_filter_terms(terms, lang: str):
     """SnowballFilter analog over an analyzed term column — vocabulary-
-    vectorized like stem.english_filter_terms: only the Categorical
-    dictionary is stemmed; codes are remapped (stems may conflate)."""
-    stem = SNOWBALL_STEMMERS[lang]
-    if isinstance(terms, pd.Categorical):
-        cats = terms.categories.to_numpy(dtype=object)
-        new = np.array([stem(t) for t in cats], dtype=object)
-        uniq, inv = np.unique(new, return_inverse=True)
-        codes = np.asarray(terms.codes)
-        return pd.Categorical.from_codes(
-            inv[codes] if len(codes) else np.zeros(0, np.int64),
-            categories=uniq,
-        )
-    arr = np.asarray(terms, dtype=object)
-    if len(arr) == 0:
-        return arr
-    uniq, inv = np.unique(arr, return_inverse=True)
-    stemmed = np.array([stem(t) for t in uniq], dtype=object)
-    return stemmed[inv]
+    vectorized: only the dictionary is stemmed, codes remapped (stems may
+    conflate); the shared transform lives in stem.vocab_map_terms."""
+    from .stem import vocab_map_terms
+
+    return vocab_map_terms(terms, SNOWBALL_STEMMERS[lang])

@@ -441,7 +441,8 @@ def _tokenize_urlemail(texts: pd.Series,
 #              ShingleFilter word-bigrams with '_' fillers, index-time
 #              SolrSynonymParser rules, WordDelimiterFilter
 #              letter<->digit splits
-SNOWBALL_ANALYZERS = ("german", "french", "spanish", "portuguese",
+SNOWBALL_ANALYZERS = ("finnish", "hungarian",
+                      "german", "french", "spanish", "portuguese",
                       "russian", "italian", "dutch", "swedish",
                       "norwegian", "danish", "romanian")
 #   url_email — UAX29URLEmailTokenizer subset: URLs (http/https/ftp/file

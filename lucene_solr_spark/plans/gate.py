@@ -2449,6 +2449,26 @@ FROM toks GROUP BY 1 ORDER BY term""",
         _stem_vector_oracle(_LIGHT_VECTORS),
     )
 
+    # round-4 Snowball batch 3 (fi/hu): full chain, expected stems
+    # hand-traced from the published algorithms + the reference tables
+    _SNOWBALL3_VECTORS = [
+        ("finnish", "taloissa", "talo"),
+        ("finnish", "edeltäjistään", "edeltäj"),
+        ("finnish", "sanoiksi", "sano"),
+        ("finnish", "suurimmat", "suurim"),
+        ("finnish", "kirjat", "kirj"),
+        ("hungarian", "asztalokat", "asztal"),
+        ("hungarian", "kutyák", "kutya"),
+        ("hungarian", "tollal", "tol"),
+        ("hungarian", "vizekben", "viz"),
+        ("hungarian", "gyerekeknek", "gyerek"),
+    ]
+
+    R["snowball3_stem_values"] = (
+        _make_stem_vector_gate(_SNOWBALL3_VECTORS),
+        _stem_vector_oracle(_SNOWBALL3_VECTORS),
+    )
+
     # r4: CJK bigram + CommonGrams analyzers, token-level VALUES gates.
     # Row 3 covers the CJKAnalyzer stop set ('www' dropped, position gap
     # kept) and halfwidth-Hangul bigrams; row 4 the Unicode-aware
@@ -2933,6 +2953,7 @@ _PRIORITY = [
     "it_stem_topk", "nl_stem_topk", "sv_stem_topk", "no_stem_topk",
     "da_stem_topk", "snowball2_stem_values", "url_email_tokens",
     "light_stem_values", "ro_stem_topk", "cjk_commongrams_tokens",
+    "snowball3_stem_values",
     "shingle_terms_df", "synonym_index_topk", "synonym_query_topk",
     "wdf_values", "suggest_infix", "wildcard_leading_docs",
     # then the round-4 window rotation (VERDICT r3 item 4): the entries

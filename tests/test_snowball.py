@@ -11,8 +11,10 @@ from lucene_solr_spark.analysis.snowball import (
     SNOWBALL_STOPWORDS,
     danish_stem,
     dutch_stem,
+    finnish_stem,
     french_stem,
     german_stem,
+    hungarian_stem,
     italian_stem,
     norwegian_stem,
     portuguese_stem,
@@ -106,6 +108,30 @@ ROMANIAN = [
     ("importante", "import"),     # a_3 'ante' in R2
     ("naţiunea", "naţiun"),       # step0 'ea' -> e, vowel tidy
 ]
+FINNISH = [
+    ("taloissa", "talo"),          # case 'ssa' + i-plural
+    ("taloihin", "talo"),          # case 'hin' preceded by i, i-plural
+    ("edeltäjistään", "edeltäj"),  # possessive 'än' + case 'stä' + i
+    ("sanoiksi", "sano"),          # case 'ksi' + i-plural
+    ("kirjat", "kirj"),            # t-plural + tidy AEI-after-consonant
+    ("suurimmat", "suurim"),       # t-plural + tidy undouble mm
+    ("nopeammin", "nopeam"),       # case 'n' + i-plural + undouble
+    ("kirjoja", "kirj"),           # tidy cascade: AEI, oj, jo
+    ("puiden", "puide"),           # 'den' crosses R1 -> bare 'n' strip
+    ("edeltäjistä", "edeltäj"),    # case 'stä' + i-plural
+]
+HUNGARIAN = [
+    ("asztalokat", "asztal"),      # sz digraph R1; case 'at' + plural 'ok'
+    ("kutyák", "kutya"),           # plural 'ák' -> a
+    ("tollal", "tol"),             # instrumental: double ll + al, undouble
+    ("vizekben", "viz"),           # case 'ben' + plural 'ek'
+    ("házakat", "ház"),            # case 'at' + plural 'ak'
+    ("házé", "ház"),               # owned 'é'
+    ("emberek", "ember"),          # plural 'ek'
+    ("könyvet", "könyv"),          # case 'et'
+    ("gyerekeknek", "gyerek"),     # case 'nek' + plural 'ek'
+    ("házaimban", "ház"),          # case 'ban' + plural-owner 'aim'
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
@@ -122,6 +148,7 @@ RUSSIAN = [
     (italian_stem, ITALIAN), (dutch_stem, DUTCH), (swedish_stem, SWEDISH),
     (norwegian_stem, NORWEGIAN), (danish_stem, DANISH),
     (romanian_stem, ROMANIAN),
+    (finnish_stem, FINNISH), (hungarian_stem, HUNGARIAN),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
@@ -196,13 +223,15 @@ def test_injective_over_corpus_vocab():
     # (the *_stem_topk gate's query-side check); Italian keeps final s,
     # Dutch only strips s after a non-vowel, so those use other forms
     conflator = {"italian": "mergi", "dutch": "mergen",
-                 "romanian": "mergi"}
+                 "romanian": "mergi", "hungarian": "mergek"}
     for lang, stem in SNOWBALL_STEMMERS.items():
         kept = [t for t in vocab if t not in SNOWBALL_STOPWORDS[lang]
                 and t != "merges"]
         stems = [stem(t) for t in kept]
         assert len(set(stems)) == len(stems), lang
-        if lang != "russian":
+        # Russian is Cyrillic-only; Finnish strips no bare final 'e'
+        # (its gate is VALUES-based, not stem_topk) — skip conflation
+        if lang not in ("russian", "finnish"):
             q = conflator.get(lang, "merges")
             assert stem(q) == stem("merge") == "merg", lang
 
