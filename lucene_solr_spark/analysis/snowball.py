@@ -1,4 +1,4 @@
-"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro/fi/hu (round 4).
+"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro/fi/hu/ca (r4).
 
 Implemented from M.F. Porter's PUBLISHED algorithm descriptions
 (snowballstem.org, one page per language). The first five were written
@@ -1687,6 +1687,152 @@ def hungarian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Catalan (org/tartarus/snowball/ext/CatalanStemmer.java): standard
+# R1/R2; attached-pronoun strip, then standard suffixes OR verb
+# suffixes (verbs only when the standard pass applied nothing), a
+# residual single-vowel/s pass, and a forward "cleaning" pass that
+# folds every accented vowel to its base and the middle dot to '.'.
+# Suffix tables machine-extracted from the generated program's Among
+# lists (data only); the control flow is original Python over this
+# module's helpers. Each among matches the LONGEST suffix and only
+# then checks its region -- a region miss fails the pass with no
+# shorter-suffix fallback.
+# ---------------------------------------------------------------------------
+
+_CA_VOWELS = frozenset("aeiouàáèéíïòóúü")
+_CA_PRONOUNS = _bylen((
+    'la', '-la', 'sela', 'le', 'me', '-me', 'se', '-te', 'hi', "'hi", 'li',
+    '-li', "'l", "'m", '-m', "'n", '-n', 'ho', "'ho", 'lo', 'selo', "'s",
+    'las', 'selas', 'les', '-les', "'ls", '-ls', "'ns", '-ns', 'ens',
+    'los', 'selos', 'nos', '-nos', 'vos', 'us', '-us', "'t",
+))
+_CA_STD_R2_DEL = frozenset(('ada', 'ades', 'acions'))
+_CA_STD_LOG = frozenset(('lógica', 'logia', 'logía', 'logi', 'lógics', 'logies', 'lógiques', 'logíes', 'logis'))
+_CA_STD_IC = frozenset(('ica', 'ic', 'ics', 'iques'))
+_CA_STD_C = frozenset(('quíssima', 'quíssim', 'quíssimes', 'quíssims'))
+_CA_STD = _bylen((
+    'ica', 'lógica', 'enca', 'ada', 'ancia', 'encia', 'ència', 'ícia',
+    'logia', 'inia', 'íinia', 'eria', 'ària', 'atòria', 'alla', 'ella',
+    'ívola', 'ima', 'íssima', 'quíssima', 'ana', 'ina', 'era', 'sfera',
+    'ora', 'dora', 'adora', 'adura', 'esa', 'osa', 'assa', 'essa', 'issa',
+    'eta', 'ita', 'ota', 'ista', 'ialista', 'ionista', 'iva', 'ativa',
+    'nça', 'logía', 'ic', 'ístic', 'enc', 'esc', 'ud', 'atge', 'ble',
+    'able', 'ible', 'isme', 'ialisme', 'ionisme', 'ivisme', 'aire', 'icte',
+    'iste', 'ici', 'íci', 'logi', 'ari', 'tori', 'al', 'il', 'all', 'ell',
+    'ívol', 'isam', 'issem', 'ìssem', 'íssem', 'íssim', 'quíssim', 'amen',
+    'ìssin', 'ar', 'ificar', 'egar', 'ejar', 'itar', 'itzar', 'fer', 'or',
+    'dor', 'dur', 'doras', 'ics', 'lógics', 'uds', 'nces', 'ades',
+    'ancies', 'encies', 'ències', 'ícies', 'logies', 'inies', 'ínies',
+    'eries', 'àries', 'atòries', 'bles', 'ables', 'ibles', 'imes',
+    'íssimes', 'quíssimes', 'formes', 'ismes', 'ialismes', 'ines', 'eres',
+    'ores', 'dores', 'idores', 'dures', 'eses', 'oses', 'asses', 'ictes',
+    'ites', 'otes', 'istes', 'ialistes', 'ionistes', 'iques', 'lógiques',
+    'ives', 'atives', 'logíes', 'allengües', 'icis', 'ícis', 'logis',
+    'aris', 'toris', 'ls', 'als', 'ells', 'ims', 'íssims', 'quíssims',
+    'ions', 'cions', 'acions', 'esos', 'osos', 'assos', 'issos', 'ers',
+    'ors', 'dors', 'adors', 'idors', 'ats', 'itats', 'bilitats', 'ivitats',
+    'ativitats', 'ïtats', 'ets', 'ants', 'ents', 'ments', 'aments', 'ots',
+    'uts', 'ius', 'trius', 'atius', 'ès', 'és', 'ís', 'dís', 'ós', 'itat',
+    'bilitat', 'ivitat', 'ativitat', 'ïtat', 'et', 'ant', 'ent', 'ient',
+    'ment', 'ament', 'isament', 'ot', 'isseu', 'ìsseu', 'ísseu', 'triu',
+    'íssiu', 'atiu', 'ó', 'ió', 'ció', 'ació',
+))
+_CA_VERB = _bylen((
+    'aba', 'esca', 'isca', 'ïsca', 'ada', 'ida', 'uda', 'ïda', 'ia',
+    'aria', 'iria', 'ara', 'iera', 'ira', 'adora', 'ïra', 'ava', 'ixa',
+    'itza', 'ía', 'aría', 'ería', 'iría', 'ïa', 'isc', 'ïsc', 'ad', 'ed',
+    'id', 'ie', 're', 'dre', 'ase', 'iese', 'aste', 'iste', 'ii', 'ini',
+    'esqui', 'eixi', 'itzi', 'am', 'em', 'arem', 'irem', 'àrem', 'írem',
+    'àssem', 'éssem', 'iguem', 'ïguem', 'avem', 'àvem', 'ávem', 'irìem',
+    'íem', 'aríem', 'iríem', 'assim', 'essim', 'issim', 'àssim', 'èssim',
+    'éssim', 'íssim', 'ïm', 'an', 'aban', 'arian', 'aran', 'ieran', 'iran',
+    'ían', 'arían', 'erían', 'irían', 'en', 'ien', 'arien', 'irien',
+    'aren', 'eren', 'iren', 'àren', 'ïren', 'asen', 'iesen', 'assen',
+    'essen', 'issen', 'éssen', 'ïssen', 'esquen', 'isquen', 'ïsquen',
+    'aven', 'ixen', 'eixen', 'ïxen', 'ïen', 'in', 'inin', 'sin', 'isin',
+    'assin', 'essin', 'issin', 'ïssin', 'esquin', 'eixin', 'aron', 'ieron',
+    'arán', 'erán', 'irán', 'iïn', 'ado', 'ido', 'ando', 'iendo', 'io',
+    'ixo', 'eixo', 'ïxo', 'itzo', 'ar', 'tzar', 'er', 'eixer', 'ir',
+    'ador', 'as', 'abas', 'adas', 'idas', 'aras', 'ieras', 'ías', 'arías',
+    'erías', 'irías', 'ids', 'es', 'ades', 'ides', 'udes', 'ïdes', 'atges',
+    'ies', 'aries', 'iries', 'ares', 'ires', 'adores', 'ïres', 'ases',
+    'ieses', 'asses', 'esses', 'isses', 'ïsses', 'ques', 'esques',
+    'ïsques', 'aves', 'ixes', 'eixes', 'ïxes', 'ïes', 'abais', 'arais',
+    'ierais', 'íais', 'aríais', 'eríais', 'iríais', 'aseis', 'ieseis',
+    'asteis', 'isteis', 'inis', 'sis', 'isis', 'assis', 'essis', 'issis',
+    'ïssis', 'esquis', 'eixis', 'itzis', 'áis', 'aréis', 'eréis', 'iréis',
+    'ams', 'ados', 'idos', 'amos', 'ábamos', 'áramos', 'iéramos', 'íamos',
+    'aríamos', 'eríamos', 'iríamos', 'aremos', 'eremos', 'iremos',
+    'ásemos', 'iésemos', 'imos', 'adors', 'ass', 'erass', 'ess', 'ats',
+    'its', 'ents', 'às', 'aràs', 'iràs', 'arás', 'erás', 'irás', 'és',
+    'arés', 'ís', 'iïs', 'at', 'it', 'ant', 'ent', 'int', 'ut', 'ït', 'au',
+    'erau', 'ieu', 'ineu', 'areu', 'ireu', 'àreu', 'íreu', 'asseu',
+    'esseu', 'eresseu', 'àsseu', 'ésseu', 'igueu', 'ïgueu', 'àveu', 'áveu',
+    'itzeu', 'ìeu', 'irìeu', 'íeu', 'aríeu', 'iríeu', 'assiu', 'issiu',
+    'àssiu', 'èssiu', 'éssiu', 'íssiu', 'ïu', 'ix', 'eix', 'ïx', 'itz',
+    'ià', 'arà', 'irà', 'itzà', 'ará', 'erá', 'irá', 'irè', 'aré', 'eré',
+    'iré', 'í', 'iï', 'ió',
+))
+_CA_RESID = _bylen((
+    'a', 'e', 'i', 'ïn', 'o', 'ir', 's', 'is', 'os', 'ïs', 'it', 'eu',
+    'iu', 'iqu', 'itz', 'à', 'á', 'é', 'ì', 'í', 'ï', 'ó',
+))
+_CA_CLEAN = str.maketrans(
+    {"à": "a", "á": "a", "è": "e", "é": "e", "ì": "i", "í": "i",
+     "ï": "i", "ò": "o", "ó": "o", "ú": "u", "ü": "u", "·": "."}
+)
+
+
+def catalan_stem(word: str) -> str:
+    """Snowball Catalan over the tables above."""
+    w = word
+    r1, r2 = _std_regions(w, _CA_VOWELS)
+
+    # attached pronoun (R1)
+    s = _longest(w, _CA_PRONOUNS)
+    if s and len(w) - len(s) >= r1:
+        w = w[: len(w) - len(s)]
+
+    # standard suffixes; verbs only when nothing standard applied
+    applied = False
+    s = _longest(w, _CA_STD)
+    if s:
+        p = len(w) - len(s)
+        if s in _CA_STD_R2_DEL:
+            if p >= r2:
+                w, applied = w[:p], True
+        elif s in _CA_STD_LOG:
+            if p >= r2:
+                w, applied = w[:p] + "log", True
+        elif s in _CA_STD_IC:
+            if p >= r2:
+                w, applied = w[:p] + "ic", True
+        elif s in _CA_STD_C:
+            if p >= r1:
+                w, applied = w[:p] + "c", True
+        elif p >= r1:
+            w, applied = w[:p], True
+    if not applied:
+        s = _longest(w, _CA_VERB)
+        if s:
+            p = len(w) - len(s)
+            if s == "ando":
+                if p >= r2:
+                    w = w[:p]
+            elif p >= r1:
+                w = w[:p]
+
+    # residual suffix (R1); iqu -> ic
+    s = _longest(w, _CA_RESID)
+    if s and len(w) - len(s) >= r1:
+        p = len(w) - len(s)
+        w = (w[:p] + "ic") if s == "iqu" else w[:p]
+
+    # cleaning: unaccent everywhere + middle dot -> '.'
+    return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -1704,6 +1850,7 @@ SNOWBALL_STEMMERS = {
     "romanian": romanian_stem,
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
+    "catalan": catalan_stem,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -1793,6 +1940,13 @@ SNOWBALL_STOPWORDS = {
         azok ilyen olyan minden vagy pedig sem lehet kell voltak nincs
         úgy így arra erre abban ebben annak ennek után elõtt között
         által nélkül ellen felé alatt fölött majd tehát illetve""".split()
+    ),
+    "catalan": frozenset(
+        """el la els les un una uns unes i o però no és són era de del
+        al a en amb per sense sobre entre jo tu ell ella nosaltres ells
+        que qui com quan on seu seva seus seves meu meva es lo li ens
+        em et si ja molt més aquest aquesta això allò hi ho també
+        només fins des cap tot tots com a què perquè doncs""".split()
     ),
 }
 

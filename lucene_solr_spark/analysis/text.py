@@ -441,7 +441,7 @@ def _tokenize_urlemail(texts: pd.Series,
 #              ShingleFilter word-bigrams with '_' fillers, index-time
 #              SolrSynonymParser rules, WordDelimiterFilter
 #              letter<->digit splits
-SNOWBALL_ANALYZERS = ("finnish", "hungarian",
+SNOWBALL_ANALYZERS = ("finnish", "hungarian", "catalan",
                       "german", "french", "spanish", "portuguese",
                       "russian", "italian", "dutch", "swedish",
                       "norwegian", "danish", "romanian")

@@ -2462,6 +2462,10 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("hungarian", "tollal", "tol"),
         ("hungarian", "vizekben", "viz"),
         ("hungarian", "gyerekeknek", "gyerek"),
+        ("catalan", "nacionals", "nacion"),
+        ("catalan", "tecnològiques", "tecnologic"),
+        ("catalan", "arribaven", "arrib"),
+        ("catalan", "portada", "port"),
     ]
 
     R["snowball3_stem_values"] = (

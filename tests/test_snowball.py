@@ -9,6 +9,7 @@ import pytest
 from lucene_solr_spark.analysis.snowball import (
     SNOWBALL_STEMMERS,
     SNOWBALL_STOPWORDS,
+    catalan_stem,
     danish_stem,
     dutch_stem,
     finnish_stem,
@@ -132,6 +133,18 @@ HUNGARIAN = [
     ("gyerekeknek", "gyerek"),     # case 'nek' + plural 'ek'
     ("házaimban", "ház"),          # case 'ban' + plural-owner 'aim'
 ]
+CATALAN = [
+    ("nacionals", "nacion"),       # standard 'als' in R1
+    ("portada", "port"),           # standard 'ada' in R2
+    ("tecnològiques", "tecnologic"),  # 'iques' -> ic (R2) + cleaning
+    ("lògica", "logic"),           # 'ica' misses R2 -> residual 'a'
+    ("arribaven", "arrib"),        # verb 'aven' in R1
+    ("cantàvem", "cant"),          # verb 'àvem' in R1
+    ("vermella", "vermel"),        # attached pronoun 'la' strips first
+    ("fàcilment", "facil"),        # 'ment' in R1 + cleaning
+    ("construïm", "constru"),      # verb 'ïm'
+    ("importància", "importanc"),  # 'ancia'... è-form + cleaning
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
@@ -149,6 +162,7 @@ RUSSIAN = [
     (norwegian_stem, NORWEGIAN), (danish_stem, DANISH),
     (romanian_stem, ROMANIAN),
     (finnish_stem, FINNISH), (hungarian_stem, HUNGARIAN),
+    (catalan_stem, CATALAN),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
