@@ -1,4 +1,4 @@
-"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro/fi/hu/ca (r4).
+"""Snowball stemmers: de/fr/es/pt/ru + it/nl/sv/no/da/ro/fi/hu/ca/tr (r4).
 
 Implemented from M.F. Porter's PUBLISHED algorithm descriptions
 (snowballstem.org, one page per language). The first five were written
@@ -1833,6 +1833,603 @@ def catalan_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Turkish (org/tartarus/snowball/ext/TurkishStemmer.java): an
+# agglutinative suffix-chain machine rather than a region stemmer.
+# Words need >= 2 vowels to stem at all. First the nominal-verb chain,
+# then (unless it hit the -lAr early stop) the noun chain — both walk
+# suffix "marks" leftward and slice; slices are PERMANENT even when an
+# enclosing snowball 'try' later fails (only the cursor restores), and
+# the recursive ki-chain can therefore delete a mid-word segment while
+# a trailing '...ndaki' survives. Every vowel-bearing suffix checks
+# vowel harmony against the preceding vowels, and the y/n/s buffer
+# consonants (and the U vowel of possessives) are consumed only in
+# their exact phonological contexts (mark_suffix_with_optional_*).
+# Postlude: 'ad'/'soyad' are reserved; stems ending d/g get the
+# harmony-matching high vowel appended; a final b/c/d/ğ is devoiced to
+# p/ç/t/k. The analyzer chain also carries TurkishLowerCaseFilter's
+# dotted/dotless i and the ApostropheFilter (both wired in text.py /
+# the registry entry below).
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")  # high vowels (g_U)
+# per-vowel harmony class: the LAST vowel before the suffix must find
+# one of these earlier in the word (check_vowel_harmony)
+_TR_HARMONY = {"a": "aouı", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+_TR_YDU = (
+    "dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+    "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım",
+    "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın",
+    "di", "ti", "du", "tu", "dü", "tü", "dı", "tı",
+)
+
+
+def _tr_harmony(w: str, p: int) -> bool:
+    i = p - 1
+    while i >= 0 and w[i] not in _TR_VOWELS:
+        i -= 1
+    if i < 0:
+        return False
+    allowed = _TR_HARMONY[w[i]]
+    for j in range(i - 1, -1, -1):
+        if w[j] in allowed:
+            return True
+    return False
+
+
+def _tr_suf(w: str, p: int, sufs) -> int | None:
+    """Longest suffix of w[:p] from ``sufs`` (pre-ordered longest first);
+    returns the start offset of the match."""
+    for s in sufs:
+        q = p - len(s)
+        if q >= 0 and w.startswith(s, q):
+            return q
+    return None
+
+
+def _tr_opt_cons(w: str, p: int, ch: str) -> int | None:
+    """mark_suffix_with_optional_<ch>_consonant at cursor p: consume the
+    buffer consonant when vowel-attached, pass when absent, fail when
+    present but not vowel-attached."""
+    if p >= 1 and w[p - 1] == ch:
+        if p >= 2 and w[p - 2] in _TR_VOWELS:
+            return p - 1
+        return None
+    if p >= 2 and w[p - 2] in _TR_VOWELS:
+        return p
+    return None
+
+
+def _tr_opt_U(w: str, p: int) -> int | None:
+    """mark_suffix_with_optional_U_vowel: consume a high vowel attached
+    to a consonant, pass when the previous char is already a consonant."""
+    if p >= 1 and w[p - 1] in _TR_U:
+        if p >= 2 and w[p - 2] not in _TR_VOWELS:
+            return p - 1
+        return None
+    if p >= 2 and w[p - 2] not in _TR_VOWELS:
+        return p
+    return None
+
+
+def _tm_poss(w, p):
+    q = _tr_suf(w, p, ("miz", "niz", "muz", "nuz", "müz", "nüz",
+                       "mız", "nız", "m", "n"))
+    return None if q is None else _tr_opt_U(w, q)
+
+
+def _tm_sU(w, p):
+    if not _tr_harmony(w, p) or p < 1 or w[p - 1] not in _TR_U:
+        return None
+    return _tr_opt_cons(w, p - 1, "s")
+
+
+def _tm_lArI(w, p):
+    return _tr_suf(w, p, ("leri", "ları"))
+
+
+def _tm_yU(w, p):
+    if not _tr_harmony(w, p) or p < 1 or w[p - 1] not in _TR_U:
+        return None
+    return _tr_opt_cons(w, p - 1, "y")
+
+
+def _tm_nU(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("ni", "nu", "nü", "nı"))
+
+
+def _tm_nUn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("in", "un", "ün", "ın"))
+    return None if q is None else _tr_opt_cons(w, q, "n")
+
+
+def _tm_yA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("a", "e"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_nA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("na", "ne"))
+
+
+def _tm_DA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("da", "ta", "de", "te"))
+
+
+def _tm_ndA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("nda", "nde"))
+
+
+def _tm_DAn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("dan", "tan", "den", "ten"))
+
+
+def _tm_ndAn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("ndan", "nden"))
+
+
+def _tm_ylA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("la", "le"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_ki(w, p):
+    return p - 2 if p >= 2 and w[p - 2:p] == "ki" else None
+
+
+def _tm_ncA(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("ca", "ce"))
+    return None if q is None else _tr_opt_cons(w, q, "n")
+
+
+def _tm_yUm(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("im", "um", "üm", "ım"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_sUn(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("sin", "sun", "sün", "sın"))
+
+
+def _tm_yUz(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("iz", "uz", "üz", "ız"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_sUnUz(w, p):
+    return _tr_suf(w, p, ("siniz", "sunuz", "sünüz", "sınız"))
+
+
+def _tm_lAr(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("lar", "ler"))
+
+
+def _tm_nUz(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("niz", "nuz", "nüz", "nız"))
+
+
+def _tm_DUr(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    return _tr_suf(w, p, ("dir", "tir", "dur", "tur",
+                          "dür", "tür", "dır", "tır"))
+
+
+def _tm_cAsInA(w, p):
+    return _tr_suf(w, p, ("casına", "cesine"))
+
+
+def _tm_yDU(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, _TR_YDU)
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_ysA(w, p):
+    q = _tr_suf(w, p, ("sak", "sek", "sam", "sem", "san", "sen",
+                       "sa", "se"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_ymUs(w, p):
+    if not _tr_harmony(w, p):
+        return None
+    q = _tr_suf(w, p, ("miş", "muş", "müş", "mış"))
+    return None if q is None else _tr_opt_cons(w, q, "y")
+
+
+def _tm_yken(w, p):
+    if p >= 3 and w[p - 3:p] == "ken":
+        return _tr_opt_cons(w, p - 3, "y")
+    return None
+
+
+def _tr_nominal_verb(w: str):
+    """stem_nominal_verb_suffixes: returns (word, continue_flag) or None
+    when no alternative applied."""
+    n = len(w)
+    # A: ymUş / yDU / ysA / yken
+    for m in (_tm_ymUs, _tm_yDU, _tm_ysA, _tm_yken):
+        q = m(w, n)
+        if q is not None:
+            return w[:q], True
+    # B: cAsInA (sUnUz|lAr|yUm|sUn|yUz)? ymUş
+    q = _tm_cAsInA(w, n)
+    if q is not None:
+        mid = q
+        for m in (_tm_sUnUz, _tm_lAr, _tm_yUm, _tm_sUn, _tm_yUz):
+            r = m(w, q)
+            if r is not None:
+                mid = r
+                break
+        q2 = _tm_ymUs(w, mid)
+        if q2 is not None:
+            return w[:q2], True
+    # C: lAr [DUr|yDU|ysA|ymUş] -> stop noun stemming
+    q = _tm_lAr(w, n)
+    if q is not None:
+        w2 = w[:q]
+        for m in (_tm_DUr, _tm_yDU, _tm_ysA, _tm_ymUs):
+            r = m(w2, len(w2))
+            if r is not None:
+                w2 = w2[:r]
+                break
+        return w2, False
+    # D: nUz (yDU|ysA)
+    q = _tm_nUz(w, n)
+    if q is not None:
+        for m in (_tm_yDU, _tm_ysA):
+            r = m(w, q)
+            if r is not None:
+                return w[:r], True
+    # E: (sUnUz|yUz|sUn|yUm) [ymUş]
+    for m in (_tm_sUnUz, _tm_yUz, _tm_sUn, _tm_yUm):
+        q = m(w, n)
+        if q is not None:
+            w2 = w[:q]
+            r = _tm_ymUs(w2, len(w2))
+            return (w2[:r] if r is not None else w2), True
+    # F: DUr [(sUnUz|lAr|yUm|sUn|yUz)? ymUş]
+    q = _tm_DUr(w, n)
+    if q is not None:
+        w2 = w[:q]
+        mid = len(w2)
+        for m in (_tm_sUnUz, _tm_lAr, _tm_yUm, _tm_sUn, _tm_yUz):
+            r = m(w2, mid)
+            if r is not None:
+                mid = r
+                break
+        r = _tm_ymUs(w2, mid)
+        return (w2[:r] if r is not None else w2), True
+    return None
+
+
+def _tr_chain_ki(w: str, c: int):
+    """stem_suffix_chain_before_ki at cursor c: slices delete
+    w[bra:c] keeping any tail w[c:] — the recursive third arm really
+    does remove a mid-word segment while '...ndaki' survives. Returns
+    (word, cursor) or None (None => word unchanged)."""
+    q = _tm_ki(w, c)
+    if q is None:
+        return None
+    r = _tm_DA(w, q)
+    if r is not None:
+        w = w[:r] + w[c:]
+        c = r
+        rr = _tm_lAr(w, c)
+        if rr is not None:
+            w = w[:rr] + w[c:]
+            c = rr
+            res = _tr_chain_ki(w, c)
+            return res if res is not None else (w, c)
+        rr = _tm_poss(w, c)
+        if rr is not None:
+            w = w[:rr] + w[c:]
+            c = rr
+            rr2 = _tm_lAr(w, c)
+            if rr2 is not None:
+                w = w[:rr2] + w[c:]
+                c = rr2
+                res = _tr_chain_ki(w, c)
+                if res is not None:
+                    return res
+        return w, c
+    r = _tm_nUn(w, q)
+    if r is not None:
+        w = w[:r] + w[c:]
+        c = r
+        rr = _tm_lArI(w, c)
+        if rr is not None:
+            return w[:rr] + w[c:], rr
+        rr = _tm_poss(w, c)
+        if rr is None:
+            rr = _tm_sU(w, c)
+        if rr is not None:
+            w = w[:rr] + w[c:]
+            c = rr
+            rr2 = _tm_lAr(w, c)
+            if rr2 is not None:
+                w = w[:rr2] + w[c:]
+                c = rr2
+                res = _tr_chain_ki(w, c)
+                if res is not None:
+                    return res
+            return w, c
+        res = _tr_chain_ki(w, c)
+        return res if res is not None else (w, c)
+    r = _tm_ndA(w, q)
+    if r is not None:
+        rr = _tm_lArI(w, r)
+        if rr is not None:
+            return w[:rr] + w[c:], rr
+        rr = _tm_sU(w, r)
+        if rr is not None:
+            w = w[:rr] + w[c:]
+            c = rr
+            rr2 = _tm_lAr(w, c)
+            if rr2 is not None:
+                w = w[:rr2] + w[c:]
+                c = rr2
+                res = _tr_chain_ki(w, c)
+                if res is not None:
+                    return res
+            return w, c
+        return _tr_chain_ki(w, r)
+    return None
+
+
+def _tr_ki(w: str):
+    """chain_ki anchored at the end; plain-word convenience."""
+    res = _tr_chain_ki(w, len(w))
+    return res[0] if res is not None else None
+
+
+def _tr_noun_suffixes(w: str):
+    """stem_noun_suffixes: returns the new word or None."""
+    n = len(w)
+    # 1: lAr [ki-chain]
+    q = _tm_lAr(w, n)
+    if q is not None:
+        w = w[:q]
+        res = _tr_ki(w)
+        return res if res is not None else w
+    # 2: ncA [lArI | (poss|sU)[lAr ki-chain] | lAr ki-chain]
+    q = _tm_ncA(w, n)
+    if q is not None:
+        w = w[:q]
+        r = _tm_lArI(w, len(w))
+        if r is not None:
+            return w[:r]
+        rr = _tm_poss(w, len(w))
+        if rr is None:
+            rr = _tm_sU(w, len(w))
+        if rr is not None:
+            w = w[:rr]
+            r2 = _tm_lAr(w, len(w))
+            if r2 is not None:
+                w2 = w[:r2]
+                res = _tr_ki(w2)
+                return res if res is not None else w2
+            return w
+        r2 = _tm_lAr(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            res = _tr_ki(w)
+            if res is not None:
+                w = res
+        return w
+    # 3: (ndA|nA) (lArI | sU[lAr ki-chain] | ki-chain)
+    q = _tm_ndA(w, n)
+    if q is None:
+        q = _tm_nA(w, n)
+    if q is not None:
+        r = _tm_lArI(w, q)
+        if r is not None:
+            return w[:r]
+        r = _tm_sU(w, q)
+        if r is not None:
+            w2 = w[:r]
+            r2 = _tm_lAr(w2, len(w2))
+            if r2 is not None:
+                w3 = w2[:r2]
+                res = _tr_ki(w3)
+                return res if res is not None else w3
+            return w2
+        res = _tr_chain_ki(w, q)
+        if res is not None:
+            return res[0]
+    # 4: (ndAn|nU) (sU[lAr ki-chain] | lArI)
+    q = _tm_ndAn(w, n)
+    if q is None:
+        q = _tm_nU(w, n)
+    if q is not None:
+        r = _tm_sU(w, q)
+        if r is not None:
+            w2 = w[:r]
+            r2 = _tm_lAr(w2, len(w2))
+            if r2 is not None:
+                w3 = w2[:r2]
+                res = _tr_ki(w3)
+                return res if res is not None else w3
+            return w2
+        r = _tm_lArI(w, q)
+        if r is not None:
+            return w[:r]
+    # 5: DAn [poss[lAr ki-chain] | lAr[ki-chain] | ki-chain]
+    q = _tm_DAn(w, n)
+    if q is not None:
+        w = w[:q]
+        r = _tm_poss(w, len(w))
+        if r is not None:
+            w = w[:r]
+            r2 = _tm_lAr(w, len(w))
+            if r2 is not None:
+                w2 = w[:r2]
+                res = _tr_ki(w2)
+                return res if res is not None else w2
+            return w
+        r = _tm_lAr(w, len(w))
+        if r is not None:
+            w = w[:r]
+            res = _tr_ki(w)
+            return res if res is not None else w
+        res = _tr_ki(w)
+        return res if res is not None else w
+    # 6: (nUn|ylA) [lAr ki-chain(required, slice stands) |
+    #              (poss|sU)[lAr ki-chain] | ki-chain]
+    q = _tm_nUn(w, n)
+    if q is None:
+        q = _tm_ylA(w, n)
+    if q is not None:
+        w = w[:q]
+        r = _tm_lAr(w, len(w))
+        if r is not None:
+            w = w[:r]
+            res = _tr_ki(w)
+            if res is not None:
+                return res
+            # ki-chain failed: the lAr slice stands, next arm continues
+        r = _tm_poss(w, len(w))
+        if r is None:
+            r = _tm_sU(w, len(w))
+        if r is not None:
+            w = w[:r]
+            r2 = _tm_lAr(w, len(w))
+            if r2 is not None:
+                w2 = w[:r2]
+                res = _tr_ki(w2)
+                return res if res is not None else w2
+            return w
+        res = _tr_ki(w)
+        return res if res is not None else w
+    # 7: lArI
+    q = _tm_lArI(w, n)
+    if q is not None:
+        return w[:q]
+    # 8: bare ki-chain
+    res = _tr_ki(w)
+    if res is not None:
+        return res
+    # 9: (DA|yU|yA) [poss[lAr]|lAr, then ki-chain(required)]
+    q = _tm_DA(w, n)
+    if q is None:
+        q = _tm_yU(w, n)
+    if q is None:
+        q = _tm_yA(w, n)
+    if q is not None:
+        w = w[:q]
+        r = _tm_poss(w, len(w))
+        if r is not None:
+            w = w[:r]
+            r2 = _tm_lAr(w, len(w))
+            if r2 is not None:
+                w = w[:r2]
+            res = _tr_ki(w)
+            if res is not None:
+                w = res
+            return w
+        r2 = _tm_lAr(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            res = _tr_ki(w)
+            if res is not None:
+                w = res
+        return w
+    # 10: (poss|sU) [lAr ki-chain]
+    q = _tm_poss(w, n)
+    if q is None:
+        q = _tm_sU(w, n)
+    if q is None:
+        return None
+    w = w[:q]
+    r = _tm_lAr(w, len(w))
+    if r is not None:
+        w = w[:r]
+        res = _tr_ki(w)
+        if res is not None:
+            w = res
+    return w
+
+
+_TR_APPEND_U = {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+                "o": "u", "u": "u", "ö": "ü", "ü": "ü"}
+_TR_DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+def turkish_stem(word: str) -> str:
+    """Snowball Turkish over the suffix-chain machinery above."""
+    w = word
+    if sum(ch in _TR_VOWELS for ch in w) < 2:
+        return w  # more_than_one_syllable_word gate
+    res = _tr_nominal_verb(w)
+    cont = True
+    if res is not None:
+        w, cont = res
+    if not cont:
+        return w  # -lAr verb reading: skip noun suffixes AND postlude
+    res = _tr_noun_suffixes(w)
+    if res is not None:
+        w = res
+    # postlude
+    if w in ("ad", "soyad"):  # is_reserved_word
+        return w
+    # append the harmony vowel to stems ending d/g
+    if w.endswith(("d", "g")):
+        i = len(w) - 1
+        while i >= 0 and w[i] not in _TR_VOWELS:
+            i -= 1
+        if i >= 0:
+            w = w + _TR_APPEND_U[w[i]]
+    # devoice a final b/c/d/ğ
+    if w and w[-1] in _TR_DEVOICE:
+        w = w[:-1] + _TR_DEVOICE[w[-1]]
+    return w
+
+
+def turkish_term_filter(term: str) -> str:
+    """TurkishAnalyzer term chain tail: ApostropheFilter (truncate at
+    ' or U+2019 — tr/ApostropheFilter.java:53) then the Snowball stem.
+    The dotted/dotless-i lowercasing runs upstream in tokenize_series."""
+    for i, ch in enumerate(term):
+        if ch == "'" or ch == "’":
+            term = term[:i]
+            break
+    return turkish_stem(term)
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -1851,6 +2448,8 @@ SNOWBALL_STEMMERS = {
     "finnish": finnish_stem,
     "hungarian": hungarian_stem,
     "catalan": catalan_stem,
+    # apostrophe strip + stem, matching TurkishAnalyzer's filter order
+    "turkish": turkish_term_filter,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -1947,6 +2546,13 @@ SNOWBALL_STOPWORDS = {
         que qui com quan on seu seva seus seves meu meva es lo li ens
         em et si ja molt més aquest aquesta això allò hi ho també
         només fins des cap tot tots com a què perquè doncs""".split()
+    ),
+    "turkish": frozenset(
+        """acaba ama ancak aslında az bazı belki biri birkaç birşey biz
+        bu çok çünkü da daha de defa değil diye eğer en gibi hem hep
+        hepsi her hiç için ile ise kez ki kim mı mu mü nasıl ne neden
+        nerde nerede nereye niçin niye o sanki şey siz şu tüm ve veya
+        ya yani ben sen onlar bir iki üç bunun onun şunun""".split()
     ),
 }
 

@@ -441,7 +441,7 @@ def _tokenize_urlemail(texts: pd.Series,
 #              ShingleFilter word-bigrams with '_' fillers, index-time
 #              SolrSynonymParser rules, WordDelimiterFilter
 #              letter<->digit splits
-SNOWBALL_ANALYZERS = ("finnish", "hungarian", "catalan",
+SNOWBALL_ANALYZERS = ("finnish", "hungarian", "catalan", "turkish",
                       "german", "french", "spanish", "portuguese",
                       "russian", "italian", "dutch", "swedish",
                       "norwegian", "danish", "romanian")
@@ -506,6 +506,17 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         stopset = CJK_STOP_WORDS
     else:
         stopset = ENGLISH_STOP_WORDS
+
+    if analyzer == "turkish":
+        # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java): map
+        # İ->i and I->ı BEFORE the generic lowercase, so İ never becomes
+        # "i + combining dot" and capital I never becomes dotted i
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pc.replace_substring(texts, "İ", "i")
+            texts = pc.replace_substring(texts, "I", "ı")
+        else:
+            texts = texts.str.replace("İ", "i", regex=False).str.replace(
+                "I", "ı", regex=False)
 
     # the slow per-doc path serves CJK docs (per-char/run expansion) and,
     # for the url_email tokenizer, docs that may contain URL/email tokens

@@ -2466,6 +2466,10 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("catalan", "tecnològiques", "tecnologic"),
         ("catalan", "arribaven", "arrib"),
         ("catalan", "portada", "port"),
+        ("turkish", "kitaplar", "kitap"),
+        ("turkish", "evlerinde", "ev"),
+        ("turkish", "güzelliğin", "güzellik"),
+        ("turkish", "okuldan", "okul"),
     ]
 
     R["snowball3_stem_values"] = (

@@ -24,6 +24,8 @@ from lucene_solr_spark.analysis.snowball import (
     snowball_filter_terms,
     spanish_stem,
     swedish_stem,
+    turkish_stem,
+    turkish_term_filter,
 )
 from lucene_solr_spark.analysis import tokenize_series
 
@@ -145,6 +147,18 @@ CATALAN = [
     ("construïm", "constru"),      # verb 'ïm'
     ("importància", "importanc"),  # 'ancia'... è-form + cleaning
 ]
+TURKISH = [
+    ("kitaplar", "kitap"),       # -lAr verb branch (early stop, no postlude)
+    ("kitabı", "kitap"),         # yU strip + final-b devoice
+    ("evlerinde", "ev"),         # nde chain
+    ("okuldan", "okul"),         # DAn
+    ("çocukları", "çocuk"),      # lArI
+    ("güzelliğin", "güzellik"),  # nUn + final-ğ devoice
+    ("evimizdeki", "ev"),        # possessive + ki-chain
+    ("gözlerimden", "göz"),      # DAn + possessive + lAr
+    ("arabalar", "araba"),
+    ("ev", "ev"),                # < 2 vowels: unchanged
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
@@ -162,7 +176,7 @@ RUSSIAN = [
     (norwegian_stem, NORWEGIAN), (danish_stem, DANISH),
     (romanian_stem, ROMANIAN),
     (finnish_stem, FINNISH), (hungarian_stem, HUNGARIAN),
-    (catalan_stem, CATALAN),
+    (catalan_stem, CATALAN), (turkish_stem, TURKISH),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
@@ -243,11 +257,24 @@ def test_injective_over_corpus_vocab():
                 and t != "merges"]
         stems = [stem(t) for t in kept]
         assert len(set(stems)) == len(stems), lang
-        # Russian is Cyrillic-only; Finnish strips no bare final 'e'
-        # (its gate is VALUES-based, not stem_topk) — skip conflation
-        if lang not in ("russian", "finnish"):
+        # Russian is Cyrillic-only; Finnish and Turkish strip no bare
+        # final 'e'/'es' (their gates are VALUES-based, not stem_topk)
+        if lang not in ("russian", "finnish", "turkish"):
             q = conflator.get(lang, "merges")
             assert stem(q) == stem("merge") == "merg", lang
+
+
+def test_turkish_apostrophe_and_dotless_i():
+    # ApostropheFilter truncates at ' or U+2019 before stemming
+    assert turkish_term_filter("türkiye'nin") == "türki"
+    assert turkish_term_filter("ankara’dan") == "ankar"
+    # TurkishLowerCaseFilter runs upstream in tokenize_series: İ->i, I->ı
+    f = tokenize_series(pd.Series(["İstanbul KITAP okuldan"]),
+                        analyzer="turkish")
+    terms = list(f["term"].astype(str))
+    assert terms[0].startswith("i")          # İ -> i, not i+combining dot
+    assert "kıtap" in terms                  # I -> ı under Turkish casing
+    assert "okul" in terms                   # chain reaches the stemmer
 
 
 def test_german_marking_u_y_between_vowels():
