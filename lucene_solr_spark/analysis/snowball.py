@@ -179,11 +179,11 @@ _FR_2B_IONS = ("ions",)
 _FR_2B_E = ("é", "ée", "ées", "és", "èrent", "er", "era", "erai",
             "eraIent", "erais", "erait", "eras", "erez", "eriez",
             "erions", "erons", "eront", "ez", "iez")
-_FR_2B_A = ("â", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+_FR_2B_A = ("âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
             "ante", "antes", "ants", "as", "asse", "assent", "asses",
             "assiez", "assions")
 _FR_STEP2B = _bylen(_FR_2B_IONS, _FR_2B_E, _FR_2B_A)
-_FR_STEP4 = _bylen(("ion",), ("ier", "ière", "Ier", "Ière"), ("e",))
+_FR_STEP4 = _bylen(("ion",), ("ier", "ière", "Ier", "Ière"), ("e", "ë"))
 
 
 def french_stem(word: str) -> str:
@@ -320,33 +320,33 @@ def french_stem(word: str) -> str:
         altered = w != before
 
     # ---- step 2a: verb suffixes beginning i ----
+    # (steps 2a/2b/4 run under "setlimit tomark pV": a suffix crossing
+    # RV cannot match and SHORTER candidates are tried — _longest_in)
     if not altered or found_ment:
-        s = _longest(w, _FR_STEP2A)
+        s = _longest_in(w, _FR_STEP2A, rv)
         done2a = False
         if s:
             p = len(w) - len(s)
-            if (p >= rv and p > 0 and not _v(w[p - 1]) and w[p - 1] != "H"
+            if (p > 0 and not _v(w[p - 1]) and w[p - 1] != "H"
                     and p - 1 >= rv):
                 w = w[:p]
                 done2a = True
         altered = done2a
         # ---- step 2b: other verb suffixes ----
         if not done2a:
-            s = _longest(w, _FR_STEP2B)
+            s = _longest_in(w, _FR_STEP2B, rv)
             if s:
                 p = len(w) - len(s)
                 before = w
                 if s == "ions":
-                    if p >= rv and p >= r2:
+                    if p >= r2:
                         w = w[:p]
                 elif s in _FR_2B_E:
-                    if p >= rv:
-                        w = w[:p]
+                    w = w[:p]
                 else:  # a-group
-                    if p >= rv:
-                        w = w[:p]
-                        if w.endswith("e") and len(w) - 1 >= rv:
-                            w = w[:-1]
+                    w = w[:p]
+                    if w.endswith("e") and len(w) - 1 >= rv:
+                        w = w[:-1]
                 altered = w != before
 
     if altered:
@@ -360,19 +360,21 @@ def french_stem(word: str) -> str:
         if (w.endswith("s") and len(w) >= 2
                 and w[-2] not in ("a", "i", "o", "u", "è", "s")):
             w = w[:-1]
-        s = _longest(w, _FR_STEP4)
+        s = _longest_in(w, _FR_STEP4, rv)
         if s:
             p = len(w) - len(s)
             if s == "ion":
-                if (p >= rv and p >= r2 and p > 0 and w[p - 1] in "st"
+                if (p >= r2 and p > 0 and w[p - 1] in "st"
                         and p - 1 >= rv):
                     w = w[:p]
-            elif s == "e":
-                if p >= rv:
+            elif s == "ë":
+                # guë: delete the ë when preceded by gu inside RV
+                if p >= 2 and w[p - 2:p] == "gu" and p - 2 >= rv:
                     w = w[:p]
+            elif s == "e":
+                w = w[:p]
             else:  # ier, ière, Ier, Ière
-                if p >= rv:
-                    w = w[:p] + "i"
+                w = w[:p] + "i"
 
     # ---- step 5: undouble ----
     if w.endswith(("enn", "onn", "ett", "ell", "eill")):
@@ -539,23 +541,25 @@ def spanish_stem(word: str) -> str:
         changed1 = w != before
 
     # ---- step 2a: verb suffixes beginning y (if step 1 removed nothing)
+    # Both verb amongs run under "setlimit tomark pV" in the reference:
+    # a suffix crossing RV cannot match and SHORTER candidates are tried
+    # (_longest_in), unlike the standard step's match-then-check.
     if not changed1:
         done2a = False
-        s = _longest(w, _ES_STEP2A)
+        s = _longest_in(w, _ES_STEP2A, rv)
         if s:
             p = len(w) - len(s)
-            if p >= rv and p > 0 and w[p - 1] == "u":
+            if p > 0 and w[p - 1] == "u":  # the u may precede RV
                 w = w[:p]
                 done2a = True
         # ---- step 2b: other verb suffixes ----
         if not done2a:
-            s = _longest(w, _ES_STEP2B)
+            s = _longest_in(w, _ES_STEP2B, rv)
             if s:
                 p = len(w) - len(s)
-                if p >= rv:
-                    w = w[:p]
-                    if s in _ES_2B_GU and w.endswith("gu"):
-                        w = w[:-1]
+                w = w[:p]
+                if s in _ES_2B_GU and w.endswith("gu"):
+                    w = w[:-1]
 
     # ---- step 3: residual suffix ----
     s = _longest(w, _ES_STEP3)
@@ -585,13 +589,17 @@ _PT_G_A = ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
            "ante", "antes", "ância")
 _PT_STEP1 = _bylen(
     _PT_G_A,
-    ("logia", "logias"), ("uça~o", "uço~es"), ("ência", "ências"),
+    # this vintage lists the Spanish-looking forms logía/ución in
+    # the Portuguese table (PortugueseStemmer.java a_5), not
+    # logia/ução — keep them verbatim for parity
+    ("logía", "logías"), ("ución", "uciones"), ("ência", "ências"),
     ("amente",), ("mente",), ("idade", "idades"),
     ("iva", "ivo", "ivas", "ivos"), ("ira", "iras"),
 )
 _PT_STEP2 = _bylen((
     "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
-    "era", "irá", "ava", "asse", "esse", "isse", "aste", "este",
+    "era", "irá", "ira", "iras", "ava", "asse", "esse", "isse",
+    "aste", "este",
     "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
     "eriam", "iriam", "aram", "eram", "iram", "avam", "em", "arem",
     "erem", "irem", "assem", "essem", "issem", "ado", "ido", "ando",
@@ -625,10 +633,10 @@ def portuguese_stem(word: str) -> str:
         if s in _PT_G_A:
             if p >= r2:
                 w = w[:p]
-        elif s in ("logia", "logias"):
+        elif s in ("logía", "logías"):
             if p >= r2:
                 w = w[:p] + "log"
-        elif s in ("uça~o", "uço~es"):
+        elif s in ("ución", "uciones"):
             if p >= r2:
                 w = w[:p] + "u"
         elif s in ("ência", "ências"):
@@ -672,12 +680,12 @@ def portuguese_stem(word: str) -> str:
 
     changed2 = False
     if not changed1:
-        s = _longest(w, _PT_STEP2)
+        # verb among runs under "setlimit tomark pV": suffixes crossing
+        # RV cannot match and shorter candidates are tried
+        s = _longest_in(w, _PT_STEP2, rv)
         if s:
-            p = len(w) - len(s)
-            if p >= rv:
-                w = w[:p]
-                changed2 = True
+            w = w[: len(w) - len(s)]
+            changed2 = True
 
     if changed1 or changed2:
         # step 3: delete i if in RV and preceded by c
@@ -739,8 +747,10 @@ _RU_DERIV = _bylen(("ост", "ость"))
 def russian_stem(word: str) -> str:
     """Snowball Russian: everything after the first vowel (RV) runs
     through perfective-gerund / reflexive / adjectival / verb / noun
-    stripping, then и, derivational (R2) and tidying steps."""
-    w = word.replace("ё", "е")
+    stripping, then и, derivational (R2) and tidying steps. NOTE: this
+    Lucene vintage does NOT fold ё->е (the grouping table omits ё and
+    RussianAnalyzer applies no prefilter), so neither do we."""
+    w = word
     n = len(w)
     rv = n
     for i in range(n):
@@ -1068,9 +1078,10 @@ def italian_stem(word: str) -> str:
         w = w[:-1]
         if w and w[-1] == "i" and len(w) - 1 >= rv:
             w = w[:-1]
-    # step 3b: ch/gh -> c/g in RV
+    # step 3b: ch/gh -> c/g; the RV test applies at the c/g position
+    # (the generated code calls RV after consuming both chars)
     if len(w) >= 2 and w[-1] == "h" and w[-2] in ("c", "g") \
-            and len(w) - 1 >= rv:
+            and len(w) - 2 >= rv:
         w = w[:-1]
 
     return w.replace("I", "i").replace("U", "u")
@@ -1404,15 +1415,13 @@ def _fi_case_ending(w: str, r1: int) -> tuple[str, bool]:
         if not w.endswith(s) or n - len(s) < r1:
             continue  # crossing R1: the among tries shorter suffixes
         st = w[: n - len(s)]
-        if s in ("siin", "tten", "den"):
-            # VI: preceded by i preceded by a non-y vowel, else -> 'n'
-            if len(st) >= 2 and st[-1] == "i" and st[-2] in _FI_V2:
-                return st, True
-            return _fi_strip_n(w), True
-        if s == "seen":
-            # LONG: preceded by a doubled vowel, else -> 'n'
-            if st[-2:] in _FI_LONG:
-                return st, True
+        if s in ("siin", "tten", "den", "seen"):
+            # These carry VI/LONG match-time conditions in the algorithm,
+            # BUT this Lucene vintage invokes Among condition methods on
+            # the static empty methodObject (SnowballProgram.find_among_b
+            # reflection), so they ALWAYS fail and fall back to the
+            # among-tree parent 'n'. Bug-for-bug parity, verified against
+            # the compiled reference programs (tools/fuzz_snowball.py).
             return _fi_strip_n(w), True
         if s in ("tta", "ttä"):
             return (st, True) if st.endswith("e") else (w, False)
@@ -2430,6 +2439,207 @@ def turkish_term_filter(term: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Basque (org/tartarus/snowball/ext/BasqueStemmer.java): Iberian RV +
+# standard R1/R2 marked ONCE on the input word; then the verb table
+# (aditzak) applied repeatedly to exhaustion, the noun table (izenak)
+# likewise, and one adjective pass (adjetiboak). Suffix tables
+# machine-extracted from the generated Among lists (data only); each
+# among matches the longest suffix and only then checks its region — a
+# region miss fails that pass with no shorter-suffix fallback.
+# ---------------------------------------------------------------------------
+
+_EU_VOWELS = frozenset("aeiou")
+_EU_ADITZAK = _bylen((
+    'idea', 'bidea', 'kidea', 'pidea', 'kundea', 'galea', 'tailea',
+    'tzailea', 'gunea', 'kunea', 'tzaga', 'gaia', 'aldia', 'taldia',
+    'karia', 'garria', 'karria', 'ka', 'tzaka', 'la', 'mena', 'pena',
+    'kina', 'ezina', 'tezina', 'kuna', 'tuna', 'kizuna', 'era', 'bera',
+    'arabera', 'kera', 'pera', 'orra', 'korra', 'dura', 'gura', 'kura',
+    'tura', 'eta', 'keta', 'gailua', 'eza', 'erreza', 'tza', 'gaitza',
+    'kaitza', 'kuntza', 'ide', 'bide', 'kide', 'pide', 'kunde', 'tzake',
+    'tzeke', 'le', 'gale', 'taile', 'tzaile', 'gune', 'kune', 'tze',
+    'atze', 'gai', 'aldi', 'taldi', 'ki', 'ari', 'kari', 'lari', 'tari',
+    'etari', 'garri', 'karri', 'arazi', 'tarazi', 'an', 'ean', 'rean',
+    'kan', 'etan', 'atseden', 'men', 'pen', 'kin', 'rekin', 'ezin',
+    'tezin', 'tun', 'kizun', 'go', 'ago', 'tio', 'dako', 'or', 'kor',
+    'tzat', 'du', 'gailu', 'tu', 'atu', 'aldatu', 'tatu', 'baditu', 'ez',
+    'errez', 'tzez', 'gaitz', 'kaitz',
+))
+_EU_ADITZAK_R2 = frozenset(('garria', 'tza', 'garri'))
+_EU_ADITZAK_REPL = {'arabera': 'arabera', 'atseden': 'atseden', 'baditu': 'baditu'}
+_EU_IZENAK = _bylen((
+    'ada', 'kada', 'anda', 'denda', 'gabea', 'kabea', 'aldea', 'kaldea',
+    'taldea', 'ordea', 'zalea', 'tzalea', 'gilea', 'emea', 'kumea', 'nea',
+    'enea', 'zionea', 'unea', 'gunea', 'pea', 'aurrea', 'tea', 'kotea',
+    'artea', 'ostea', 'etxea', 'ga', 'anga', 'gaia', 'aldia', 'taldia',
+    'handia', 'mendia', 'geia', 'egia', 'degia', 'tegia', 'nahia', 'ohia',
+    'kia', 'tokia', 'oia', 'koia', 'aria', 'karia', 'laria', 'taria',
+    'eria', 'keria', 'teria', 'garria', 'larria', 'kirria', 'duria',
+    'asia', 'tia', 'ezia', 'bizia', 'ontzia', 'ka', 'joka', 'aurka', 'ska',
+    'xka', 'zka', 'gibela', 'gela', 'kaila', 'skila', 'tila', 'ola', 'na',
+    'kana', 'ena', 'garrena', 'gerrena', 'urrena', 'zaina', 'tzaina',
+    'kina', 'mina', 'garna', 'una', 'duna', 'asuna', 'tasuna', 'ondoa',
+    'kondoa', 'ngoa', 'zioa', 'koa', 'takoa', 'zkoa', 'noa', 'zinoa',
+    'aroa', 'taroa', 'zaroa', 'eroa', 'oroa', 'osoa', 'toa', 'ttoa',
+    'ztoa', 'txoa', 'tzoa', 'ñoa', 'ra', 'ara', 'dara', 'liara', 'tiara',
+    'tara', 'etara', 'tzara', 'bera', 'kera', 'pera', 'ora', 'tzarra',
+    'korra', 'tra', 'sa', 'osa', 'ta', 'eta', 'keta', 'sta', 'dua',
+    'mendua', 'ordua', 'lekua', 'burua', 'durua', 'tsua', 'tua', 'mentua',
+    'estua', 'txua', 'zua', 'tzua', 'za', 'eza', 'eroza', 'tza', 'koitza',
+    'antza', 'gintza', 'kintza', 'kuntza', 'gabe', 'kabe', 'kide', 'alde',
+    'kalde', 'talde', 'orde', 'ge', 'zale', 'tzale', 'gile', 'eme', 'kume',
+    'ne', 'zione', 'une', 'gune', 'pe', 'aurre', 'te', 'kote', 'arte',
+    'oste', 'etxe', 'gai', 'di', 'aldi', 'taldi', 'geldi', 'handi',
+    'mendi', 'gei', 'egi', 'degi', 'tegi', 'nahi', 'ohi', 'ki', 'toki',
+    'oi', 'goi', 'koi', 'ari', 'kari', 'lari', 'tari', 'garri', 'larri',
+    'kirri', 'duri', 'asi', 'ti', 'ontzi', 'ñi', 'ak', 'ek', 'tarik',
+    'gibel', 'ail', 'kail', 'kan', 'tan', 'etan', 'en', 'ren', 'garren',
+    'gerren', 'urren', 'ten', 'tzen', 'zain', 'tzain', 'kin', 'min', 'dun',
+    'asun', 'tasun', 'aizun', 'ondo', 'kondo', 'go', 'ngo', 'zio', 'ko',
+    'trako', 'tako', 'etako', 'eko', 'tariko', 'sko', 'tuko', 'minutuko',
+    'zko', 'no', 'zino', 'ro', 'aro', 'igaro', 'taro', 'zaro', 'ero',
+    'giro', 'oro', 'oso', 'to', 'tto', 'zto', 'txo', 'tzo', 'gintzo', 'ño',
+    'zp', 'ar', 'dar', 'behar', 'zehar', 'liar', 'tiar', 'tar', 'tzar',
+    'or', 'kor', 'os', 'ket', 'du', 'mendu', 'ordu', 'leku', 'buru',
+    'duru', 'tsu', 'tu', 'tatu', 'mentu', 'estu', 'txu', 'zu', 'tzu',
+    'gintzu', 'z', 'ez', 'eroz', 'tz', 'koitz',
+))
+_EU_IZENAK_R2 = frozenset(('garria', 'ora', 'tza', 'garri', 'ren', 'or', 'buru'))
+_EU_IZENAK_R1 = frozenset(('en', 'ten', 'tzen', 'tatu'))
+_EU_IZENAK_REPL = {'joka': 'jok', 'aurka': 'aurka', 'geldi': 'geldi', 'trako': 'tra', 'minutuko': 'minutu', 'igaro': 'igaro', 'zehar': 'zehar'}
+_EU_ADJ = _bylen((
+    'zlea', 'keria', 'la', 'era', 'dade', 'tade', 'date', 'tate', 'gi',
+    'ki', 'ik', 'lanik', 'rik', 'larik', 'ztik', 'go', 'ro', 'ero', 'to',
+))
+_EU_ADJ_REPL = {'zlea': 'z'}
+
+
+def _eu_pass(w, c, rv, r1, r2, sufs, r2set, r1set, repl):
+    """One among pass at cursor ``c``: longest suffix of w[:c], region
+    by action (default RV delete), replacements unconditioned. The
+    slice removes/replaces w[p:c] keeping any tail w[c:], and the new
+    cursor is the match start p — snowball's repeat does NOT reset the
+    cursor to the end, so successive passes chain leftward (an identity
+    guard like arabera<-arabera moves the cursor past itself, and the
+    following passes work on the prefix before it). None = pass failed."""
+    for s in sufs:
+        p = c - len(s)
+        if p >= 0 and w.startswith(s, p):
+            if s in repl:
+                return w[:p] + repl[s] + w[c:], p
+            if s in r2set:
+                return (w[:p] + w[c:], p) if p >= r2 else None
+            if s in r1set:
+                return (w[:p] + w[c:], p) if p >= r1 else None
+            return (w[:p] + w[c:], p) if p >= rv else None
+    return None
+
+
+def basque_stem(word: str) -> str:
+    """Snowball Basque over the tables above."""
+    w = word
+    rv = _rv_iberian(w, _EU_VOWELS)
+    r1, r2 = _std_regions(w, _EU_VOWELS)
+    c = len(w)
+    while True:  # repeat aditzak (leftward chain)
+        res = _eu_pass(w, c, rv, r1, r2, _EU_ADITZAK, _EU_ADITZAK_R2,
+                       frozenset(), _EU_ADITZAK_REPL)
+        if res is None:
+            break
+        w, c = res
+    while True:  # repeat izenak, continuing from aditzak's cursor
+        res = _eu_pass(w, c, rv, r1, r2, _EU_IZENAK, _EU_IZENAK_R2,
+                       _EU_IZENAK_R1, _EU_IZENAK_REPL)
+        if res is None:
+            break
+        w, c = res
+    res = _eu_pass(w, c, rv, r1, r2, _EU_ADJ, frozenset(), frozenset(),
+                   _EU_ADJ_REPL)
+    if res is not None:
+        w, c = res
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Irish (org/tartarus/snowball/ext/IrishStemmer.java): a forward pass
+# first undoes the initial mutations (eclipsis mb->b, gc->c, ...;
+# lenition bh->b, ch->c, ...; h-/n-/t- and d'/b'/m' prefixes), THEN
+# RV/R1/R2 are marked on the demutated word, followed by one noun, one
+# derivational, and one verb suffix pass.
+# ---------------------------------------------------------------------------
+
+_GA_VOWELS = frozenset("aeiouáéíóú")
+# longest-first prefix table; '' = plain delete
+_GA_PREFIXES = (
+    ("d'fh", "f"),
+    ("bhf", "f"),
+    ("h-", ""), ("n-", ""), ("t-", ""), ("b'", ""), ("d'", ""),
+    ("m'", ""), ("sh", "s"), ("mb", "b"), ("gc", "c"), ("nd", "d"),
+    ("ng", "g"), ("bp", "p"), ("ts", "s"), ("dt", "t"), ("bh", "b"),
+    ("ch", "c"), ("dh", "d"), ("fh", "f"), ("gh", "g"), ("mh", "m"),
+    ("ph", "p"), ("th", "t"),
+)
+_GA_NOUN_R1 = ("íochta", "aíochta", "abh", "eabh", "ibh", "aibh",
+               "amh", "eamh", "imh", "aimh", "íocht", "aíocht")
+_GA_NOUN_R2 = ("ire", "aire", "irí", "airí")
+_GA_NOUN = _bylen(_GA_NOUN_R1, _GA_NOUN_R2)
+_GA_DERIV_R2 = ("achta", "eachta", "ach", "each", "achtúil",
+                "eachtúil", "acht", "eacht")
+_GA_DERIV_REPL = {}
+for _s in ("arcachta", "arcacht", "arcachtaí"):
+    _GA_DERIV_REPL[_s] = "arc"
+for _s in ("gineach", "gineas", "ginis"):
+    _GA_DERIV_REPL[_s] = "gin"
+for _s in ("grafaíochta", "grafaíoch", "grafaíocht", "grafaíochtaí"):
+    _GA_DERIV_REPL[_s] = "graf"
+for _s in ("patacha", "patach", "pataigh", "paite"):
+    _GA_DERIV_REPL[_s] = "paite"
+for _s in ("óideacha", "óideach", "óidigh"):
+    _GA_DERIV_REPL[_s] = "óid"
+_GA_DERIV = _bylen(_GA_DERIV_R2, tuple(_GA_DERIV_REPL))
+_GA_VERB_RV = ("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
+_GA_VERB_R1 = ("adh", "eadh", "áil", "ain", "tear", "tar")
+_GA_VERB = _bylen(_GA_VERB_RV, _GA_VERB_R1)
+
+
+def irish_stem(word: str) -> str:
+    """Snowball Irish over the tables above."""
+    w = word
+    for pre, repl in _GA_PREFIXES:
+        if w.startswith(pre):
+            w = repl + w[len(pre):]
+            break
+    # RV = after the first vowel; R1/R2 standard — on the demutated word
+    rv = len(w)
+    for i, ch in enumerate(w):
+        if ch in _GA_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _std_regions(w, _GA_VOWELS)
+
+    s = _longest(w, _GA_NOUN)
+    if s:
+        p = len(w) - len(s)
+        if (s in _GA_NOUN_R1 and p >= r1) or (s in _GA_NOUN_R2 and p >= r2):
+            w = w[:p]
+
+    s = _longest(w, _GA_DERIV)
+    if s:
+        p = len(w) - len(s)
+        if s in _GA_DERIV_REPL:
+            w = w[:p] + _GA_DERIV_REPL[s]
+        elif p >= r2:
+            w = w[:p]
+
+    s = _longest(w, _GA_VERB)
+    if s:
+        p = len(w) - len(s)
+        if (s in _GA_VERB_RV and p >= rv) or (s in _GA_VERB_R1 and p >= r1):
+            w = w[:p]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -2450,6 +2660,8 @@ SNOWBALL_STEMMERS = {
     "catalan": catalan_stem,
     # apostrophe strip + stem, matching TurkishAnalyzer's filter order
     "turkish": turkish_term_filter,
+    "basque": basque_stem,
+    "irish": irish_stem,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -2553,6 +2765,18 @@ SNOWBALL_STOPWORDS = {
         hepsi her hiç için ile ise kez ki kim mı mu mü nasıl ne neden
         nerde nerede nereye niçin niye o sanki şey siz şu tüm ve veya
         ya yani ben sen onlar bir iki üç bunun onun şunun""".split()
+    ),
+    "basque": frozenset(
+        """eta edo baina ez da dira zen ziren du dute ni hi hura gu zu
+        haiek hau hori bat batzuk asko oso ere bai baita zer nor non
+        noiz nola zergatik baldin arte gabe bezala arabera artean
+        gainera beraz hala hemen hor han nire zure bere gure""".split()
+    ),
+    "irish": frozenset(
+        """agus is an na a ar le do de i go ní sé sí mé tú siad muid
+        sibh seo sin ach nó má cé cad conas cathain níl tá bhí beidh
+        ag as chun faoi idir roimh thar trí gan mar dá óna sa san
+        aige aici acu agam agat""".split()
     ),
 }
 

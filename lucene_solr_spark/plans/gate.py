@@ -2470,6 +2470,10 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("turkish", "evlerinde", "ev"),
         ("turkish", "güzelliğin", "güzellik"),
         ("turkish", "okuldan", "okul"),
+        ("basque", "liburuak", "liburu"),
+        ("basque", "mendietan", "mendi"),
+        ("irish", "bhfeirmeoirí", "feirmeoirí"),
+        ("irish", "d'fhoilsigh", "foilsigh"),
     ]
 
     R["snowball3_stem_values"] = (

@@ -9,8 +9,10 @@ import pytest
 from lucene_solr_spark.analysis.snowball import (
     SNOWBALL_STEMMERS,
     SNOWBALL_STOPWORDS,
+    basque_stem,
     catalan_stem,
     danish_stem,
+    irish_stem,
     dutch_stem,
     finnish_stem,
     french_stem,
@@ -159,13 +161,29 @@ TURKISH = [
     ("arabalar", "araba"),
     ("ev", "ev"),                # < 2 vowels: unchanged
 ]
+BASQUE = [
+    ("liburuak", "liburu"),      # izenak 'ak'
+    ("mendietan", "mendi"),      # izenak 'etan'
+    ("lagunekin", "lagune"),     # izenak 'kin'
+    ("egunero", "egun"),         # adjetiboak 'ero'
+    ("etxeetatik", "etxeetat"),  # izenak 'ik'
+    ("yarabera", "yarabera"),    # identity guard stops the repeat chain
+]
+IRISH = [
+    ("bhfeirmeoirí", "feirmeoirí"),  # eclipsis bhf -> f
+    ("d'fhoilsigh", "foilsigh"),     # d'fh -> f
+    ("scoileanna", "scoileanna"),    # no region reaches: unchanged
+    ("náisiúnta", "náisiúnta"),
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
     ("делать", "дела"),          # verb group-1 'ть' after 'а'
     ("программы", "программ"),   # noun 'ы'
     ("большое", "больш"),        # adjective 'ое'
-    ("ёлка", "елк"),             # ё -> е, noun 'а'
+    # this Lucene vintage does NOT fold ё->е (grouping table omits ё;
+    # no analyzer prefilter): ё is a consonant, RV starts after 'а'
+    ("ёлка", "ёлка"),
 ]
 
 
@@ -177,6 +195,7 @@ RUSSIAN = [
     (romanian_stem, ROMANIAN),
     (finnish_stem, FINNISH), (hungarian_stem, HUNGARIAN),
     (catalan_stem, CATALAN), (turkish_stem, TURKISH),
+    (basque_stem, BASQUE), (irish_stem, IRISH),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
@@ -257,9 +276,11 @@ def test_injective_over_corpus_vocab():
                 and t != "merges"]
         stems = [stem(t) for t in kept]
         assert len(set(stems)) == len(stems), lang
-        # Russian is Cyrillic-only; Finnish and Turkish strip no bare
-        # final 'e'/'es' (their gates are VALUES-based, not stem_topk)
-        if lang not in ("russian", "finnish", "turkish"):
+        # Russian is Cyrillic-only; Finnish/Turkish/Irish strip no bare
+        # final 'e'/'es' and Basque over-strips it (all four use
+        # VALUES-based gates, not stem_topk)
+        if lang not in ("russian", "finnish", "turkish", "basque",
+                        "irish"):
             q = conflator.get(lang, "merges")
             assert stem(q) == stem("merge") == "merg", lang
 
