@@ -27,3 +27,13 @@ def test_all_stemmers_match_reference_programs():
     # every language line must be OK
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert len([l for l in lines if l.startswith("OK ")]) == 17, proc.stdout
+
+
+def test_porter_and_light_packs_match_reference_programs():
+    proc = subprocess.run(
+        [sys.executable, "tools/fuzz_light.py", "400"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len([l for l in lines if l.startswith("OK ")]) == 9, proc.stdout
