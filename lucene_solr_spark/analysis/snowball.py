@@ -2640,6 +2640,70 @@ def irish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Armenian (org/tartarus/snowball/ext/ArmenianStemmer.java): pV = after
+# the first vowel, R2 standard; everything runs inside the pV limit —
+# one R2-checked ending pass, then verb, adjective and noun passes,
+# each a longest-suffix plain delete. Tables machine-extracted from
+# the generated Among lists (data only).
+# ---------------------------------------------------------------------------
+
+_HY_VOWELS = frozenset("աեէըիուօ")
+_HY_ADJ = _bylen((
+    'րորդ', 'երորդ', 'ալի', 'ակի', 'որակ', 'եղ', 'ական', 'արան', 'են',
+    'եկեն', 'երեն', 'որէն', 'ին', 'գին', 'ովին', 'լայն', 'վուն', 'պես',
+    'իվ', 'ատ', 'ավետ', 'կոտ', 'բար',
+))
+_HY_VERB = _bylen((
+    'ա', 'ացա', 'եցա', 'վե', 'ացրի', 'ացի', 'եցի', 'վեցի', 'ալ', 'ըալ',
+    'անալ', 'ենալ', 'ացնալ', 'ել', 'ըել', 'նել', 'ցնել', 'եցնել', 'չել',
+    'վել', 'ացվել', 'եցվել', 'տել', 'ատել', 'ոտել', 'կոտել', 'ված', 'ում',
+    'վում', 'ան', 'ցան', 'ացան', 'ացրին', 'ացին', 'եցին', 'վեցին', 'ալիս',
+    'ելիս', 'ավ', 'ացավ', 'եցավ', 'ալով', 'ելով', 'ար', 'ացար', 'եցար',
+    'ացրիր', 'ացիր', 'եցիր', 'վեցիր', 'աց', 'եց', 'ացրեց', 'ալուց',
+    'ելուց', 'ալու', 'ելու', 'աք', 'ցաք', 'ացաք', 'ացրիք', 'ացիք', 'եցիք',
+    'վեցիք', 'անք', 'ցանք', 'ացանք', 'ացրինք', 'ացինք', 'եցինք', 'վեցինք',
+))
+_HY_NOUN = _bylen((
+    'որդ', 'ույթ', 'ուհի', 'ցի', 'իլ', 'ակ', 'յակ', 'անակ', 'իկ', 'ուկ',
+    'ան', 'պան', 'ստան', 'արան', 'եղէն', 'յուն', 'ություն', 'ածո', 'իչ',
+    'ուս', 'ուստ', 'գար', 'վոր', 'ավոր', 'ոց', 'անօց', 'ու', 'ք', 'չեք',
+    'իք', 'ալիք', 'անիք', 'վածք', 'ույք', 'ենք', 'ոնք', 'ունք', 'մունք',
+    'իչք', 'արք',
+))
+_HY_ENDING = _bylen((
+    'սա', 'վա', 'ամբ', 'դ', 'անդ', 'ությանդ', 'վանդ', 'ոջդ', 'երդ', 'ներդ',
+    'ուդ', 'ը', 'անը', 'ությանը', 'վանը', 'ոջը', 'երը', 'ները', 'ի', 'վի',
+    'երի', 'ների', 'անում', 'երում', 'ներում', 'ն', 'ան', 'ության', 'վան',
+    'ին', 'երին', 'ներին', 'ությանն', 'երն', 'ներն', 'ուն', 'ոջ',
+    'ությանս', 'վանս', 'ոջս', 'ով', 'անով', 'վով', 'երով', 'ներով', 'եր',
+    'ներ', 'ց', 'ից', 'վանից', 'ոջից', 'վից', 'երից', 'ներից', 'ցից', 'ոց',
+    'ուց',
+))
+
+
+def armenian_stem(word: str) -> str:
+    """Snowball Armenian over the tables above."""
+    w = word
+    pv = None
+    for i, ch in enumerate(w):
+        if ch in _HY_VOWELS:
+            pv = i + 1
+            break
+    if pv is None:
+        return w
+    r2 = _std_regions(w, _HY_VOWELS)[1]
+    body = w[pv:]
+    s = _longest(body, _HY_ENDING)
+    if s and pv + len(body) - len(s) >= r2:
+        body = body[: len(body) - len(s)]
+    for tab in (_HY_VERB, _HY_ADJ, _HY_NOUN):
+        s = _longest(body, tab)
+        if s:
+            body = body[: len(body) - len(s)]
+    return w[:pv] + body
+
+
+# ---------------------------------------------------------------------------
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
@@ -2662,6 +2726,7 @@ SNOWBALL_STEMMERS = {
     "turkish": turkish_term_filter,
     "basque": basque_stem,
     "irish": irish_stem,
+    "armenian": armenian_stem,
 }
 
 # Per-language stop sets: the high-frequency function-word core of the
@@ -2777,6 +2842,11 @@ SNOWBALL_STOPWORDS = {
         sibh seo sin ach nó má cé cad conas cathain níl tá bhí beidh
         ag as chun faoi idir roimh thar trí gan mar dá óna sa san
         aige aici acu agam agat""".split()
+    ),
+    "armenian": frozenset(
+        """եւ և է են էր ես եմ ենք եք չի չեն այս այդ այն որ ով ինչ
+        մի բայց կամ նաև իսկ քանի երբ ուր ինչպես ինչու ամեն բոլոր
+        շատ քիչ մենք դուք նրանք ես դու նա իր մեր ձեր""".split()
     ),
 }
 

@@ -442,7 +442,7 @@ def _tokenize_urlemail(texts: pd.Series,
 #              SolrSynonymParser rules, WordDelimiterFilter
 #              letter<->digit splits
 SNOWBALL_ANALYZERS = ("finnish", "hungarian", "catalan", "turkish",
-                      "basque", "irish",
+                      "basque", "irish", "armenian",
                       "german", "french", "spanish", "portuguese",
                       "russian", "italian", "dutch", "swedish",
                       "norwegian", "danish", "romanian")

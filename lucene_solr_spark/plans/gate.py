@@ -2474,6 +2474,8 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("basque", "mendietan", "mendi"),
         ("irish", "bhfeirmeoirí", "feirmeoirí"),
         ("irish", "d'fhoilsigh", "foilsigh"),
+        ("armenian", "աշխատանքների", "աշխ"),
+        ("armenian", "ուսանողներին", "ուսանող"),
     ]
 
     R["snowball3_stem_values"] = (

@@ -9,6 +9,7 @@ import pytest
 from lucene_solr_spark.analysis.snowball import (
     SNOWBALL_STEMMERS,
     SNOWBALL_STOPWORDS,
+    armenian_stem,
     basque_stem,
     catalan_stem,
     danish_stem,
@@ -175,6 +176,13 @@ IRISH = [
     ("scoileanna", "scoileanna"),    # no region reaches: unchanged
     ("náisiúnta", "náisiúnta"),
 ]
+ARMENIAN = [
+    ("աշխատանքների", "աշխ"),      # ending + noun chains inside pV
+    ("երեխաները", "երեխ"),
+    ("քաղաքում", "քաղա"),
+    ("գրադարանից", "գրադար"),
+    ("ուսանողներին", "ուսանող"),
+]
 RUSSIAN = [
     ("книгами", "книг"),         # noun 'ами'
     ("красивый", "красив"),      # adjective 'ый'
@@ -196,6 +204,7 @@ RUSSIAN = [
     (finnish_stem, FINNISH), (hungarian_stem, HUNGARIAN),
     (catalan_stem, CATALAN), (turkish_stem, TURKISH),
     (basque_stem, BASQUE), (irish_stem, IRISH),
+    (armenian_stem, ARMENIAN),
 ])
 def test_hand_traced_vectors(fn, vectors):
     for word, expected in vectors:
@@ -280,7 +289,7 @@ def test_injective_over_corpus_vocab():
         # final 'e'/'es' and Basque over-strips it (all four use
         # VALUES-based gates, not stem_topk)
         if lang not in ("russian", "finnish", "turkish", "basque",
-                        "irish"):
+                        "irish", "armenian"):
             q = conflator.get(lang, "merges")
             assert stem(q) == stem("merge") == "merg", lang
 

@@ -73,6 +73,7 @@ LANGS = [
     ("Turkish", "turkish_stem", "çğıöşüâ"),
     ("Basque", "basque_stem", ""),
     ("Irish", "irish_stem", "áéíóú'-"),
+    ("Armenian", "armenian_stem", "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ"),
 ]
 
 
@@ -111,7 +112,7 @@ def gen_words(lang, extras, n, rng, py_mod):
               "Dutch": "_NL", "Swedish": "_SV", "Norwegian": "_NO",
               "Danish": "_DA", "Romanian": "_RO", "Finnish": "_FI",
               "Hungarian": "_HU", "Catalan": "_CA", "Turkish": "_TR",
-              "Basque": "_EU", "Irish": "_GA"}[lang]
+              "Basque": "_EU", "Irish": "_GA", "Armenian": "_HY"}[lang]
     sufs = set()
     for name in dir(py_mod):
         if name.startswith(prefix):
