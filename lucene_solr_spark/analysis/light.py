@@ -24,6 +24,8 @@ Indonesian, the UMass light stemmer for Latvian):
                with per-affix vowel-count minimum + unpalatalization
   greek      — GreekLowerCaseFilter + the 23-rule GreekStemmer
                (analysis/greek.py)
+  sorani     — SoraniNormalizer + SoraniStemmer
+               (ckb/Sorani{Normalizer,Stemmer}.java)
 
 Chain divergence (documented): the reference applies the stop filter at
 language-specific points (Arabic before normalization — matched here;
@@ -416,6 +418,108 @@ def _lv_unpalatalize(w: str, removed: str) -> str:
 
 from .greek import greek_stem  # noqa: E402  (module-level registry)
 
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb/SoraniNormalizer.java + ckb/SoraniStemmer.java):
+# yeh/kaf/heh/reh normalization with in-place ZWNJ + harakat/format
+# deletion (the scan sees the CURRENT length, so a heh only becomes AE
+# when it is final at visit time), then the fixed postposition /
+# possessive / ezafe / definiteness suffix ladder — including the
+# reference's own quirk that the 2-char 'نا' branch strips one char.
+# ---------------------------------------------------------------------------
+
+_CKB_DELETE = frozenset(
+    "ـًٌٍَُِّْ"
+)
+
+
+def sorani_normalize(w: str) -> str:
+    import unicodedata
+
+    s = list(w)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in ("ي", "ى"):      # yeh forms -> farsi yeh
+            s[i] = "ی"
+        elif c == "ك":                  # kaf -> keheh
+            s[i] = "ک"
+        elif c == "‌":                  # ZWNJ
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"          # heh+ZWNJ -> AE
+            del s[i]
+            continue
+        elif c == "ه":                  # word-final heh -> AE
+            if i == len(s) - 1:
+                s[i] = "ە"
+        elif c == "ة":                  # teh marbuta -> AE
+            s[i] = "ە"
+        elif c == "ھ":                  # heh doachashmee -> heh
+            s[i] = "ه"
+        elif c == "ر":                  # word-initial reh -> rreh
+            if i == 0:
+                s[i] = "ڕ"
+        elif c == "ڒ":                  # rreh-above -> rreh
+            s[i] = "ڕ"
+        elif c in _CKB_DELETE or unicodedata.category(c) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(w: str) -> str:
+    w = sorani_normalize(w)
+    n = len(w)
+    # postposition
+    if n > 5 and w.endswith("دا"):
+        w = w[:-2]; n -= 2
+    elif n > 4 and w.endswith("نا"):
+        w = w[:-1]; n -= 1                  # sic: one char, per reference
+    elif n > 6 and w.endswith("ەوە"):
+        w = w[:-3]; n -= 3
+    # possessive pronoun
+    if n > 6 and (w.endswith("مان") or w.endswith("یان")
+                  or w.endswith("تان")):
+        w = w[:-3]; n -= 3
+    # indefinite singular ezafe
+    if n > 6 and w.endswith("ێکی"):
+        return w[:-3]
+    if n > 7 and w.endswith("یەکی"):
+        return w[:-4]
+    # the rest is one exclusive ladder
+    if n > 5 and w.endswith("ێک"):
+        return w[:-2]
+    if n > 6 and w.endswith("یەک"):
+        return w[:-3]
+    if n > 6 and w.endswith("ەکە"):
+        return w[:-3]
+    if n > 5 and w.endswith("کە"):
+        return w[:-2]
+    if n > 7 and w.endswith("ەکان"):
+        return w[:-4]
+    if n > 6 and w.endswith("کان"):
+        return w[:-3]
+    if n > 7 and w.endswith("یانی"):
+        return w[:-4]
+    if n > 6 and w.endswith("انی"):
+        return w[:-3]
+    if n > 6 and w.endswith("یان"):
+        return w[:-3]
+    if n > 5 and w.endswith("ان"):
+        return w[:-2]
+    if n > 7 and w.endswith("یانە"):
+        return w[:-4]
+    if n > 6 and w.endswith("انە"):
+        return w[:-3]
+    if n > 5 and (w.endswith("ایە") or w.endswith("ەیە")):
+        return w[:-2]
+    if n > 4 and w.endswith("ە"):
+        return w[:-1]
+    if n > 4 and w.endswith("ی"):
+        return w[:-1]
+    return w
+
+
 LIGHT_STEMMERS = {
     "arabic": arabic_stem,
     "persian": persian_normalize,
@@ -425,6 +529,7 @@ LIGHT_STEMMERS = {
     "indonesian": indonesian_stem,
     "latvian": latvian_stem,
     "greek": greek_stem,
+    "sorani": sorani_stem,
 }
 
 LIGHT_STOPWORDS = {
@@ -475,6 +580,11 @@ LIGHT_STOPWORDS = {
         για από απο να δεν δε στο στη στην στον ότι οτι που ως πως αν
         θα είχε ειχε έχει εχει αλλά αλλα αυτός αυτος αυτή αυτη αυτό
         αυτο ή μια ένα ενα δύο δυο""".split()
+    ),
+    "sorani": frozenset(
+        """و لە بە بۆ کە لەگەڵ ئەم ئەو ئەوە ئەمە هەر هەموو هیچ چی
+        بەڵام یان ئەگەر چونکە وەک دوای پێش لەسەر لەژێر نێوان بەبێ
+        من تۆ ئێمە ئێوە ئەوان خۆی هەیە نییە دەبێت بوو""".split()
     ),
 }
 

@@ -2442,6 +2442,8 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("latvian", "valodas", "valod"),
         ("greek", "βιβλία", "βιβλ"),
         ("greek", "ομορφότερος", "ομορφ"),
+        ("sorani", "پیاوەکان", "پیاو"),
+        ("sorani", "کتێبەکە", "کتێب"),
     ]
 
     R["light_stem_values"] = (

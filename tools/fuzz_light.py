@@ -24,6 +24,7 @@ LIGHT_SOURCES = [
     "hi/HindiStemmer.java", "id/IndonesianStemmer.java",
     "lv/LatvianStemmer.java", "el/GreekStemmer.java",
     "br/BrazilianStemmer.java",
+    "ckb/SoraniNormalizer.java", "ckb/SoraniStemmer.java",
 ]
 
 PORTER_SHIM = """package org.apache.lucene.analysis.en;
@@ -79,6 +80,7 @@ import org.apache.lucene.analysis.id.IndonesianStemmer;
 import org.apache.lucene.analysis.lv.LatvianStemmer;
 import org.apache.lucene.analysis.el.GreekStemmer;
 import org.apache.lucene.analysis.br.BrazilianStemmer;
+import org.apache.lucene.analysis.ckb.*;
 import java.lang.reflect.Method;
 
 public class LightMain {
@@ -130,6 +132,12 @@ public class LightMain {
             case "greek":
                 len = new GreekStemmer().stem(b, len);
                 return new String(b, 0, len);
+            case "sorani": {
+                char[] s = java.util.Arrays.copyOf(b, len + 8);
+                len = new SoraniNormalizer().normalize(s, len);
+                len = new SoraniStemmer().stem(s, len);
+                return new String(s, 0, len);
+            }
             case "brazilian": {
                 BrazilianStemmer st = new BrazilianStemmer();
                 Method m = BrazilianStemmer.class.getDeclaredMethod("stem", String.class);
@@ -193,10 +201,11 @@ ALPHA = {
     # already σ) — the analyzer's GreekLowerCaseFilter analog runs
     # upstream on both sides
     "greek": "αβγδεζηθικλμνξοπρστυφχψω",
+    "sorani": "ئابپتجچحخدرڕزژسشعغفڤقکگلڵمنوۆهەیێكيىهةھڒ" + "\u200c\u0640\u064b\u064e\u0651",
 }
 PREFIX = {"arabic": "_AR", "persian": "_FA", "czech": "_CZ",
           "bulgarian": "_BG", "hindi": "_HI", "indonesian": "_ID",
-          "latvian": "_LV"}
+          "latvian": "_LV", "sorani": "_CKB"}
 
 
 def harvest(mod, prefix):
