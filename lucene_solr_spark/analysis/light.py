@@ -520,6 +520,221 @@ def sorani_stem(w: str) -> str:
     return w
 
 
+
+# ---------------------------------------------------------------------------
+# Brazilian Portuguese (br/BrazilianStemmer.java): the RSLP-flavoured
+# rule cascade behind BrazilianAnalyzer — distinct from the Snowball
+# 'portuguese' pack. Faithful to the reference's exact quirks: R1/R2/RV
+# are captured as STRINGS once and never refreshed (later steps test
+# the stale region tail but each removal is re-guarded on the current
+# term), the 'logias' rule returns success without assigning, and the
+# step-2 'ira' rule "removes" 'ava' (normally a no-op). Rules
+# machine-extracted from the reference source in order.
+# ---------------------------------------------------------------------------
+
+_BR_ACCENTS = str.maketrans({
+    "á": "a", "â": "a", "ã": "a", "é": "e", "ê": "e", "í": "i",
+    "ó": "o", "ô": "o", "õ": "o", "ú": "u", "ü": "u", "ç": "c",
+    "ñ": "n",
+})
+_BR_PUNCT = set("\"'-,;.?!")
+_BR_VOWELS = frozenset("aeiou")
+
+_BR_STEP1 = (  # (suffix, region, action, replacement, preceded-by)
+    ('uciones', 'R2', 'replace', 'u', None),
+    ('imentos', 'R2', 'remove', None, None),
+    ('amentos', 'R2', 'remove', None, None),
+    ('adores', 'R2', 'remove', None, None),
+    ('adoras', 'R2', 'remove', None, None),
+    ('logias', 'R2', 'noop', 'log', None),
+    ('encias', 'R2', 'replace', 'ente', None),
+    ('amente', 'R1', 'remove', None, None),
+    ('idades', 'R2', 'remove', None, None),
+    ('acoes', 'R2', 'remove', None, None),
+    ('imento', 'R2', 'remove', None, None),
+    ('amento', 'R2', 'remove', None, None),
+    ('adora', 'R2', 'remove', None, None),
+    ('ismos', 'R2', 'remove', None, None),
+    ('istas', 'R2', 'remove', None, None),
+    ('logia', 'R2', 'replace', 'log', None),
+    ('ucion', 'R2', 'replace', 'u', None),
+    ('encia', 'R2', 'replace', 'ente', None),
+    ('mente', 'R2', 'remove', None, None),
+    ('idade', 'R2', 'remove', None, None),
+    ('acao', 'R2', 'remove', None, None),
+    ('ezas', 'R2', 'remove', None, None),
+    ('icos', 'R2', 'remove', None, None),
+    ('icas', 'R2', 'remove', None, None),
+    ('ismo', 'R2', 'remove', None, None),
+    ('avel', 'R2', 'remove', None, None),
+    ('ivel', 'R2', 'remove', None, None),
+    ('ista', 'R2', 'remove', None, None),
+    ('osos', 'R2', 'remove', None, None),
+    ('osas', 'R2', 'remove', None, None),
+    ('ador', 'R2', 'remove', None, None),
+    ('ivas', 'R2', 'remove', None, None),
+    ('ivos', 'R2', 'remove', None, None),
+    ('iras', 'RV', 'replace', 'ir', 'e'),
+    ('eza', 'R2', 'remove', None, None),
+    ('ico', 'R2', 'remove', None, None),
+    ('ica', 'R2', 'remove', None, None),
+    ('oso', 'R2', 'remove', None, None),
+    ('osa', 'R2', 'remove', None, None),
+    ('iva', 'R2', 'remove', None, None),
+    ('ivo', 'R2', 'remove', None, None),
+    ('ira', 'RV', 'replace', 'ir', 'e'),
+)
+_BR_STEP2 = (  # (RV-condition suffix, suffix removed from the term)
+    ('issemos', 'issemos'), ('essemos', 'essemos'), ('assemos', 'assemos'),
+    ('ariamos', 'ariamos'), ('eriamos', 'eriamos'), ('iriamos', 'iriamos'),
+    ('iremos', 'iremos'), ('eremos', 'eremos'), ('aremos', 'aremos'),
+    ('avamos', 'avamos'), ('iramos', 'iramos'), ('eramos', 'eramos'),
+    ('aramos', 'aramos'), ('asseis', 'asseis'), ('esseis', 'esseis'),
+    ('isseis', 'isseis'), ('arieis', 'arieis'), ('erieis', 'erieis'),
+    ('irieis', 'irieis'), ('irmos', 'irmos'), ('iamos', 'iamos'),
+    ('armos', 'armos'), ('ermos', 'ermos'), ('areis', 'areis'),
+    ('ereis', 'ereis'), ('ireis', 'ireis'), ('asses', 'asses'),
+    ('esses', 'esses'), ('isses', 'isses'), ('astes', 'astes'),
+    ('assem', 'assem'), ('essem', 'essem'), ('issem', 'issem'),
+    ('ardes', 'ardes'), ('erdes', 'erdes'), ('irdes', 'irdes'),
+    ('ariam', 'ariam'), ('eriam', 'eriam'), ('iriam', 'iriam'),
+    ('arias', 'arias'), ('erias', 'erias'), ('irias', 'irias'),
+    ('estes', 'estes'), ('istes', 'istes'), ('areis', 'areis'),
+    ('aveis', 'aveis'), ('aria', 'aria'), ('eria', 'eria'),
+    ('iria', 'iria'), ('asse', 'asse'), ('esse', 'esse'), ('isse', 'isse'),
+    ('aste', 'aste'), ('este', 'este'), ('iste', 'iste'), ('arei', 'arei'),
+    ('erei', 'erei'), ('irei', 'irei'), ('aram', 'aram'), ('eram', 'eram'),
+    ('iram', 'iram'), ('avam', 'avam'), ('arem', 'arem'), ('erem', 'erem'),
+    ('irem', 'irem'), ('ando', 'ando'), ('endo', 'endo'), ('indo', 'indo'),
+    ('arao', 'arao'), ('erao', 'erao'), ('irao', 'irao'), ('adas', 'adas'),
+    ('idas', 'idas'), ('aras', 'aras'), ('eras', 'eras'), ('iras', 'iras'),
+    ('avas', 'avas'), ('ares', 'ares'), ('eres', 'eres'), ('ires', 'ires'),
+    ('ados', 'ados'), ('idos', 'idos'), ('amos', 'amos'), ('emos', 'emos'),
+    ('imos', 'imos'), ('iras', 'iras'), ('ieis', 'ieis'), ('ada', 'ada'),
+    ('ida', 'ida'), ('ara', 'ara'), ('era', 'era'), ('ira', 'ava'),
+    ('iam', 'iam'), ('ado', 'ado'), ('ido', 'ido'), ('ias', 'ias'),
+    ('ais', 'ais'), ('eis', 'eis'), ('ira', 'ira'), ('ear', 'ear'),
+    ('ia', 'ia'), ('ei', 'ei'), ('am', 'am'), ('em', 'em'), ('ar', 'ar'),
+    ('er', 'er'), ('ir', 'ir'), ('as', 'as'), ('es', 'es'), ('is', 'is'),
+    ('eu', 'eu'), ('iu', 'iu'), ('iu', 'iu'), ('ou', 'ou'),
+)
+
+
+def _br_r1(v):
+    """getR1: region after the first non-vowel following a vowel; the
+    boundary must sit strictly before the LAST character (reference
+    loops bound j < len-1), else None."""
+    if v is None:
+        return None
+    i = len(v) - 1
+    j = 0
+    while j < i and v[j] not in _BR_VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    while j < i and v[j] in _BR_VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    return v[j + 1:]
+
+
+def _br_rv(v):
+    if v is None:
+        return None
+    i = len(v) - 1
+    if i > 0 and v[1] not in _BR_VOWELS:
+        j = 2
+        while j < i and v[j] not in _BR_VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 1 and v[0] in _BR_VOWELS and v[1] in _BR_VOWELS:
+        j = 2
+        while j < i and v[j] in _BR_VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 2:
+        return v[3:]
+    return None
+
+
+def _br_rm(ct, suf):
+    """removeSuffix: guarded on the CURRENT term."""
+    return ct[: -len(suf)] if ct.endswith(suf) else ct
+
+
+def brazilian_stem(term: str):
+    """Returns the stem, or None when the term is not indexable (the
+    filter keeps the original then)."""
+    ct = term.lower().translate(_BR_ACCENTS)
+    if len(ct) >= 2 and ct[0] in _BR_PUNCT:
+        ct = ct[1:]
+    if len(ct) >= 2 and ct[-1] in _BR_PUNCT:
+        ct = ct[:-1]
+    if not (2 < len(ct) < 30):
+        return None
+    if not all(c.isalpha() for c in ct):
+        return ct
+    r1 = _br_r1(ct)
+    r2 = _br_r1(r1)
+    rv = _br_rv(ct)
+    regions = {"R1": r1, "R2": r2, "RV": rv}
+
+    altered = False
+    for suf, reg, act, repl, prec in _BR_STEP1:
+        region = regions[reg]
+        if region is None or not ct.endswith(suf) \
+                or not region.endswith(suf):
+            continue
+        if prec is not None and not ct[: -len(suf)].endswith(prec):
+            continue
+        if act == "remove":
+            ct = ct[: -len(suf)]
+        elif act == "replace":
+            ct = ct[: -len(suf)] + repl
+        # 'noop': reference bug — success without changing the term
+        altered = True
+        break
+    if not altered and rv is not None:
+        for cond, rm in _BR_STEP2:
+            if rv.endswith(cond):
+                ct = _br_rm(ct, rm)
+                altered = True
+                break
+
+    if altered:
+        # step 3: i preceded by c, tested in the (stale) RV
+        if rv is not None and rv.endswith("i") and rv[:-1].endswith("c"):
+            ct = _br_rm(ct, "i")
+    elif rv is not None:
+        # step 4: residual suffix
+        for s in ("os", "a", "i", "o"):
+            if rv.endswith(s):
+                ct = _br_rm(ct, s)
+                break
+
+    # step 5: final e (with gu/ci undress), tested in the stale RV
+    if rv is not None and rv.endswith("e"):
+        if rv[:-1].endswith("gu"):
+            ct = _br_rm(ct, "e")
+            ct = _br_rm(ct, "u")
+        elif rv[:-1].endswith("ci"):
+            ct = _br_rm(ct, "e")
+            ct = _br_rm(ct, "i")
+        else:
+            ct = _br_rm(ct, "e")
+    return ct
+
+
+def brazilian_term(term: str) -> str:
+    """BrazilianStemFilter behavior: keep the original when stem() is
+    null (too short/long)."""
+    s = brazilian_stem(term)
+    return term if s is None else s
+
+
 LIGHT_STEMMERS = {
     "arabic": arabic_stem,
     "persian": persian_normalize,
@@ -530,6 +745,7 @@ LIGHT_STEMMERS = {
     "latvian": latvian_stem,
     "greek": greek_stem,
     "sorani": sorani_stem,
+    "brazilian": brazilian_term,
 }
 
 LIGHT_STOPWORDS = {
@@ -585,6 +801,15 @@ LIGHT_STOPWORDS = {
         """و لە بە بۆ کە لەگەڵ ئەم ئەو ئەوە ئەمە هەر هەموو هیچ چی
         بەڵام یان ئەگەر چونکە وەک دوای پێش لەسەر لەژێر نێوان بەبێ
         من تۆ ئێمە ئێوە ئەوان خۆی هەیە نییە دەبێت بوو""".split()
+    ),
+    "brazilian": frozenset(
+        """de a o que e do da em um para é com não uma os no se na
+        por mais as dos como mas foi ao ele das tem à seu sua ou ser
+        quando muito há nos já está eu também só pelo pela até isso
+        ela entre era depois sem mesmo aos ter seus quem nas me esse
+        eles estão você tinha foram essa num nem suas meu às minha
+        têm numa pelos elas havia seja qual será nós tenho lhe deles
+        essas esses pelas este fosse dele""".split()
     ),
 }
 

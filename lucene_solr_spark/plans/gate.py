@@ -2444,6 +2444,8 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("greek", "ομορφότερος", "ομορφ"),
         ("sorani", "پیاوەکان", "پیاو"),
         ("sorani", "کتێبەکە", "کتێب"),
+        ("brazilian", "possibilidades", "possibil"),
+        ("brazilian", "professores", "professor"),
     ]
 
     R["light_stem_values"] = (

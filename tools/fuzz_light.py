@@ -202,10 +202,11 @@ ALPHA = {
     # upstream on both sides
     "greek": "αβγδεζηθικλμνξοπρστυφχψω",
     "sorani": "ئابپتجچحخدرڕزژسشعغفڤقکگلڵمنوۆهەیێكيىهةھڒ" + "\u200c\u0640\u064b\u064e\u0651",
+    "brazilian": "abcdefghijklmnopqrstuvwxyzáâãéêíóôõúüçñ-'.",
 }
 PREFIX = {"arabic": "_AR", "persian": "_FA", "czech": "_CZ",
           "bulgarian": "_BG", "hindi": "_HI", "indonesian": "_ID",
-          "latvian": "_LV", "sorani": "_CKB"}
+          "latvian": "_LV", "sorani": "_CKB", "brazilian": "_BR"}
 
 
 def harvest(mod, prefix):
