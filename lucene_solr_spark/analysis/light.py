@@ -26,6 +26,19 @@ Indonesian, the UMass light stemmer for Latvian):
                (analysis/greek.py)
   sorani     — SoraniNormalizer + SoraniStemmer
                (ckb/Sorani{Normalizer,Stemmer}.java)
+  brazilian  — BrazilianStemmer's RSLP-flavoured cascade
+               (br/BrazilianStemmer.java), the BrazilianAnalyzer
+               chain (distinct from the Snowball portuguese pack)
+  galician   — GalicianStemmer, RSLPStemmerBase over the published
+               galician.rslp rule file (gl/GalicianStemmer.java)
+
+Every stemmer/normalizer here is differentially verified byte-identical
+to the compiled reference Java (tools/fuzz_light.py). One chain note:
+HindiAnalyzer also runs IndicNormalizationFilter before the Hindi
+normalizer; for Devanagari its compositions (base+nukta -> precomposed)
+are immediately re-folded by HindiNormalizer's nukta deletion, so the
+composed chain here (hindi_normalize deletes nukta directly) matches on
+those shapes; the exotic cross-script logic is intentionally omitted.
 
 Chain divergence (documented): the reference applies the stop filter at
 language-specific points (Arabic before normalization — matched here;
@@ -735,6 +748,431 @@ def brazilian_term(term: str) -> str:
     return term if s is None else s
 
 
+
+# ---------------------------------------------------------------------------
+# Galician (gl/GalicianStemmer.java + RSLPStemmerBase over the RSLG
+# rule file gl/galician.rslp): plural, unification and adverb passes,
+# augmentative repeated to a fixed point, noun-else-verb, a final
+# vowel pass, then accent removal. Rule semantics per RSLPStemmerBase:
+# first matching rule wins (ordered), a rule needs
+# len(word) - len(suffix) >= min, and exceptions match either the
+# whole word (flag 1) or as suffixes (flag 0). Rule data
+# machine-extracted from the published galician.rslp.
+# ---------------------------------------------------------------------------
+
+_GL_STEPS = {
+    'plural': {
+        "min": 3, "whole_word_exc": True,
+        "end": ('s',),
+        "rules": (
+        ('ns', 1, 'n', ('luns', 'furatapóns', 'furatapons')),
+        ('ós', 3, 'ón', None),
+        ('ões', 3, 'ón', None),
+        ('ães', 1, 'ão', ('mães', 'magalhães')),
+        ('ais', 2, 'al', ('cais', 'tais', 'mais', 'pais', 'ademais')),
+        ('áis', 2, 'al', ('cáis', 'táis', 'máis', 'páis', 'ademáis')),
+        ('éis', 2, 'el', None),
+        ('eis', 2, 'el', None),
+        ('óis', 2, 'ol', ('escornabóis',)),
+        ('ois', 2, 'ol', ('escornabois',)),
+        ('ís', 2, 'il', ('país',)),
+        ('is', 2, 'il', ('menfis', 'pais', 'kinguis')),
+        ('les', 2, 'l', ('ingles', 'marselles', 'montreales', 'senegales', 'manizales', 'móstoles', 'nápoles')),
+        ('res', 3, 'r', ('petres', 'henares', 'cáceres', 'baleares', 'linares', 'londres', 'mieres', 'miraflores', 'mércores', 'venres', 'pires')),
+        ('ces', 2, 'z', None),
+        ('zes', 2, 'z', None),
+        ('ises', 3, 'z', None),
+        ('ás', 1, 'al', ('más',)),
+        ('ses', 2, 's', None),
+        ('s', 2, '', ('barbadés', 'barcelonés', 'cantonés', 'gabonés', 'llanés', 'medinés', 'escocés', 'escocês', 'francês', 'barcelonês', 'cantonês', 'macramés', 'reves', 'barcelones', 'cantones', 'gabones', 'llanes', 'magallanes', 'medines', 'escoces', 'frances', 'xoves', 'martes', 'aliás', 'pires', 'lápis', 'cais', 'mais', 'mas', 'menos', 'férias', 'pêsames', 'crúcis', 'país', 'cangas', 'atenas', 'asturias', 'canarias', 'filipinas', 'honduras', 'molucas', 'caldas', 'mascareñas', 'micenas', 'covarrubias', 'psoas', 'óculos', 'nupcias', 'xoves', 'martes', 'llanes')),
+        ),
+    },
+    'unification': {
+        "min": 3, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('íssimo', 5, 'ísimo', None),
+        ('íssima', 5, 'ísima', None),
+        ('aço', 4, 'azo', None),
+        ('aça', 4, 'aza', None),
+        ('uça', 4, 'uza', None),
+        ('lhar', 2, 'llar', None),
+        ('lher', 2, 'ller', None),
+        ('lhor', 2, 'llor', None),
+        ('lho', 1, 'llo', None),
+        ('nhar', 2, 'ñar', None),
+        ('nhor', 2, 'ñor', None),
+        ('nho', 1, 'ño', None),
+        ('nha', 1, 'ña', None),
+        ('ário', 3, 'ario', None),
+        ('ária', 3, 'aria', None),
+        ('able', 2, 'ábel', None),
+        ('ável', 2, 'ábel', None),
+        ('ible', 2, 'íbel', None),
+        ('ível', 2, 'íbel', None),
+        ('çom', 2, 'ción', None),
+        ('agem', 2, 'axe', None),
+        ('age', 2, 'axe', None),
+        ('ão', 3, 'ón', None),
+        ('ao', 1, 'án', None),
+        ('au', 1, 'án', None),
+        ('om', 3, 'ón', None),
+        ('m', 2, 'n', None),
+        ),
+    },
+    'adverb': {
+        "min": 9, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('mente', 4, '', ('experimente', 'vehemente', 'sedimente')),
+        ),
+    },
+    'augmentative': {
+        "min": 5, "whole_word_exc": True,
+        "end": None,
+        "rules": (
+        ('dísimo', 5, '', None),
+        ('dísima', 5, '', None),
+        ('bilísimo', 3, '', None),
+        ('bilísima', 3, '', None),
+        ('ísimo', 3, '', None),
+        ('ísima', 3, '', None),
+        ('ésimo', 3, '', None),
+        ('ésima', 3, '', None),
+        ('érrimo', 4, '', None),
+        ('érrima', 4, '', None),
+        ('ana', 2, '', ('argana', 'banana', 'choupana', 'espadana', 'faciana', 'iguana', 'lantana', 'macana', 'membrana', 'mesana', 'nirvana', 'obsidiana', 'palangana', 'pavana', 'persiana', 'pestana', 'porcelana', 'pseudomembrana', 'roldana', 'sábana', 'salangana', 'saragana', 'ventana')),
+        ('án', 3, '', ('ademán', 'bardán', 'barregán', 'corricán', 'curricán', 'faisán', 'furacán', 'fustán', 'gabán', 'gabián', 'galán', 'gañán', 'lavacán', 'mazán', 'mourán', 'rabadán', 'serán', 'serrán', 'tabán', 'titán', 'tobogán', 'verán', 'volcán', 'volován')),
+        ('azo', 4, '', ('abrazo', 'espazo', 'andazo', 'bagazo', 'balazo', 'bandazo', 'cachazo', 'carazo', 'denazo', 'engazo', 'famazo', 'lampreazo', 'pantocazo', 'pedazo', 'preñazo', 'regazo', 'ribazo', 'sobrazo', 'terrazo', 'trompazo')),
+        ('aza', 3, '', ('alcarraza', 'ameaza', 'baraza', 'broucaza', 'burgaza', 'cabaza', 'cachaza', 'calaza', 'carpaza', 'carraza', 'coiraza', 'colmaza', 'fogaza', 'famaza', 'labaza', 'liñaza', 'melaza', 'mordaza', 'paraza', 'pinaza', 'rabaza', 'rapaza', 'trancaza')),
+        ('allo', 4, '', ('traballo',)),
+        ('alla', 4, '', None),
+        ('arra', 3, '', ('cigarra', 'cinzarra')),
+        ('astro', 3, '', ('balastro', 'bimbastro', 'canastro', 'retropilastro')),
+        ('astra', 3, '', ('banastra', 'canastra', 'contrapilastra', 'piastra', 'pilastra')),
+        ('ázio', 3, '', ('topázio',)),
+        ('elo', 4, '', ('bacelo', 'barrelo', 'bicarelo', 'biquelo', 'boquelo', 'botelo', 'bouquelo', 'cacarelo', 'cachelo', 'cadrelo', 'campelo', 'candelo', 'cantelo', 'carabelo', 'carambelo', 'caramelo', 'cercelo', 'cerebelo', 'chocarelo', 'coitelo', 'conchelo', 'corbelo', 'cotobelo', 'couselo', 'destelo', 'desvelo', 'esfácelo', 'fandelo', 'fardelo', 'farelo', 'farnelo', 'flabelo', 'ganchelo', 'garfelo', 'involucelo', 'mantelo', 'montelo', 'outerelo', 'padicelo', 'pesadelo', 'pinguelo', 'piquelo', 'rampelo', 'rastrelo', 'restelo', 'tornecelo', 'trabelo', 'restrelo', 'portelo', 'ourelo', 'zarapelo')),
+        ('eta', 3, '', ('arqueta', 'atleta', 'avoceta', 'baioneta', 'baldeta', 'banqueta', 'barraganeta', 'barreta', 'borleta', 'buceta', 'caceta', 'calceta', 'caldeta', 'cambeta', 'canaleta', 'caneta', 'carreta', 'cerceta', 'chaparreta', 'chapeta', 'chareta', 'chincheta', 'colcheta', 'cometa', 'corbeta', 'corveta', 'cuneta', 'desteta', 'espeta', 'espoleta', 'estafeta', 'esteta', 'faceta', 'falanxeta', 'frasqueta', 'gaceta', 'gabeta', 'galleta', 'garabeta', 'gaveta', 'glorieta', 'lagareta', 'lambeta', 'lanceta', 'libreta', 'maceta', 'macheta', 'maleta', 'malleta', 'mareta', 'marreta', 'meseta', 'mofeta', 'muleta', 'peseta', 'planeta', 'raqueta', 'regreta', 'saqueta', 'veleta', 'vendeta', 'viñeta')),
+        ('ete', 3, '', ('alfinete', 'ariete', 'bacinete', 'banquete', 'barallete', 'barrete', 'billete', 'binguelete', 'birrete', 'bonete', 'bosquete', 'bufete', 'burlete', 'cabalete', 'cacahuete', 'cavinete', 'capacete', 'carrete', 'casarete', 'casete', 'chupete', 'clarinete', 'colchete', 'colete', 'capete', 'curupete', 'disquete', 'estilete', 'falsete', 'ferrete', 'filete', 'gallardete', 'gobelete', 'inglete', 'machete', 'miquelete', 'molete', 'mosquete', 'piquete', 'ribete', 'rodete', 'rolete', 'roquete', 'sorvete', 'vedete', 'vendete')),
+        ('ica', 3, '', ('andarica', 'botánica', 'botica', 'dialéctica', 'dinámica', 'física', 'formica', 'gráfica', 'marica', 'túnica')),
+        ('ico', 3, '', ('conico', 'acetifico', 'acidifico')),
+        ('exo', 3, '', ('arpexo', 'arquexo', 'asexo', 'axexo', 'azulexo', 'badexo', 'bafexo', 'bocexo', 'bosquexo', 'boubexo', 'cacarexo', 'carrexo', 'cascarexo', 'castrexo', 'convexo', 'cotexo', 'desexo', 'despexo', 'forcexo', 'gabexo', 'gargarexo', 'gorgolexo', 'inconexo', 'manexo', 'merexo', 'narnexo', 'padexo', 'patexo', 'sopexo', 'varexo')),
+        ('exa', 3, '', ('airexa', 'bandexa', 'carrexa', 'envexa', 'igrexa', 'larexa', 'patexa', 'presexa', 'sobexa')),
+        ('idão', 3, '', None),
+        ('iño', 3, 'o', ('camiño', 'cariño', 'comiño', 'golfiño', 'padriño', 'sobriño', 'viciño', 'veciño')),
+        ('iña', 3, 'a', ('camariña', 'campiña', 'entreliña', 'espiña', 'fariña', 'moriña', 'valiña')),
+        ('ito', 3, '', None),
+        ('ita', 3, '', None),
+        ('oide', 3, '', ('anaroide', 'aneroide', 'asteroide', 'axoide', 'cardioide', 'celuloide', 'coronoide', 'discoide', 'espermatozoide', 'espiroide', 'esquizoide', 'esteroide', 'glenoide', 'linfoide', 'hemorroide', 'melaloide', 'sacaroide', 'tetraploide', 'varioloide')),
+        ('ola', 3, '', ('aixola', 'ampola', 'argola', 'arola', 'arteríola', 'bandola', 'bítola', 'bractéola', 'cachola', 'carambola', 'carapola', 'carola', 'carrandiola', 'catrapola', 'cebola', 'centola', 'champola', 'chatola', 'cirola', 'cítola', 'consola', 'corola', 'empola', 'escarola', 'esmola', 'estola', 'fitola', 'florícola', 'garañola', 'gárgola', 'garxola', 'glicocola', 'góndola', 'mariola', 'marola', 'michola', 'pirola', 'rebola', 'rupícola', 'saxícola', 'sémola', 'tachola', 'tómbola')),
+        ('olo', 3, '', ('arrolo', 'babiolo', 'cacharolo', 'caixarolo', 'carolo', 'carramolo', 'cascarolo', 'cirolo', 'codrolo', 'correolo', 'cotrolo', 'desconsolo', 'rebolo', 'repolo', 'subsolo', 'tixolo', 'tómbolo', 'torolo', 'trémolo', 'vacúolo', 'xermolo', 'zócolo')),
+        ('ote', 3, '', ('aigote', 'alcaiote', 'barbarote', 'balote', 'billote', 'cachote', 'camarote', 'capote', 'cebote', 'chichote', 'citote', 'cocorote', 'escote', 'gañote', 'garrote', 'gavote', 'lamote', 'lapote', 'larapote', 'lingote', 'lítote', 'magote', 'marrote', 'matalote', 'pandote', 'paparote', 'rebote', 'tagarote', 'zarrote')),
+        ('ota', 3, '', ('asíntota', 'caiota', 'cambota', 'chacota', 'compota', 'creosota', 'curota', 'derrota', 'díspota', 'gamota', 'maniota', 'pelota', 'picota', 'pillota', 'pixota', 'queirota', 'remota')),
+        ('cho', 3, '', ('abrocho', 'arrocho', 'carocho', 'falucho', 'bombacho', 'borracho', 'mostacho')),
+        ('cha', 3, '', ('borracha', 'carracha', 'estacha', 'garnacha', 'limacha', 'remolacha', 'abrocha')),
+        ('uco', 4, '', ('caduco', 'estuco', 'fachuco', 'malluco', 'saluco', 'trabuco')),
+        ('uzo', 3, '', ('carriñouzo', 'fachuzo', 'mañuzo', 'mestruzo', 'tapuzo')),
+        ('uza', 3, '', ('barruza', 'chamuza', 'chapuza', 'charamuza', 'conduza', 'deduza', 'desluza', 'entreluza', 'induza', 'reluza', 'seduza', 'traduza', 'trasluza')),
+        ('uxa', 3, '', ('caramuxa', 'carrabouxa', 'cartuxa', 'coruxa', 'curuxa', 'gaturuxa', 'maruxa', 'meruxa', 'miruxa', 'moruxa', 'muruxa', 'papuxa', 'rabuxa', 'trouxa')),
+        ('uxo', 3, '', ('caramuxo', 'carouxo', 'carrabouxo', 'curuxo', 'debuxo', 'ganduxo', 'influxo', 'negouxo', 'pertuxo', 'refluxo')),
+        ('ello', 3, '', ('alborello', 'artello', 'botello', 'cachafello', 'calello', 'casarello', 'cazabello', 'cercello', 'cocerello', 'concello', 'consello', 'desparello', 'escaravello', 'espello', 'fedello', 'fervello', 'gagafello', 'gorrobello', 'nortello', 'pendello', 'troupello', 'trebello')),
+        ('ella', 3, '', ('alborella', 'bertorella', 'bocatella', 'botella', 'calella', 'cercella', 'gadella', 'grosella', 'lentella', 'movella', 'nocella', 'noitevella', 'parella', 'pelella', 'percebella', 'segorella', 'sabella')),
+        ),
+    },
+    'noun': {
+        "min": 4, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('dade', 3, '', ('acridade', 'calidade')),
+        ('ificar', 2, '', None),
+        ('eiro', 3, '', ('agoireiro', 'bardalleiro', 'braseiro', 'barreiro', 'canteiro', 'capoeiro', 'carneiro', 'carteiro', 'cinceiro', 'faroleiro', 'mareiro', 'preguiceiro', 'quinteiro', 'raposeiro', 'retranqueiro', 'regueiro', 'sineiro', 'troleiro', 'ventureiro')),
+        ('eira', 3, '', ('cabeleira', 'canteira', 'cocheira', 'folleira', 'milleira')),
+        ('ario', 3, '', ('armario', 'calcario', 'lionario', 'salario')),
+        ('aria', 3, '', ('cetaria', 'coronaria', 'fumaria', 'linaria', 'lunaria', 'parietaria', 'saponaria', 'serpentaria')),
+        ('ístico', 3, '', ('balístico', 'ensaístico')),
+        ('ista', 3, '', ('batista', 'ciclista', 'fadista', 'operista', 'tenista', 'verista')),
+        ('ado', 2, '', ('grado', 'agrado')),
+        ('ato', 2, '', ('agnato',)),
+        ('ido', 3, '', ('cándido', 'cândido', 'consolido', 'decidido', 'duvido', 'marido', 'rápido')),
+        ('ida', 3, '', ('bastida', 'dúbida', 'dubida', 'duvida', 'ermida', 'éxida', 'guarida', 'lapicida', 'medida', 'morida')),
+        ('ída', 3, '', None),
+        ('ido', 3, '', None),
+        ('udo', 3, '', ('estudo', 'escudo')),
+        ('uda', 3, '', None),
+        ('ada', 3, '', ('abada', 'alhada', 'allada', 'pitada')),
+        ('dela', 3, '', ('cambadela', 'cavadela', 'forcadela', 'erisipidela', 'mortadela', 'espadela', 'fondedela', 'picadela', 'arandela', 'candela', 'cordela', 'escudela', 'pardela')),
+        ('ela', 3, '', ('canela', 'capela', 'cotela', 'cubela', 'curupela', 'escarapela', 'esparrela', 'estela', 'fardela', 'flanela', 'fornela', 'franela', 'gabela', 'gamela', 'gavela', 'glumela', 'granicela', 'lamela', 'lapela', 'malvela', 'manela', 'manganela', 'mexarela', 'micela', 'mistela', 'novela', 'ourela', 'panela', 'parcela', 'pasarela', 'patamela', 'patela', 'paxarela', 'pipela', 'pitela', 'postela', 'pubela', 'restela', 'sabela', 'salmonela', 'secuela', 'sentinela', 'soldanela', 'subela', 'temoncela', 'tesela', 'tixela', 'tramela', 'trapela', 'varela', 'vitela', 'xanela', 'xestela')),
+        ('ábel', 2, '', ('afábel', 'fiábel')),
+        ('íbel', 2, '', ('críbel', 'imposíbel', 'posíbel', 'fisíbel', 'falíbel')),
+        ('nte', 3, '', ('alimente', 'adiante', 'acrescente', 'elefante', 'frequente', 'freqüente', 'gigante', 'instante', 'oriente', 'permanente', 'posante', 'possante', 'restaurante')),
+        ('ncia', 3, '', None),
+        ('nza', 3, '', None),
+        ('acia', 3, '', ('acracia', 'audacia', 'falacia', 'farmacia')),
+        ('icia', 3, '', ('caricia', 'delicia', 'ledicia', 'malicia', 'milicia', 'noticia', 'pericia', 'presbicia', 'primicia', 'regalicia', 'sevicia', 'tiricia')),
+        ('iza', 3, '', ('alvariza', 'baliza', 'cachiza', 'caniza', 'cañiza', 'carbaliza', 'carriza', 'chamariza', 'chapiza', 'fraguiza', 'latiza', 'longaniza', 'mañiza', 'nabiza', 'peliza', 'preguiza', 'rabiza')),
+        ('exar', 3, '', ('palmexar',)),
+        ('ación', 2, '', ('aeración',)),
+        ('ición', 3, '', ('condición', 'gornición', 'monición', 'nutrición', 'petición', 'posición', 'sedición', 'volición')),
+        ('ción', 3, 't', None),
+        ('sión', 3, 's', ('abrasión', 'alusión')),
+        ('azón', 2, '', ('armazón',)),
+        ('ón', 3, '', ('abalón', 'acordeón', 'alción', 'aldrabón', 'alerón', 'aliñón', 'ambón', 'bombón', 'calzón', 'campón', 'canalón', 'cantón', 'capitón', 'cañón', 'centón', 'ciclón', 'collón', 'colofón', 'copón', 'cotón', 'cupón', 'petón', 'tirón', 'tourón', 'turón', 'unción', 'versión', 'zubón', 'zurrón')),
+        ('ona', 3, '', ('abandona', 'acetona', 'aleurona', 'amazona', 'anémona', 'bombona', 'cambona', 'carona', 'chacona', 'charamona', 'cincona', 'condona', 'cortisona', 'cretona', 'cretona', 'detona', 'estona', 'fitohormona', 'fregona', 'gerona', 'hidroquinona', 'hormona', 'lesiona', 'madona', 'maratona', 'matrona', 'metadona', 'monótona', 'neurona', 'pamplona', 'peptona', 'poltrona', 'proxesterona', 'quinona', 'quinona', 'silicona', 'sulfona')),
+        ('oa', 3, '', ('abandoa', 'madroa', 'barbacoa', 'estoa', 'airoa', 'eiroa', 'amalloa', 'ámboa', 'améndoa', 'anchoa', 'antinéboa', 'avéntoa', 'avoa', 'bágoa', 'balboa', 'bisavoa', 'boroa', 'canoa', 'caroa', 'comadroa', 'coroa', 'éngoa', 'espácoa', 'filloa', 'fírgoa', 'grañoa', 'lagoa', 'lanzoa', 'magoa', 'mámoa', 'morzoa', 'noiteboa', 'noraboa', 'parañoa', 'persoa', 'queiroa', 'rañoa', 'táboa', 'tataravoa', 'teiroa')),
+        ('aco', 3, '', None),
+        ('aca', 3, '', ('alpaca', 'barraca', 'bullaca', 'buraca', 'carraca', 'casaca', 'cavaca', 'cloaca', 'entresaca', 'ervellaca', 'espinaca', 'estaca', 'farraca', 'millaca', 'pastinaca', 'pataca', 'resaca', 'urraca', 'purraca')),
+        ('al', 4, '', ('afinal', 'animal', 'estatal', 'bisexual', 'bissexual', 'desleal', 'fiscal', 'formal', 'pessoal', 'persoal', 'liberal', 'postal', 'virtual', 'visual', 'pontual', 'puntual', 'homosexual', 'heterosexual')),
+        ('dor', 2, '', ('abaixador',)),
+        ('tor', 3, '', ('autor', 'motor', 'pastor', 'pintor')),
+        ('or', 2, '', ('asesor', 'assessor', 'favor', 'mellor', 'melhor', 'redor', 'rigor', 'sensor', 'tambor', 'tumor')),
+        ('ora', 3, '', ('albacora', 'anáfora', 'áncora', 'apisoadora', 'ardora', 'ascospora', 'aurora', 'avéspora', 'bitácora', 'canéfora', 'cantimplora', 'catáfora', 'cepilladora', 'demora', 'descalcificadora', 'diáspora', 'empacadora', 'epífora', 'ecavadora', 'escora', 'eslora', 'espora', 'fotocompoñedora', 'fotocopiadora', 'grampadora', 'isícora', 'lavadora', 'lixadora', 'macrospora', 'madrépora', 'madrágora', 'masora', 'mellora', 'metáfora', 'microspora', 'milépora', 'milpéndora', 'nécora', 'oospora', 'padeadora', 'pasiflora', 'pécora', 'píldora', 'pólvora', 'ratinadora', 'rémora', 'retroescavadora', 'sófora', 'torradora', 'trémbora', 'uredospora', 'víbora', 'víncora', 'zoospora')),
+        ('aría', 3, '', ('libraría',)),
+        ('axe', 3, '', ('aluaxe', 'amaraxe', 'amperaxe', 'bagaxe', 'balaxe', 'barcaxe', 'borraxe', 'bescaxe', 'cabotaxe', 'carraxe', 'cartilaxe', 'chantaxe', 'colaxe', 'coraxe', 'carruaxe', 'dragaxe', 'embalaxe', 'ensilaxe', 'epistaxe', 'fagundaxe', 'fichaxe', 'fogaxe', 'forraxe', 'fretaxe', 'friaxe', 'garaxe', 'homenaxe', 'leitaxe', 'liñaxe', 'listaxe', 'maraxe', 'marcaxe', 'maridaxe', 'masaxe', 'miraxe', 'montaxe', 'pasaxe', 'peaxe', 'portaxe', 'ramaxe', 'rebelaxe', 'rodaxe', 'romaxe', 'sintaxe', 'sondaxe', 'tiraxe', 'vantaxe', 'vendaxe', 'viraxe')),
+        ('dizo', 3, '', None),
+        ('eza', 3, '', ('alteza', 'beleza', 'fereza', 'fineza', 'vasteza', 'vileza')),
+        ('ez', 3, '', ('acidez', 'adultez', 'adustez', 'avidez', 'candidez', 'mudez', 'nenez', 'nudez', 'pomez')),
+        ('engo', 3, '', None),
+        ('ego', 3, '', ('corego', 'derrego', 'entrego', 'lamego', 'sarego', 'sartego')),
+        ('oso', 3, '', ('afanoso', 'algoso', 'caldoso', 'caloso', 'cocoso', 'ditoso', 'favoso', 'fogoso', 'lamoso', 'mecoso', 'mocoso', 'precioso', 'rixoso', 'venoso', 'viroso', 'xesoso')),
+        ('osa', 3, '', ('mucosa', 'glicosa', 'baldosa', 'celulosa', 'isoglosa', 'nitrocelulosa', 'levulosa', 'ortosa', 'pectosa', 'preciosa', 'sacarosa', 'serosa', 'ventosa')),
+        ('ume', 3, '', ('agrume', 'albume', 'alcume', 'batume', 'cacume', 'cerrume', 'chorume', 'churume', 'costume', 'curtume', 'estrume', 'gafume', 'legume', 'perfume', 'queixume', 'zarrume')),
+        ('ura', 3, '', ('albura', 'armadura', 'imatura', 'costura')),
+        ('iñar', 3, '', None),
+        ('il', 3, '', ('abril', 'alfil', 'anil', 'atril', 'badil', 'baril', 'barril', 'brasil', 'cadril', 'candil', 'cantil', 'carril', 'chamil', 'chancil', 'civil', 'cubil', 'dátil', 'difícil', 'dócil', 'edil', 'estéril', 'fácil', 'fráxil', 'funil', 'fusil', 'grácil', 'gradil', 'hábil', 'hostil', 'marfil')),
+        ('esco', 4, '', None),
+        ('isco', 4, '', None),
+        ('ivo', 3, '', ('pasivo', 'positivo', 'passivo', 'possessivo', 'posesivo', 'pexotarivo', 'relativo')),
+        ),
+    },
+    'verb': {
+        "min": 2, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('aba', 2, '', None),
+        ('abade', 2, '', None),
+        ('ábade', 2, '', None),
+        ('abamo', 2, '', None),
+        ('ábamo', 2, '', None),
+        ('aban', 2, '', None),
+        ('ache', 2, '', None),
+        ('ade', 2, '', None),
+        ('an', 2, '', None),
+        ('ando', 2, '', None),
+        ('ar', 2, '', ('azar', 'bazar', 'patamar')),
+        ('arade', 2, '', None),
+        ('aramo', 2, '', None),
+        ('arán', 2, '', None),
+        ('aran', 2, '', None),
+        ('árade', 2, '', None),
+        ('aría', 2, '', None),
+        ('ariade', 2, '', None),
+        ('aríade', 2, '', None),
+        ('arian', 2, '', None),
+        ('ariamo', 2, '', None),
+        ('aron', 2, '', None),
+        ('ase', 2, '', None),
+        ('asede', 2, '', None),
+        ('ásede', 2, '', None),
+        ('asemo', 2, '', None),
+        ('ásemo', 2, '', None),
+        ('asen', 2, '', None),
+        ('avan', 2, '', None),
+        ('aríamo', 2, '', None),
+        ('assen', 2, '', None),
+        ('ássemo', 2, '', None),
+        ('eríamo', 2, '', None),
+        ('êssemo', 2, '', None),
+        ('iríamo', 3, '', None),
+        ('íssemo', 3, '', None),
+        ('áramo', 2, '', None),
+        ('árei', 2, '', None),
+        ('aren', 2, '', None),
+        ('aremo', 2, '', None),
+        ('aríei', 2, '', None),
+        ('ássei', 2, '', None),
+        ('ávamo', 2, '', None),
+        ('êramo', 1, '', None),
+        ('eremo', 1, '', None),
+        ('eríei', 1, '', None),
+        ('êssei', 1, '', None),
+        ('íramo', 3, '', None),
+        ('iremo', 3, '', None),
+        ('iríei', 3, '', None),
+        ('íssei', 3, '', None),
+        ('issen', 3, '', None),
+        ('endo', 1, '', None),
+        ('indo', 3, '', None),
+        ('ondo', 3, '', None),
+        ('arde', 2, '', None),
+        ('arei', 2, '', None),
+        ('aria', 2, '', None),
+        ('armo', 2, '', None),
+        ('asse', 2, '', None),
+        ('aste', 2, '', None),
+        ('ávei', 2, '', None),
+        ('erão', 1, '', None),
+        ('erde', 1, '', None),
+        ('erei', 1, '', None),
+        ('êrei', 1, '', None),
+        ('eren', 2, '', None),
+        ('eria', 1, '', None),
+        ('ermo', 1, '', None),
+        ('este', 1, '', ('faroeste', 'agreste')),
+        ('íamo', 1, '', None),
+        ('ian', 2, '', ('enfian', 'eloxian', 'ensaian')),
+        ('irde', 2, '', None),
+        ('irei', 3, '', ('admirei',)),
+        ('iren', 3, '', None),
+        ('iria', 3, '', None),
+        ('irmo', 3, '', None),
+        ('isse', 3, '', None),
+        ('iste', 4, '', None),
+        ('iava', 1, '', ('ampliava',)),
+        ('amo', 2, '', None),
+        ('iona', 3, '', None),
+        ('ara', 2, '', ('arara', 'prepara')),
+        ('ará', 2, '', ('alvará', 'bacará')),
+        ('are', 2, '', ('prepare',)),
+        ('ava', 2, '', ('agrava',)),
+        ('emo', 2, '', None),
+        ('era', 1, '', ('acelera', 'espera')),
+        ('erá', 1, '', None),
+        ('ere', 1, '', ('espere',)),
+        ('íei', 1, '', None),
+        ('in', 3, '', None),
+        ('imo', 3, '', ('reprimo', 'intimo', 'íntimo', 'nimo', 'queimo', 'ximo')),
+        ('ira', 3, '', ('fronteira', 'sátira')),
+        ('ído', 3, '', None),
+        ('irá', 3, '', None),
+        ('tizar', 4, '', ('alfabetizar',)),
+        ('izar', 3, '', ('organizar',)),
+        ('itar', 5, '', ('acreditar', 'explicitar', 'estreitar')),
+        ('ire', 3, '', ('adquire',)),
+        ('omo', 3, '', None),
+        ('ai', 2, '', None),
+        ('ear', 4, '', ('alardear', 'nuclear')),
+        ('uei', 3, '', None),
+        ('uía', 5, 'u', None),
+        ('ei', 3, '', None),
+        ('er', 1, '', ('éter', 'pier')),
+        ('eu', 1, '', ('chapeu',)),
+        ('ia', 1, '', ('estória', 'fatia', 'acia', 'praia', 'elogia', 'mania', 'lábia', 'aprecia', 'polícia', 'arredia', 'cheia', 'ásia')),
+        ('ir', 3, '', None),
+        ('iu', 3, '', None),
+        ('eou', 5, '', None),
+        ('ou', 3, '', None),
+        ('i', 1, '', None),
+        ('ede', 1, '', ('rede', 'bípede', 'céspede', 'parede', 'palmípede', 'vostede', 'hóspede', 'adrede')),
+        ('ei', 3, '', None),
+        ('en', 2, '', None),
+        ('erade', 1, '', None),
+        ('érade', 1, '', None),
+        ('eran', 2, '', None),
+        ('eramo', 1, '', None),
+        ('éramo', 1, '', None),
+        ('erán', 1, '', None),
+        ('ería', 1, '', None),
+        ('eriade', 1, '', None),
+        ('eríade', 1, '', None),
+        ('eriamo', 1, '', None),
+        ('erian', 1, '', None),
+        ('erían', 1, '', None),
+        ('eron', 1, '', None),
+        ('ese', 1, '', None),
+        ('esedes', 1, '', None),
+        ('ésedes', 1, '', None),
+        ('esemo', 1, '', None),
+        ('ésemo', 1, '', None),
+        ('esen', 1, '', None),
+        ('êssede', 1, '', None),
+        ('ía', 1, '', None),
+        ('iade', 1, '', None),
+        ('íade', 1, '', None),
+        ('iamo', 1, '', None),
+        ('ían', 1, '', None),
+        ('iche', 1, '', None),
+        ('ide', 1, '', None),
+        ('irade', 3, '', None),
+        ('írade', 3, '', None),
+        ('iramo', 3, '', None),
+        ('irán', 3, '', None),
+        ('iría', 3, '', None),
+        ('iriade', 3, '', None),
+        ('iríade', 3, '', None),
+        ('iriamo', 3, '', None),
+        ('irian', 3, '', None),
+        ('irían', 3, '', None),
+        ('iron', 3, '', None),
+        ('ise', 3, '', None),
+        ('isede', 3, '', None),
+        ('ísede', 3, '', None),
+        ('isemo', 3, '', None),
+        ('ísemo', 3, '', None),
+        ('isen', 3, '', None),
+        ('íssede', 3, '', None),
+        ('tizar', 3, '', ('alfabetizar',)),
+        ('ondo', 3, '', None),
+        ),
+    },
+    'vowel': {
+        "min": 4, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('gue', 2, 'g', ('azougue', 'dengue', 'merengue', 'nurague', 'merengue', 'rengue')),
+        ('que', 2, 'c', ('alambique', 'albaricoque', 'abaroque', 'alcrique', 'almadraque', 'almanaque', 'arenque', 'arinque', 'baduloque', 'ballestrinque', 'betoque', 'bivaque', 'bloque', 'bodaque', 'bosque', 'breque', 'buque', 'cacique', 'cheque', 'claque', 'contradique', 'coque', 'croque', 'dique', 'duque', 'enroque', 'espeque', 'estoque', 'estoraque', 'estraloque', 'estrinque', 'milicroque', 'monicreque', 'orinque', 'arinque', 'palenque', 'parque', 'penique', 'picabeque', 'pique', 'psique', 'raque', 'remolque', 'xeque', 'repenique', 'roque', 'sotobosque', 'tabique', 'tanque', 'toque', 'traque', 'truque', 'vivaque', 'xaque')),
+        ('a', 3, '', ('amasadela', 'cerva')),
+        ('e', 3, '', ('marte',)),
+        ('o', 3, '', ('barro', 'fado', 'cabo', 'libro', 'cervo')),
+        ('â', 3, '', None),
+        ('ã', 3, '', ('amanhã', 'arapuã', 'fã', 'divã', 'manhã')),
+        ('ê', 3, '', None),
+        ('ô', 3, '', None),
+        ('á', 3, '', None),
+        ('é', 3, '', None),
+        ('ó', 3, '', None),
+        ('i', 3, '', None),
+        ),
+    },
+}
+
+_GL_ACCENTS = str.maketrans({"á": "a", "é": "e", "ê": "e", "í": "i",
+                             "ó": "o", "ú": "u"})
+
+
+def _gl_step(w: str, name: str) -> str:
+    st = _GL_STEPS[name]
+    if len(w) < st["min"]:
+        return w
+    if st["end"] is not None and not w.endswith(st["end"]):
+        return w
+    for suf, mn, rep, exc in st["rules"]:
+        if len(w) - len(suf) >= mn and w.endswith(suf):
+            if exc is not None:
+                if st["whole_word_exc"]:
+                    if w in exc:
+                        continue
+                elif w.endswith(exc):
+                    continue
+            return w[: len(w) - len(suf)] + rep
+    return w
+
+
+def galician_stem(w: str) -> str:
+    w = _gl_step(w, "plural")
+    w = _gl_step(w, "unification")
+    w = _gl_step(w, "adverb")
+    while True:
+        w2 = _gl_step(w, "augmentative")
+        if w2 == w:
+            break
+        w = w2
+    w2 = _gl_step(w, "noun")
+    if w2 == w:
+        w2 = _gl_step(w, "verb")
+    w = _gl_step(w2, "vowel")
+    return w.translate(_GL_ACCENTS)
+
+
 LIGHT_STEMMERS = {
     "arabic": arabic_stem,
     "persian": persian_normalize,
@@ -746,6 +1184,7 @@ LIGHT_STEMMERS = {
     "greek": greek_stem,
     "sorani": sorani_stem,
     "brazilian": brazilian_term,
+    "galician": galician_stem,
 }
 
 LIGHT_STOPWORDS = {
@@ -810,6 +1249,13 @@ LIGHT_STOPWORDS = {
         eles estão você tinha foram essa num nem suas meu às minha
         têm numa pelos elas havia seja qual será nós tenho lhe deles
         essas esses pelas este fosse dele""".split()
+    ),
+    "galician": frozenset(
+        """de a o que e do da en un para é con non unha os no se na
+        por máis as dos como pero foi ao el das ten á seu súa ou ser
+        cando moito hai nos xa está eu tamén só polo pola ata iso
+        ela entre era despois sen mesmo aos ter seus quen nas me ese
+        eles están vostede tiña foron esa nin súas meu miña""".split()
     ),
 }
 

@@ -460,7 +460,8 @@ SNOWBALL_ANALYZERS = ("finnish", "hungarian", "catalan", "turkish",
 GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter",
                    "common_grams")
 LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
-                   "indonesian", "latvian", "greek", "sorani", "brazilian")
+                   "indonesian", "latvian", "greek", "sorani", "brazilian",
+                   "galician")
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
              "url_email", "cjk") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
     + GRAPH_ANALYZERS

@@ -2446,6 +2446,8 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("sorani", "کتێبەکە", "کتێب"),
         ("brazilian", "possibilidades", "possibil"),
         ("brazilian", "professores", "professor"),
+        ("galician", "traballando", "traball"),
+        ("galician", "rapazas", "rapaz"),
     ]
 
     R["light_stem_values"] = (

@@ -140,8 +140,8 @@ def test_stop_lists_disjoint_from_corpus_vocab():
         "vector", "window",
     }
     for lang, stops in LIGHT_STOPWORDS.items():
-        if lang in ("czech", "brazilian"):
-            # 'a': the Czech conjunction / the Portuguese article
+        if lang in ("czech", "brazilian", "galician"):
+            # 'a': the Czech conjunction / the pt-gl article
             assert (vocab & stops) == {"a"}
         else:
             assert not (vocab & stops), lang

@@ -25,6 +25,7 @@ LIGHT_SOURCES = [
     "lv/LatvianStemmer.java", "el/GreekStemmer.java",
     "br/BrazilianStemmer.java",
     "ckb/SoraniNormalizer.java", "ckb/SoraniStemmer.java",
+    "pt/RSLPStemmerBase.java", "gl/GalicianStemmer.java",
 ]
 
 PORTER_SHIM = """package org.apache.lucene.analysis.en;
@@ -81,6 +82,7 @@ import org.apache.lucene.analysis.lv.LatvianStemmer;
 import org.apache.lucene.analysis.el.GreekStemmer;
 import org.apache.lucene.analysis.br.BrazilianStemmer;
 import org.apache.lucene.analysis.ckb.*;
+import org.apache.lucene.analysis.gl.GalicianStemmer;
 import java.lang.reflect.Method;
 
 public class LightMain {
@@ -138,6 +140,11 @@ public class LightMain {
                 len = new SoraniStemmer().stem(s, len);
                 return new String(s, 0, len);
             }
+            case "galician": {
+                char[] s = java.util.Arrays.copyOf(b, len + 2);
+                len = new GalicianStemmer().stem(s, len);
+                return new String(s, 0, len);
+            }
             case "brazilian": {
                 BrazilianStemmer st = new BrazilianStemmer();
                 Method m = BrazilianStemmer.class.getDeclaredMethod("stem", String.class);
@@ -185,6 +192,13 @@ def ensure_light_oracle():
         ["javac", "-d", "classes", "-encoding", "UTF-8", "-cp", "classes"]
         + files, cwd=ORACLE_DIR, check=True,
     )
+    rsrc = os.path.join(classes, "org/apache/lucene/analysis/gl")
+    os.makedirs(rsrc, exist_ok=True)
+    subprocess.run(
+        ["cp", REF.replace("/java/", "/resources/", 1).replace(
+            "src/java", "src/resources") if False else
+         "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/gl/galician.rslp",
+         rsrc], check=True)
     return classes
 
 ALPHA = {
@@ -203,13 +217,24 @@ ALPHA = {
     "greek": "αβγδεζηθικλμνξοπρστυφχψω",
     "sorani": "ئابپتجچحخدرڕزژسشعغفڤقکگلڵمنوۆهەیێكيىهةھڒ" + "\u200c\u0640\u064b\u064e\u0651",
     "brazilian": "abcdefghijklmnopqrstuvwxyzáâãéêíóôõúüçñ-'.",
+    "galician": "abcdefghijklmnopqrstuvwxyzáéêíñóúüç",
 }
 PREFIX = {"arabic": "_AR", "persian": "_FA", "czech": "_CZ",
           "bulgarian": "_BG", "hindi": "_HI", "indonesian": "_ID",
-          "latvian": "_LV", "sorani": "_CKB", "brazilian": "_BR"}
+          "latvian": "_LV", "sorani": "_CKB", "brazilian": "_BR", "galician": "_GL"}
 
 
 def harvest(mod, prefix):
+    if prefix == "_GL":
+        sufs = set()
+        for st in mod._GL_STEPS.values():
+            for suf, _mn, rep, exc in st["rules"]:
+                sufs.add(suf)
+                if rep:
+                    sufs.add(rep)
+                for e in exc or ():
+                    sufs.add(e)
+        return sorted(sufs)
     sufs = set()
     for name in dir(mod):
         if not name.startswith(prefix):
