@@ -1173,6 +1173,283 @@ def galician_stem(w: str) -> str:
     return w.translate(_GL_ACCENTS)
 
 
+# ---------------------------------------------------------------------------
+# Romance/German LIGHT stemmers (Savoy's UniNE / CLEF-2001 algorithms).
+# These are what the reference's DEFAULT GermanAnalyzer, FrenchAnalyzer,
+# SpanishAnalyzer, PortugueseAnalyzer and ItalianAnalyzer actually wire
+# (de/GermanLightStemmer.java + GermanNormalizationFilter.java,
+# fr/FrenchLightStemmer.java, es/SpanishLightStemmer.java,
+# pt/PortugueseLightStemmer.java, it/ItalianLightStemmer.java) — the
+# Snowball packs cover SnowballFilter-based custom schemas instead.
+# ---------------------------------------------------------------------------
+
+_DEL_FOLD = str.maketrans(
+    {"ä": "a", "à": "a", "á": "a", "â": "a", "ö": "o", "ò": "o",
+     "ó": "o", "ô": "o", "ï": "i", "ì": "i", "í": "i", "î": "i",
+     "ü": "u", "ù": "u", "ú": "u", "û": "u"}
+)
+_DE_ST_END = frozenset("bdfghklmnt")
+
+
+def german_normalize(w: str) -> str:
+    """GermanNormalizationFilter's state machine: 'e' after a u/a/o
+    state is deleted (bauen->baun style), umlauts fold, ß -> ss."""
+    out = []
+    state = "N"
+    for c in w:
+        if c in ("a", "o"):
+            out.append(c); state = "U"
+        elif c == "u":
+            out.append(c); state = "U" if state == "N" else "V"
+        elif c == "e":
+            if state == "U":
+                state = "V"
+                continue  # delete
+            out.append(c); state = "V"
+        elif c in ("i", "q", "y"):
+            out.append(c); state = "V"
+        elif c == "ä":
+            out.append("a"); state = "V"
+        elif c == "ö":
+            out.append("o"); state = "V"
+        elif c == "ü":
+            out.append("u"); state = "V"
+        elif c == "ß":
+            out.append("ss"); state = "N"
+        else:
+            out.append(c); state = "N"
+    return "".join(out)
+
+
+def german_light_stem(w: str) -> str:
+    w = w.translate(_DEL_FOLD)
+    n = len(w)
+    if n > 5 and w.endswith("ern"):
+        w = w[:-3]
+    elif n > 4 and w[-2:-1] == "e" and w[-1] in "mnrs":
+        w = w[:-2]
+    elif n > 3 and w[-1] == "e":
+        w = w[:-1]
+    elif n > 3 and w[-1] == "s" and w[-2] in _DE_ST_END:
+        w = w[:-1]
+    n = len(w)
+    if n > 5 and w.endswith("est"):
+        w = w[:-3]
+    elif n > 4 and (w.endswith("er") or w.endswith("en")):
+        w = w[:-2]
+    elif n > 4 and w.endswith("st") and w[-3] in _DE_ST_END:
+        w = w[:-2]
+    return w
+
+
+def german_light_term(t: str) -> str:
+    """The GermanAnalyzer default chain tail: normalization then stem."""
+    return german_light_stem(german_normalize(t))
+
+
+_ES_LIGHT_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a", "ò": "o", "ó": "o",
+     "ô": "o", "ö": "o", "è": "e", "é": "e", "ê": "e", "ë": "e",
+     "ù": "u", "ú": "u", "û": "u", "ü": "u", "ì": "i", "í": "i",
+     "î": "i", "ï": "i"}
+)
+
+
+def spanish_light_stem(w: str) -> str:
+    if len(w) < 5:
+        return w
+    w = w.translate(_ES_LIGHT_FOLD)
+    if w[-1] in "oae":
+        return w[:-1]
+    if w[-1] == "s":
+        if w[-2] == "e" and w[-3] == "s" and w[-4] == "e":
+            return w[:-2]
+        if w[-2] == "e" and w[-3] == "c":
+            return w[:-3] + "z"
+        if w[-2] in "oae":
+            return w[:-2]
+    return w
+
+
+def italian_light_stem(w: str) -> str:
+    if len(w) < 6:
+        return w
+    w = w.translate(_ES_LIGHT_FOLD)
+    last, prev = w[-1], w[-2]
+    if last == "e":
+        return w[:-2] if prev in ("i", "h") else w[:-1]
+    if last == "i":
+        return w[:-2] if prev in ("h", "i") else w[:-1]
+    if last in ("a", "o"):
+        return w[:-2] if prev == "i" else w[:-1]
+    return w
+
+
+_FRL_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+     "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+)
+
+
+def _frl_norm(w: str) -> str:
+    if len(w) > 4:
+        w = w.translate(_FRL_FOLD)
+        out = [w[0]]
+        for c in w[1:]:
+            if c == out[-1] and c.isalpha():
+                continue  # collapse doubled letters
+            out.append(c)
+        w = "".join(out)
+    if len(w) > 4 and w.endswith("ie"):
+        w = w[:-2]
+    if len(w) > 4:
+        if w[-1] == "r":
+            w = w[:-1]
+        if w[-1] == "e":
+            w = w[:-1]
+        if w[-1] == "e":
+            w = w[:-1]
+        if len(w) >= 2 and w[-1] == w[-2] and w[-1].isalpha():
+            w = w[:-1]
+    return w
+
+
+def french_light_stem(w: str) -> str:
+    if len(w) > 5 and w[-1] == "x":
+        if w[-3] == "a" and w[-2] == "u" and w[-4] != "e":
+            w = w[:-2] + "lx"  # aux -> alx, then the x drops
+        w = w[:-1]
+    if len(w) > 3 and w[-1] == "x":
+        w = w[:-1]
+    if len(w) > 3 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 9 and w.endswith("issement"):
+        return _frl_norm(w[:-7] + "r")
+    if n > 8 and w.endswith("issant"):
+        return _frl_norm(w[:-5] + "r")
+    if n > 6 and w.endswith("ement"):
+        w = w[:-4]
+        if len(w) > 3 and w.endswith("ive"):
+            w = w[:-2] + "f"
+        return _frl_norm(w)
+    if n > 11 and w.endswith("ficatrice"):
+        return _frl_norm(w[:-7] + "er")
+    if n > 10 and w.endswith("ficateur"):
+        return _frl_norm(w[:-6] + "er")
+    if n > 9 and w.endswith("catrice"):
+        return _frl_norm(w[:-7] + "quer")
+    if n > 8 and w.endswith("cateur"):
+        return _frl_norm(w[:-6] + "quer")
+    if n > 8 and w.endswith("atrice"):
+        return _frl_norm(w[:-6] + "er")
+    if n > 7 and w.endswith("ateur"):
+        return _frl_norm(w[:-5] + "er")
+    if n > 6 and w.endswith("trice"):
+        w = w[:-5] + "teur"  # no early return in the reference
+    n = len(w)
+    if n > 5 and w.endswith("ième"):
+        return _frl_norm(w[:-4])
+    if n > 7 and w.endswith("teuse"):
+        return _frl_norm(w[:-3] + "r")
+    if n > 6 and w.endswith("teur"):
+        return _frl_norm(w[:-2] + "r")
+    if n > 5 and w.endswith("euse"):
+        return _frl_norm(w[:-2])
+    if n > 8 and w.endswith("ère"):
+        return _frl_norm(w[:-3] + "er")
+    if n > 7 and w.endswith("ive"):
+        return _frl_norm(w[:-2] + "f")
+    if n > 4 and (w.endswith("folle") or w.endswith("molle")):
+        return _frl_norm(w[:-3] + "u")
+    if n > 9 and w.endswith("nnelle"):
+        return _frl_norm(w[:-5])
+    if n > 9 and w.endswith("nnel"):
+        return _frl_norm(w[:-3])
+    if n > 4 and w.endswith("ète"):
+        w = w[:-3] + "et"  # falls through
+    n = len(w)
+    if n > 8 and w.endswith("ique"):
+        w = w[:-4]
+    n = len(w)
+    if n > 8 and w.endswith("esse"):
+        return _frl_norm(w[:-3])
+    if n > 7 and w.endswith("inage"):
+        return _frl_norm(w[:-3])
+    if n > 9 and w.endswith("isation"):
+        w = w[:-7]
+        if len(w) > 5 and w.endswith("ual"):
+            w = w[:-2] + "el"
+        return _frl_norm(w)
+    if n > 9 and w.endswith("isateur"):
+        return _frl_norm(w[:-7])
+    if n > 8 and w.endswith("ation"):
+        return _frl_norm(w[:-5])
+    if n > 8 and w.endswith("ition"):
+        return _frl_norm(w[:-5])
+    return _frl_norm(w)
+
+
+_PTL_FOLD = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a", "ò": "o",
+     "ó": "o", "ô": "o", "ö": "o", "õ": "o", "è": "e", "é": "e",
+     "ê": "e", "ë": "e", "ù": "u", "ú": "u", "û": "u", "ü": "u",
+     "ì": "i", "í": "i", "î": "i", "ï": "i", "ç": "c"}
+)
+
+
+def _ptl_remove_suffix(w: str) -> str:
+    n = len(w)
+    if n > 4 and w.endswith("es") and w[-3] in "rslz":
+        return w[:-2]
+    if n > 3 and w.endswith("ns"):
+        return w[:-2] + "m"
+    if n > 4 and (w.endswith("eis") or w.endswith("éis")):
+        return w[:-3] + "el"
+    if n > 4 and w.endswith("ais"):
+        return w[:-3] + "al"
+    if n > 4 and w.endswith("óis"):
+        return w[:-3] + "ol"
+    if n > 4 and w.endswith("is"):
+        return w[:-1] + "l"
+    if n > 3 and (w.endswith("ões") or w.endswith("ães")):
+        return w[:-3] + "ão"
+    if n > 6 and w.endswith("mente"):
+        return w[:-5]
+    if n > 3 and w[-1] == "s":
+        return w[:-1]
+    return w
+
+
+def _ptl_norm_feminine(w: str) -> str:
+    n = len(w)
+    if n > 7 and w.endswith(("inha", "iaca", "eira")):
+        return w[:-1] + "o"
+    if n > 6:
+        if w.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            return w[:-1] + "o"
+        if w.endswith("ona"):
+            return w[:-3] + "ão"
+        if w.endswith("ora"):
+            return w[:-1]
+        if w.endswith("esa"):
+            return w[:-3] + "ês"
+        if w.endswith("na"):
+            return w[:-1] + "o"
+    return w
+
+
+def portuguese_light_stem(w: str) -> str:
+    if len(w) < 4:
+        return w
+    w = _ptl_remove_suffix(w)
+    if len(w) > 3 and w[-1] == "a":
+        w = _ptl_norm_feminine(w)
+    if len(w) > 4 and w[-1] in "eao":
+        w = w[:-1]
+    return w.translate(_PTL_FOLD)
+
+
 LIGHT_STEMMERS = {
     "arabic": arabic_stem,
     "persian": persian_normalize,
@@ -1185,6 +1462,12 @@ LIGHT_STEMMERS = {
     "sorani": sorani_stem,
     "brazilian": brazilian_term,
     "galician": galician_stem,
+    # the reference's DEFAULT analyzer chains for these five languages
+    "german_light": german_light_term,
+    "french_light": french_light_stem,
+    "spanish_light": spanish_light_stem,
+    "portuguese_light": portuguese_light_stem,
+    "italian_light": italian_light_stem,
 }
 
 LIGHT_STOPWORDS = {
@@ -1259,6 +1542,14 @@ LIGHT_STOPWORDS = {
     ),
 }
 
+# the light-variant analyzers use the same per-language stop cores
+from .snowball import SNOWBALL_STOPWORDS as _SB_STOPS  # noqa: E402
+
+for _lang, _src in (("german_light", "german"), ("french_light", "french"),
+                    ("spanish_light", "spanish"),
+                    ("portuguese_light", "portuguese"),
+                    ("italian_light", "italian")):
+    LIGHT_STOPWORDS[_lang] = _SB_STOPS[_src]
 
 def light_filter_terms(terms, lang: str):
     """Light-stemmer analog of snowball_filter_terms: dictionary-only

@@ -461,7 +461,8 @@ GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter",
                    "common_grams")
 LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
                    "indonesian", "latvian", "greek", "sorani", "brazilian",
-                   "galician")
+                   "galician", "german_light", "french_light",
+                   "spanish_light", "portuguese_light", "italian_light")
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
              "url_email", "cjk") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
     + GRAPH_ANALYZERS

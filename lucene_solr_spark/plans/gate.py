@@ -2448,6 +2448,13 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("brazilian", "professores", "professor"),
         ("galician", "traballando", "traball"),
         ("galician", "rapazas", "rapaz"),
+        ("german_light", "häuser", "haus"),
+        ("german_light", "freundlichen", "freundlich"),
+        ("french_light", "chanteuse", "chant"),
+        ("french_light", "nationaux", "national"),
+        ("spanish_light", "canciones", "cancion"),
+        ("portuguese_light", "corações", "coraca"),
+        ("italian_light", "politiche", "politic"),
     ]
 
     R["light_stem_values"] = (

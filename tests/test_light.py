@@ -140,8 +140,34 @@ def test_stop_lists_disjoint_from_corpus_vocab():
         "vector", "window",
     }
     for lang, stops in LIGHT_STOPWORDS.items():
-        if lang in ("czech", "brazilian", "galician"):
-            # 'a': the Czech conjunction / the pt-gl article
+        if lang in ("czech", "brazilian", "galician", "french_light",
+                    "spanish_light", "portuguese_light", "italian_light"):
+            # 'a': the Czech conjunction / the Romance article
             assert (vocab & stops) == {"a"}
         else:
             assert not (vocab & stops), lang
+
+
+def test_german_normalization_filter_state_machine():
+    # GermanNormalizationFilter: ae/oe/ue digraphs fold the e; 'que'
+    # is protected by the q state; umlauts fold; ss for sharp-s
+    from lucene_solr_spark.analysis.light import german_normalize
+
+    assert german_normalize("aepfel") == "apfel"
+    assert german_normalize("gruen") == "grun"
+    assert german_normalize("quelle") == "quelle"
+    assert german_normalize("weiß") == "weiss"
+    assert german_normalize("häuser") == "hauser"
+
+
+def test_light_variant_analyzers_through_chain():
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import tokenize_series
+
+    f = tokenize_series(pd.Series(["die häuser und freundlichen"]),
+                        analyzer="german_light")
+    assert list(f["term"].astype(str)) == ["haus", "freundlich"]
+    f = tokenize_series(pd.Series(["la chanteuse nationaux"]),
+                        analyzer="french_light")
+    assert list(f["term"].astype(str)) == ["chant", "national"]

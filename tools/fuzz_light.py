@@ -26,6 +26,9 @@ LIGHT_SOURCES = [
     "br/BrazilianStemmer.java",
     "ckb/SoraniNormalizer.java", "ckb/SoraniStemmer.java",
     "pt/RSLPStemmerBase.java", "gl/GalicianStemmer.java",
+    "de/GermanLightStemmer.java", "fr/FrenchLightStemmer.java",
+    "es/SpanishLightStemmer.java", "pt/PortugueseLightStemmer.java",
+    "it/ItalianLightStemmer.java",
 ]
 
 PORTER_SHIM = """package org.apache.lucene.analysis.en;
@@ -83,6 +86,11 @@ import org.apache.lucene.analysis.el.GreekStemmer;
 import org.apache.lucene.analysis.br.BrazilianStemmer;
 import org.apache.lucene.analysis.ckb.*;
 import org.apache.lucene.analysis.gl.GalicianStemmer;
+import org.apache.lucene.analysis.de.GermanLightStemmer;
+import org.apache.lucene.analysis.fr.FrenchLightStemmer;
+import org.apache.lucene.analysis.es.SpanishLightStemmer;
+import org.apache.lucene.analysis.pt.PortugueseLightStemmer;
+import org.apache.lucene.analysis.it.ItalianLightStemmer;
 import java.lang.reflect.Method;
 
 public class LightMain {
@@ -140,6 +148,21 @@ public class LightMain {
                 len = new SoraniStemmer().stem(s, len);
                 return new String(s, 0, len);
             }
+            case "german_light":
+                len = new GermanLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "french_light":
+                len = new FrenchLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "spanish_light":
+                len = new SpanishLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "portuguese_light":
+                len = new PortugueseLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "italian_light":
+                len = new ItalianLightStemmer().stem(b, len);
+                return new String(b, 0, len);
             case "galician": {
                 char[] s = java.util.Arrays.copyOf(b, len + 2);
                 len = new GalicianStemmer().stem(s, len);
@@ -218,10 +241,18 @@ ALPHA = {
     "sorani": "ئابپتجچحخدرڕزژسشعغفڤقکگلڵمنوۆهەیێكيىهةھڒ" + "\u200c\u0640\u064b\u064e\u0651",
     "brazilian": "abcdefghijklmnopqrstuvwxyzáâãéêíóôõúüçñ-'.",
     "galician": "abcdefghijklmnopqrstuvwxyzáéêíñóúüç",
+    "german_light": "abcdefghijklmnopqrstuvwxyzäöüàáâòóôìíîùúûß",
+    "french_light": "abcdefghijklmnopqrstuvwxyzàáâôèéêùûîç",
+    "spanish_light": "abcdefghijklmnopqrstuvwxyzàáâäòóôöèéêëùúûüìíîï",
+    "portuguese_light": "abcdefghijklmnopqrstuvwxyzàáâäãòóôöõèéêëùúûüìíîïç",
+    "italian_light": "abcdefghijklmnopqrstuvwxyzàáâäòóôöèéêëùúûüìíîï",
 }
 PREFIX = {"arabic": "_AR", "persian": "_FA", "czech": "_CZ",
           "bulgarian": "_BG", "hindi": "_HI", "indonesian": "_ID",
-          "latvian": "_LV", "sorani": "_CKB", "brazilian": "_BR", "galician": "_GL"}
+          "latvian": "_LV", "sorani": "_CKB", "brazilian": "_BR",
+          "galician": "_GL", "german_light": "_DEL",
+          "french_light": "_FRL", "spanish_light": "_ES_LIGHT",
+          "portuguese_light": "_PTL", "italian_light": "_ES_LIGHT"}
 
 
 def harvest(mod, prefix):
@@ -261,6 +292,9 @@ def main():
 
     fns = {"porter": porter_stem}
     fns.update({k: v for k, v in light.LIGHT_STEMMERS.items()})
+    # the Java oracle drives the bare stemmer; the analyzer chain's
+    # GermanNormalizationFilter is unit-tested separately
+    fns["german_light"] = light.german_light_stem
 
     rng = random.Random(20260818)
     total_bad = 0
