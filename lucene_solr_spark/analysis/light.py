@@ -1450,6 +1450,634 @@ def portuguese_light_stem(w: str) -> str:
     return w.translate(_PTL_FOLD)
 
 
+
+# ---------------------------------------------------------------------------
+# Portuguese RSLP (pt/PortugueseStemmer.java over portuguese.rslp, the
+# PortugueseStemFilter option) + the RSLP-S minimal variants
+# (pt/PortugueseMinimalStemmer.java, gl/GalicianMinimalStemmer.java =
+# just the Plural step), reusing the Galician RSLP engine semantics.
+# ---------------------------------------------------------------------------
+
+_PTR_STEPS = {
+    'plural': {
+        "min": 3, "whole_word_exc": True,
+        "end": ('s',),
+        "rules": (
+        ('ns', 1, 'm', None),
+        ('ões', 3, 'ão', None),
+        ('ães', 1, 'ão', ('mães',)),
+        ('ais', 1, 'al', ('cais', 'mais')),
+        ('éis', 2, 'el', None),
+        ('eis', 2, 'el', None),
+        ('óis', 2, 'ol', None),
+        ('is', 2, 'il', ('lápis', 'cais', 'mais', 'crúcis', 'biquínis', 'pois', 'depois', 'dois', 'leis')),
+        ('les', 3, 'l', None),
+        ('res', 3, 'r', ('árvores',)),
+        ('s', 2, '', ('aliás', 'pires', 'lápis', 'cais', 'mais', 'mas', 'menos', 'férias', 'fezes', 'pêsames', 'crúcis', 'gás', 'atrás', 'moisés', 'através', 'convés', 'ês', 'país', 'após', 'ambas', 'ambos', 'messias', 'depois')),
+        ),
+    },
+    'adverb': {
+        "min": 9, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('mente', 4, '', ('experimente',)),
+        ),
+    },
+    'feminine': {
+        "min": 3, "whole_word_exc": True,
+        "end": ('a', 'ã'),
+        "rules": (
+        ('ona', 3, 'ão', ('abandona', 'lona', 'iona', 'cortisona', 'monótona', 'maratona', 'acetona', 'detona', 'carona')),
+        ('ã', 2, 'ão', ('amanhã', 'arapuã', 'fã', 'divã')),
+        ('ora', 3, 'or', None),
+        ('na', 4, 'no', ('carona', 'abandona', 'lona', 'iona', 'cortisona', 'monótona', 'maratona', 'acetona', 'detona', 'guiana', 'campana', 'grana', 'caravana', 'banana', 'paisana')),
+        ('inha', 3, 'inho', ('rainha', 'linha', 'minha')),
+        ('esa', 3, 'ês', ('mesa', 'obesa', 'princesa', 'turquesa', 'ilesa', 'pesa', 'presa')),
+        ('osa', 3, 'oso', ('mucosa', 'prosa')),
+        ('íaca', 3, 'íaco', None),
+        ('ica', 3, 'ico', ('dica',)),
+        ('ada', 2, 'ado', ('pitada',)),
+        ('ida', 3, 'ido', ('vida', 'dúvida')),
+        ('ída', 3, 'ido', ('recaída', 'saída')),
+        ('ima', 3, 'imo', ('vítima',)),
+        ('iva', 3, 'ivo', ('saliva', 'oliva')),
+        ('eira', 3, 'eiro', ('beira', 'cadeira', 'frigideira', 'bandeira', 'feira', 'capoeira', 'barreira', 'fronteira', 'besteira', 'poeira')),
+        ),
+    },
+    'augmentative': {
+        "min": 5, "whole_word_exc": True,
+        "end": None,
+        "rules": (
+        ('díssimo', 5, '', None),
+        ('abilíssimo', 5, '', None),
+        ('íssimo', 3, '', None),
+        ('ésimo', 3, '', None),
+        ('érrimo', 4, '', None),
+        ('zinho', 2, '', None),
+        ('quinho', 4, 'c', None),
+        ('uinho', 4, '', None),
+        ('adinho', 3, '', None),
+        ('inho', 3, '', ('caminho', 'cominho')),
+        ('alhão', 4, '', None),
+        ('uça', 4, '', None),
+        ('aço', 4, '', ('antebraço',)),
+        ('aça', 4, '', None),
+        ('adão', 4, '', None),
+        ('idão', 4, '', None),
+        ('ázio', 3, '', ('topázio',)),
+        ('arraz', 4, '', None),
+        ('zarrão', 3, '', None),
+        ('arrão', 4, '', None),
+        ('arra', 3, '', None),
+        ('zão', 2, '', ('coalizão',)),
+        ('ão', 3, '', ('camarão', 'chimarrão', 'canção', 'coração', 'embrião', 'grotão', 'glutão', 'ficção', 'fogão', 'feição', 'furacão', 'gamão', 'lampião', 'leão', 'macacão', 'nação', 'órfão', 'orgão', 'patrão', 'portão', 'quinhão', 'rincão', 'tração', 'falcão', 'espião', 'mamão', 'folião', 'cordão', 'aptidão', 'campeão', 'colchão', 'limão', 'leilão', 'melão', 'barão', 'milhão', 'bilhão', 'fusão', 'cristão', 'ilusão', 'capitão', 'estação', 'senão')),
+        ),
+    },
+    'noun': {
+        "min": 4, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('encialista', 4, '', None),
+        ('alista', 5, '', None),
+        ('agem', 3, '', ('coragem', 'chantagem', 'vantagem', 'carruagem')),
+        ('iamento', 4, '', None),
+        ('amento', 3, '', ('firmamento', 'fundamento', 'departamento')),
+        ('imento', 3, '', None),
+        ('mento', 6, '', ('firmamento', 'elemento', 'complemento', 'instrumento', 'departamento')),
+        ('alizado', 4, '', None),
+        ('atizado', 4, '', None),
+        ('tizado', 4, '', ('alfabetizado',)),
+        ('izado', 5, '', ('organizado', 'pulverizado')),
+        ('ativo', 4, '', ('pejorativo', 'relativo')),
+        ('tivo', 4, '', ('relativo',)),
+        ('ivo', 4, '', ('passivo', 'possessivo', 'pejorativo', 'positivo')),
+        ('ado', 2, '', ('grado',)),
+        ('ido', 3, '', ('cândido', 'consolido', 'rápido', 'decido', 'tímido', 'duvido', 'marido')),
+        ('ador', 3, '', None),
+        ('edor', 3, '', None),
+        ('idor', 4, '', ('ouvidor',)),
+        ('dor', 4, '', ('ouvidor',)),
+        ('sor', 4, '', ('assessor',)),
+        ('atoria', 5, '', None),
+        ('tor', 3, '', ('benfeitor', 'leitor', 'editor', 'pastor', 'produtor', 'promotor', 'consultor')),
+        ('or', 2, '', ('motor', 'melhor', 'redor', 'rigor', 'sensor', 'tambor', 'tumor', 'assessor', 'benfeitor', 'pastor', 'terior', 'favor', 'autor')),
+        ('abilidade', 5, '', None),
+        ('icionista', 4, '', None),
+        ('cionista', 5, '', None),
+        ('ionista', 5, '', None),
+        ('ionar', 5, '', None),
+        ('ional', 4, '', None),
+        ('ência', 3, '', None),
+        ('ância', 4, '', ('ambulância',)),
+        ('edouro', 3, '', None),
+        ('queiro', 3, 'c', None),
+        ('adeiro', 4, '', ('desfiladeiro',)),
+        ('eiro', 3, '', ('desfiladeiro', 'pioneiro', 'mosteiro')),
+        ('uoso', 3, '', None),
+        ('oso', 3, '', ('precioso',)),
+        ('alizaç', 5, '', None),
+        ('atizaç', 5, '', None),
+        ('tizaç', 5, '', None),
+        ('izaç', 5, '', ('organizaç',)),
+        ('aç', 3, '', ('equaç', 'relaç')),
+        ('iç', 3, '', ('eleiç',)),
+        ('ário', 3, '', ('voluntário', 'salário', 'aniversário', 'diário', 'lionário', 'armário')),
+        ('atório', 3, '', None),
+        ('rio', 5, '', ('voluntário', 'salário', 'aniversário', 'diário', 'compulsório', 'lionário', 'próprio', 'stério', 'armário')),
+        ('ério', 6, '', None),
+        ('ês', 4, '', None),
+        ('eza', 3, '', None),
+        ('ez', 4, '', None),
+        ('esco', 4, '', None),
+        ('ante', 2, '', ('gigante', 'elefante', 'adiante', 'possante', 'instante', 'restaurante')),
+        ('ástico', 4, '', ('eclesiástico',)),
+        ('alístico', 3, '', None),
+        ('áutico', 4, '', None),
+        ('êutico', 4, '', None),
+        ('tico', 3, '', ('político', 'eclesiástico', 'diagnostico', 'prático', 'doméstico', 'diagnóstico', 'idêntico', 'alopático', 'artístico', 'autêntico', 'eclético', 'crítico', 'critico')),
+        ('ico', 4, '', ('tico', 'público', 'explico')),
+        ('ividade', 5, '', None),
+        ('idade', 4, '', ('autoridade', 'comunidade')),
+        ('oria', 4, '', ('categoria',)),
+        ('encial', 5, '', None),
+        ('ista', 4, '', None),
+        ('auta', 5, '', None),
+        ('quice', 4, 'c', None),
+        ('ice', 4, '', ('cúmplice',)),
+        ('íaco', 3, '', None),
+        ('ente', 4, '', ('freqüente', 'alimente', 'acrescente', 'permanente', 'oriente', 'aparente')),
+        ('ense', 5, '', None),
+        ('inal', 3, '', None),
+        ('ano', 4, '', None),
+        ('ável', 2, '', ('afável', 'razoável', 'potável', 'vulnerável')),
+        ('ível', 3, '', ('possível',)),
+        ('vel', 5, '', ('possível', 'vulnerável', 'solúvel')),
+        ('bil', 3, 'vel', None),
+        ('ura', 4, '', ('imatura', 'acupuntura', 'costura')),
+        ('ural', 4, '', None),
+        ('ual', 3, '', ('bissexual', 'virtual', 'visual', 'pontual')),
+        ('ial', 3, '', None),
+        ('al', 4, '', ('afinal', 'animal', 'estatal', 'bissexual', 'desleal', 'fiscal', 'formal', 'pessoal', 'liberal', 'postal', 'virtual', 'visual', 'pontual', 'sideral', 'sucursal')),
+        ('alismo', 4, '', None),
+        ('ivismo', 4, '', None),
+        ('ismo', 3, '', ('cinismo',)),
+        ),
+    },
+    'verb': {
+        "min": 4, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('aríamo', 2, '', None),
+        ('ássemo', 2, '', None),
+        ('eríamo', 2, '', None),
+        ('êssemo', 2, '', None),
+        ('iríamo', 3, '', None),
+        ('íssemo', 3, '', None),
+        ('áramo', 2, '', None),
+        ('árei', 2, '', None),
+        ('aremo', 2, '', None),
+        ('ariam', 2, '', None),
+        ('aríei', 2, '', None),
+        ('ássei', 2, '', None),
+        ('assem', 2, '', None),
+        ('ávamo', 2, '', None),
+        ('êramo', 3, '', None),
+        ('eremo', 3, '', None),
+        ('eriam', 3, '', None),
+        ('eríei', 3, '', None),
+        ('êssei', 3, '', None),
+        ('essem', 3, '', None),
+        ('íramo', 3, '', None),
+        ('iremo', 3, '', None),
+        ('iriam', 3, '', None),
+        ('iríei', 3, '', None),
+        ('íssei', 3, '', None),
+        ('issem', 3, '', None),
+        ('ando', 2, '', None),
+        ('endo', 3, '', None),
+        ('indo', 3, '', None),
+        ('ondo', 3, '', None),
+        ('aram', 2, '', None),
+        ('arão', 2, '', None),
+        ('arde', 2, '', None),
+        ('arei', 2, '', None),
+        ('arem', 2, '', None),
+        ('aria', 2, '', None),
+        ('armo', 2, '', None),
+        ('asse', 2, '', None),
+        ('aste', 2, '', None),
+        ('avam', 2, '', ('agravam',)),
+        ('ávei', 2, '', None),
+        ('eram', 3, '', None),
+        ('erão', 3, '', None),
+        ('erde', 3, '', None),
+        ('erei', 3, '', None),
+        ('êrei', 3, '', None),
+        ('erem', 3, '', None),
+        ('eria', 3, '', None),
+        ('ermo', 3, '', None),
+        ('esse', 3, '', None),
+        ('este', 3, '', ('faroeste', 'agreste')),
+        ('íamo', 3, '', None),
+        ('iram', 3, '', None),
+        ('íram', 3, '', None),
+        ('irão', 2, '', None),
+        ('irde', 2, '', None),
+        ('irei', 3, '', ('admirei',)),
+        ('irem', 3, '', ('adquirem',)),
+        ('iria', 3, '', None),
+        ('irmo', 3, '', None),
+        ('isse', 3, '', None),
+        ('iste', 4, '', None),
+        ('iava', 4, '', ('ampliava',)),
+        ('amo', 2, '', None),
+        ('iona', 3, '', None),
+        ('ara', 2, '', ('arara', 'prepara')),
+        ('ará', 2, '', ('alvará',)),
+        ('are', 2, '', ('prepare',)),
+        ('ava', 2, '', ('agrava',)),
+        ('emo', 2, '', None),
+        ('era', 3, '', ('acelera', 'espera')),
+        ('erá', 3, '', None),
+        ('ere', 3, '', ('espere',)),
+        ('iam', 3, '', ('enfiam', 'ampliam', 'elogiam', 'ensaiam')),
+        ('íei', 3, '', None),
+        ('imo', 3, '', ('reprimo', 'intimo', 'íntimo', 'nimo', 'queimo', 'ximo')),
+        ('ira', 3, '', ('fronteira', 'sátira')),
+        ('ído', 3, '', None),
+        ('irá', 3, '', None),
+        ('tizar', 4, '', ('alfabetizar',)),
+        ('izar', 5, '', ('organizar',)),
+        ('itar', 5, '', ('acreditar', 'explicitar', 'estreitar')),
+        ('ire', 3, '', ('adquire',)),
+        ('omo', 3, '', None),
+        ('ai', 2, '', None),
+        ('am', 2, '', None),
+        ('ear', 4, '', ('alardear', 'nuclear')),
+        ('ar', 2, '', ('azar', 'bazaar', 'patamar')),
+        ('uei', 3, '', None),
+        ('uía', 5, 'u', None),
+        ('ei', 3, '', None),
+        ('guem', 3, 'g', None),
+        ('em', 2, '', ('alem', 'virgem')),
+        ('er', 2, '', ('éter', 'pier')),
+        ('eu', 3, '', ('chapeu',)),
+        ('ia', 3, '', ('estória', 'fatia', 'acia', 'praia', 'elogia', 'mania', 'lábia', 'aprecia', 'polícia', 'arredia', 'cheia', 'ásia')),
+        ('ir', 3, '', ('freir',)),
+        ('iu', 3, '', None),
+        ('eou', 5, '', None),
+        ('ou', 3, '', None),
+        ('i', 3, '', None),
+        ),
+    },
+    'vowel': {
+        "min": 4, "whole_word_exc": False,
+        "end": None,
+        "rules": (
+        ('bil', 2, 'vel', None),
+        ('gue', 2, 'g', ('gangue', 'jegue')),
+        ('á', 3, '', None),
+        ('ê', 3, '', ('bebê',)),
+        ('a', 3, '', ('ásia',)),
+        ('e', 3, '', None),
+        ('o', 3, '', ('ão',)),
+        ),
+    },
+}
+
+_PTR_ACCENTS = str.maketrans(
+    {"à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+     "ç": "c", "è": "e", "é": "e", "ê": "e", "ë": "e", "ì": "i",
+     "í": "i", "î": "i", "ï": "i", "ñ": "n", "ò": "o", "ó": "o",
+     "ô": "o", "õ": "o", "ö": "o", "ù": "u", "ú": "u", "û": "u",
+     "ü": "u"}
+)
+
+
+def _rslp_step(w: str, st: dict) -> str:
+    if len(w) < st["min"]:
+        return w
+    if st["end"] is not None and not w.endswith(st["end"]):
+        return w
+    for suf, mn, rep, exc in st["rules"]:
+        if len(w) - len(suf) >= mn and w.endswith(suf):
+            if exc is not None:
+                if st["whole_word_exc"]:
+                    if w in exc:
+                        continue
+                elif w.endswith(exc):
+                    continue
+            return w[: len(w) - len(suf)] + rep
+    return w
+
+
+def portuguese_rslp_stem(w: str) -> str:
+    """PortugueseStemmer: plural, adverb, feminine, augmentative, then
+    noun-else-verb-else-vowel, then accent removal."""
+    w = _rslp_step(w, _PTR_STEPS["plural"])
+    w = _rslp_step(w, _PTR_STEPS["adverb"])
+    w = _rslp_step(w, _PTR_STEPS["feminine"])
+    w = _rslp_step(w, _PTR_STEPS["augmentative"])
+    w2 = _rslp_step(w, _PTR_STEPS["noun"])
+    if w2 == w:
+        w2 = _rslp_step(w, _PTR_STEPS["verb"])
+        if w2 == w:
+            w2 = _rslp_step(w, _PTR_STEPS["vowel"])
+    return w2.translate(_PTR_ACCENTS)
+
+
+def portuguese_minimal_stem(w: str) -> str:
+    return _rslp_step(w, _PTR_STEPS["plural"])
+
+
+def galician_minimal_stem(w: str) -> str:
+    return _gl_step(w, "plural")
+
+
+# ---------------------------------------------------------------------------
+# Remaining light/minimal variants (Savoy UniNE / CLEF; the *StemFilter
+# factory options for sv/no/ru/hu/fi/de/fr): hand-ported rule-for-rule
+# from the reference sources named per function.
+# ---------------------------------------------------------------------------
+
+
+def swedish_light_stem(w: str) -> str:
+    """sv/SwedishLightStemmer.java"""
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 7 and (w.endswith("elser") or w.endswith("heten")):
+        return w[:-5]
+    if n > 6 and w.endswith(("arne", "erna", "ande", "else", "aste",
+                             "orna", "aren")):
+        return w[:-4]
+    if n > 5 and w.endswith(("are", "ast", "het")):
+        return w[:-3]
+    if n > 4 and w.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return w[:-2]
+    if n > 3 and w[-1] in "taen":
+        return w[:-1]
+    return w
+
+
+def norwegian_light_stem(w: str) -> str:
+    """no/NorwegianLightStemmer.java with the filter default BOKMAAL
+    flags (Nynorsk-only endings skipped)."""
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 7 and (w.endswith("heter") or w.endswith("heten")):
+        return w[:-5]
+    if n > 5 and (w.endswith("dom") or w.endswith("het")):
+        return w[:-3]
+    if n > 7 and (w.endswith("elser") or w.endswith("elsen")):
+        return w[:-5]
+    if n > 6 and w.endswith(("ende", "else", "este", "eren")):
+        return w[:-4]
+    if n > 5 and w.endswith(("ere", "est", "ene")):
+        return w[:-3]
+    if n > 4 and w.endswith(("er", "en", "et", "st", "te")):
+        return w[:-2]
+    if n > 3 and w[-1] in "aen":
+        return w[:-1]
+    return w
+
+
+def norwegian_minimal_stem(w: str) -> str:
+    """no/NorwegianMinimalStemmer.java, BOKMAAL flags."""
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 5 and w.endswith("ene"):
+        return w[:-3]
+    if n > 4 and w.endswith(("er", "en", "et")):
+        return w[:-2]
+    if n > 3 and w[-1] in "ae":
+        return w[:-1]
+    return w
+
+
+_RUL_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+          "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RUL_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+          "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+          "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def russian_light_stem(w: str) -> str:
+    """ru/RussianLightStemmer.java"""
+    n = len(w)
+    if n > 6 and (w.endswith("иями") or w.endswith("оями")):
+        w = w[:-4]
+    elif n > 5 and w.endswith(_RUL_3):
+        w = w[:-3]
+    elif n > 4 and w.endswith(_RUL_2):
+        w = w[:-2]
+    elif n > 3 and w[-1] in "аеиоуйыяь":
+        w = w[:-1]
+    n = len(w)
+    if n > 3:
+        if w[-1] in ("ь", "и"):
+            return w[:-1]
+        if w[-1] == "н" and w[-2] == "н":
+            return w[:-1]
+    return w
+
+
+_HUL_VOWELS = frozenset("aeiouy")
+_HUL_FOLD = str.maketrans(
+    {"á": "a", "ë": "e", "é": "e", "í": "i", "ó": "o", "ő": "o",
+     "õ": "o", "ö": "o", "ú": "u", "ű": "u", "ũ": "u", "û": "u",
+     "ü": "u"}
+)
+
+
+def hungarian_light_stem(w: str) -> str:
+    """hu/HungarianLightStemmer.java"""
+    w = w.translate(_HUL_FOLD)
+
+    def vowel(c):
+        return c in _HUL_VOWELS
+
+    # removeCase
+    n = len(w)
+    if n > 6 and w.endswith("kent"):
+        w = w[:-4]
+    else:
+        done = False
+        if n > 5:
+            if w.endswith(("nak", "nek", "val", "vel", "ert", "rol",
+                           "ban", "ben", "bol", "nal", "nel", "hoz",
+                           "hez", "tol")):
+                w = w[:-3]; done = True
+            elif w.endswith(("al", "el")) and not vowel(w[-3])                     and w[-3] == w[-4]:
+                w = w[:-3]; done = True
+        if not done and n > 4:
+            if w.endswith(("at", "et", "ot", "va", "ve", "ra", "re",
+                           "ba", "be", "ul", "ig")):
+                w = w[:-2]
+            elif w.endswith(("on", "en")) and not vowel(w[-3]):
+                w = w[:-2]
+            elif w[-1] in ("t", "n"):
+                w = w[:-1]
+            elif w[-1] in ("a", "e") and w[-2] == w[-3]                     and not vowel(w[-2]):
+                w = w[:-2]
+    # removePossessive
+    n = len(w)
+    done = False
+    if n > 6:
+        if (not vowel(w[-5]) and w.endswith(("atok", "otok", "etek")))                 or w.endswith(("itek", "itok")):
+            w = w[:-4]; done = True
+    if not done and n > 5:
+        if (not vowel(w[-4]) and w.endswith(("unk", "tok", "tek")))                 or (vowel(w[-4]) and w.endswith("juk"))                 or w.endswith("ink"):
+            w = w[:-3]; done = True
+    if not done and n > 4:
+        if (not vowel(w[-3]) and w.endswith(("am", "em", "om", "ad",
+                                             "ed", "od", "uk")))                 or (vowel(w[-3]) and w.endswith(("nk", "ja", "je")))                 or w.endswith(("im", "id", "ik")):
+            w = w[:-2]; done = True
+    if not done and n > 3:
+        if w[-1] in ("a", "e"):
+            if not vowel(w[-2]):
+                w = w[:-1]
+        elif w[-1] in ("m", "d"):
+            if vowel(w[-2]):
+                w = w[:-1]
+        elif w[-1] == "i":
+            w = w[:-1]
+    # removePlural
+    if len(w) > 3 and w[-1] == "k":
+        if w[-2] in ("a", "o", "e") and len(w) > 4:
+            w = w[:-2]
+        else:
+            w = w[:-1]
+    # normalize
+    if len(w) > 3 and w[-1] in "aeio":
+        w = w[:-1]
+    return w
+
+
+_FIL_VOWELS = frozenset("aeiouy")
+_FIL_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+
+
+def finnish_light_stem(w: str) -> str:
+    """fi/FinnishLightStemmer.java"""
+    if len(w) < 4:
+        return w
+    w = w.translate(_FIL_FOLD)
+
+    def step1(w):
+        if len(w) > 8:
+            if w.endswith("kin"):
+                return step1(w[:-3])
+            if w.endswith("ko"):
+                return step1(w[:-2])
+        if len(w) > 11:
+            if w.endswith("dellinen"):
+                return w[:-8]
+            if w.endswith("dellisuus"):
+                return w[:-9]
+        return w
+
+    w = step1(w)
+    n = len(w)
+    if n > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            w = w[:-3]
+        elif w.endswith("ni"):
+            w = w[:-2]
+        elif w.endswith("aa"):
+            w = w[:-1]
+    # step3
+    n = len(w)
+    if n > 8 and w.endswith("nnen"):
+        w = w[:-4] + "s"
+    elif n > 8 and w.endswith("ntena"):
+        w = w[:-5] + "s"
+    elif n > 8 and w.endswith("tten"):
+        w = w[:-4]
+    elif n > 8 and w.endswith("eiden"):
+        w = w[:-5]
+    elif n > 6 and w.endswith(("neen", "niin", "seen", "teen", "inen")):
+        w = w[:-4]
+    elif n > 6 and w[-3] == "h" and w[-2] in _FIL_VOWELS and w[-1] == "n":
+        w = w[:-3]
+    elif n > 6 and w.endswith("den"):
+        w = w[:-3] + "s"
+    elif n > 6 and w.endswith("ksen"):
+        w = w[:-4] + "s"
+    elif n > 6 and w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi",
+                               "lle")):
+        w = w[:-3]
+    elif n > 5 and w.endswith(("na", "ne")):
+        w = w[:-2]
+    elif n > 5 and w.endswith("nei"):
+        w = w[:-3]
+    elif n > 4 and w.endswith(("ja", "ta")):
+        w = w[:-2]
+    elif n > 4 and w[-1] == "a":
+        w = w[:-1]
+    elif n > 4 and w[-1] == "n":
+        w = w[:-2] if w[-2] in _FIL_VOWELS else w[:-1]
+    # norm1
+    if len(w) > 5 and w.endswith("hde"):
+        w = w[:-3] + "ksi"
+    if len(w) > 4 and (w.endswith("ei") or w.endswith("at")):
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in "tsjeai":
+        w = w[:-1]
+    # norm2
+    if len(w) > 8 and w[-1] in "eou":
+        w = w[:-1]
+    if len(w) > 4:
+        if w[-1] == "i":
+            w = w[:-1]
+        if len(w) > 4:
+            out = [w[0]]
+            for c in w[1:]:
+                if c == out[-1] and c in ("k", "p", "t"):
+                    continue
+                out.append(c)
+            w = "".join(out)
+    return w
+
+
+def german_minimal_stem(w: str) -> str:
+    """de/GermanMinimalStemmer.java"""
+    if len(w) < 5:
+        return w
+    w = w.translate(str.maketrans({"ä": "a", "ö": "o", "ü": "u"}))
+    n = len(w)
+    if n > 6 and w.endswith("nen"):
+        return w[:-3]
+    if n > 5 and w.endswith(("en", "se", "es", "er")):
+        return w[:-2]
+    if w[-1] in "nesr":
+        return w[:-1]
+    return w
+
+
+def french_minimal_stem(w: str) -> str:
+    """fr/FrenchMinimalStemmer.java"""
+    if len(w) < 6:
+        return w
+    if w[-1] == "x":
+        if w[-3] == "a" and w[-2] == "u":
+            return w[:-2] + "l"
+        return w[:-1]
+    if w[-1] == "s":
+        w = w[:-1]
+    if w[-1] == "r":
+        w = w[:-1]
+    if w[-1] == "e":
+        w = w[:-1]
+    if w[-1] == "é":
+        w = w[:-1]
+    if w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
 LIGHT_STEMMERS = {
     "arabic": arabic_stem,
     "persian": persian_normalize,
@@ -1468,6 +2096,18 @@ LIGHT_STEMMERS = {
     "spanish_light": spanish_light_stem,
     "portuguese_light": portuguese_light_stem,
     "italian_light": italian_light_stem,
+    # *StemFilter factory options (Solr schemas pick these by name)
+    "portuguese_rslp": portuguese_rslp_stem,
+    "portuguese_minimal": portuguese_minimal_stem,
+    "galician_minimal": galician_minimal_stem,
+    "swedish_light": swedish_light_stem,
+    "norwegian_light": norwegian_light_stem,
+    "norwegian_minimal": norwegian_minimal_stem,
+    "russian_light": russian_light_stem,
+    "hungarian_light": hungarian_light_stem,
+    "finnish_light": finnish_light_stem,
+    "german_minimal": german_minimal_stem,
+    "french_minimal": french_minimal_stem,
 }
 
 LIGHT_STOPWORDS = {
@@ -1548,8 +2188,19 @@ from .snowball import SNOWBALL_STOPWORDS as _SB_STOPS  # noqa: E402
 for _lang, _src in (("german_light", "german"), ("french_light", "french"),
                     ("spanish_light", "spanish"),
                     ("portuguese_light", "portuguese"),
-                    ("italian_light", "italian")):
+                    ("italian_light", "italian"),
+                    ("portuguese_rslp", "portuguese"),
+                    ("portuguese_minimal", "portuguese"),
+                    ("swedish_light", "swedish"),
+                    ("norwegian_light", "norwegian"),
+                    ("norwegian_minimal", "norwegian"),
+                    ("russian_light", "russian"),
+                    ("hungarian_light", "hungarian"),
+                    ("finnish_light", "finnish"),
+                    ("german_minimal", "german"),
+                    ("french_minimal", "french")):
     LIGHT_STOPWORDS[_lang] = _SB_STOPS[_src]
+LIGHT_STOPWORDS["galician_minimal"] = LIGHT_STOPWORDS["galician"]
 
 def light_filter_terms(terms, lang: str):
     """Light-stemmer analog of snowball_filter_terms: dictionary-only

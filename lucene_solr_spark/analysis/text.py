@@ -462,7 +462,11 @@ GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter",
 LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
                    "indonesian", "latvian", "greek", "sorani", "brazilian",
                    "galician", "german_light", "french_light",
-                   "spanish_light", "portuguese_light", "italian_light")
+                   "spanish_light", "portuguese_light", "italian_light",
+                   "portuguese_rslp", "portuguese_minimal",
+                   "galician_minimal", "swedish_light", "norwegian_light",
+                   "norwegian_minimal", "russian_light", "hungarian_light",
+                   "finnish_light", "german_minimal", "french_minimal")
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
              "url_email", "cjk") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
     + GRAPH_ANALYZERS

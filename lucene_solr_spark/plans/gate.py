@@ -2455,6 +2455,12 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("spanish_light", "canciones", "cancion"),
         ("portuguese_light", "corações", "coraca"),
         ("italian_light", "politiche", "politic"),
+        ("portuguese_rslp", "meninas", "menin"),
+        ("swedish_light", "flickorna", "flick"),
+        ("russian_light", "книгами", "книг"),
+        ("finnish_light", "taloissa", "talo"),
+        ("hungarian_light", "házakban", "haz"),
+        ("norwegian_light", "hemmeligheten", "hemmelig"),
     ]
 
     R["light_stem_values"] = (

@@ -141,8 +141,12 @@ def test_stop_lists_disjoint_from_corpus_vocab():
     }
     for lang, stops in LIGHT_STOPWORDS.items():
         if lang in ("czech", "brazilian", "galician", "french_light",
-                    "spanish_light", "portuguese_light", "italian_light"):
-            # 'a': the Czech conjunction / the Romance article
+                    "spanish_light", "portuguese_light", "italian_light",
+                    "portuguese_rslp", "portuguese_minimal",
+                    "galician_minimal", "french_minimal",
+                    "hungarian_light"):
+            # 'a': the Czech conjunction / the Romance or Hungarian
+            # article
             assert (vocab & stops) == {"a"}
         else:
             assert not (vocab & stops), lang

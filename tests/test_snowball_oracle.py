@@ -36,4 +36,4 @@ def test_porter_and_light_packs_match_reference_programs():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
-    assert len([l for l in lines if l.startswith("OK ")]) == 17, proc.stdout
+    assert len([l for l in lines if l.startswith("OK ")]) == 28, proc.stdout

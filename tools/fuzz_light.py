@@ -29,6 +29,12 @@ LIGHT_SOURCES = [
     "de/GermanLightStemmer.java", "fr/FrenchLightStemmer.java",
     "es/SpanishLightStemmer.java", "pt/PortugueseLightStemmer.java",
     "it/ItalianLightStemmer.java",
+    "pt/PortugueseStemmer.java", "pt/PortugueseMinimalStemmer.java",
+    "gl/GalicianMinimalStemmer.java", "sv/SwedishLightStemmer.java",
+    "no/NorwegianLightStemmer.java", "no/NorwegianMinimalStemmer.java",
+    "ru/RussianLightStemmer.java", "hu/HungarianLightStemmer.java",
+    "fi/FinnishLightStemmer.java", "de/GermanMinimalStemmer.java",
+    "fr/FrenchMinimalStemmer.java",
 ]
 
 PORTER_SHIM = """package org.apache.lucene.analysis.en;
@@ -87,6 +93,17 @@ import org.apache.lucene.analysis.br.BrazilianStemmer;
 import org.apache.lucene.analysis.ckb.*;
 import org.apache.lucene.analysis.gl.GalicianStemmer;
 import org.apache.lucene.analysis.de.GermanLightStemmer;
+import org.apache.lucene.analysis.de.GermanMinimalStemmer;
+import org.apache.lucene.analysis.fr.FrenchMinimalStemmer;
+import org.apache.lucene.analysis.pt.PortugueseStemmer;
+import org.apache.lucene.analysis.pt.PortugueseMinimalStemmer;
+import org.apache.lucene.analysis.gl.GalicianMinimalStemmer;
+import org.apache.lucene.analysis.sv.SwedishLightStemmer;
+import org.apache.lucene.analysis.no.NorwegianLightStemmer;
+import org.apache.lucene.analysis.no.NorwegianMinimalStemmer;
+import org.apache.lucene.analysis.ru.RussianLightStemmer;
+import org.apache.lucene.analysis.hu.HungarianLightStemmer;
+import org.apache.lucene.analysis.fi.FinnishLightStemmer;
 import org.apache.lucene.analysis.fr.FrenchLightStemmer;
 import org.apache.lucene.analysis.es.SpanishLightStemmer;
 import org.apache.lucene.analysis.pt.PortugueseLightStemmer;
@@ -148,6 +165,45 @@ public class LightMain {
                 len = new SoraniStemmer().stem(s, len);
                 return new String(s, 0, len);
             }
+            case "portuguese_rslp": {
+                char[] s = java.util.Arrays.copyOf(b, len + 2);
+                len = new PortugueseStemmer().stem(s, len);
+                return new String(s, 0, len);
+            }
+            case "portuguese_minimal": {
+                char[] s = java.util.Arrays.copyOf(b, len + 2);
+                len = new PortugueseMinimalStemmer().stem(s, len);
+                return new String(s, 0, len);
+            }
+            case "galician_minimal": {
+                char[] s = java.util.Arrays.copyOf(b, len + 2);
+                len = new GalicianMinimalStemmer().stem(s, len);
+                return new String(s, 0, len);
+            }
+            case "swedish_light":
+                len = new SwedishLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "norwegian_light":
+                len = new NorwegianLightStemmer(1).stem(b, len);
+                return new String(b, 0, len);
+            case "norwegian_minimal":
+                len = new NorwegianMinimalStemmer(1).stem(b, len);
+                return new String(b, 0, len);
+            case "russian_light":
+                len = new RussianLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "hungarian_light":
+                len = new HungarianLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "finnish_light":
+                len = new FinnishLightStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "german_minimal":
+                len = new GermanMinimalStemmer().stem(b, len);
+                return new String(b, 0, len);
+            case "french_minimal":
+                len = new FrenchMinimalStemmer().stem(b, len);
+                return new String(b, 0, len);
             case "german_light":
                 len = new GermanLightStemmer().stem(b, len);
                 return new String(b, 0, len);
@@ -215,6 +271,12 @@ def ensure_light_oracle():
         ["javac", "-d", "classes", "-encoding", "UTF-8", "-cp", "classes"]
         + files, cwd=ORACLE_DIR, check=True,
     )
+    rsrc_pt = os.path.join(classes, "org/apache/lucene/analysis/pt")
+    os.makedirs(rsrc_pt, exist_ok=True)
+    subprocess.run(
+        ["cp", "/root/reference/lucene/analysis/common/src/resources/"
+         "org/apache/lucene/analysis/pt/portuguese.rslp", rsrc_pt],
+        check=True)
     rsrc = os.path.join(classes, "org/apache/lucene/analysis/gl")
     os.makedirs(rsrc, exist_ok=True)
     subprocess.run(
@@ -246,16 +308,53 @@ ALPHA = {
     "spanish_light": "abcdefghijklmnopqrstuvwxyzàáâäòóôöèéêëùúûüìíîï",
     "portuguese_light": "abcdefghijklmnopqrstuvwxyzàáâäãòóôöõèéêëùúûüìíîïç",
     "italian_light": "abcdefghijklmnopqrstuvwxyzàáâäòóôöèéêëùúûüìíîï",
+    "portuguese_rslp": "abcdefghijklmnopqrstuvwxyzàáâãçéêíóôõúüñèå",
+    "portuguese_minimal": "abcdefghijklmnopqrstuvwxyzáâãçéêíóôõú",
+    "galician_minimal": "abcdefghijklmnopqrstuvwxyzáéêíñóúüç",
+    "swedish_light": "abcdefghijklmnopqrstuvwxyzäåö",
+    "norwegian_light": "abcdefghijklmnopqrstuvwxyzæåø",
+    "norwegian_minimal": "abcdefghijklmnopqrstuvwxyzæåø",
+    "russian_light": "абвгдежзийклмнопрстуфхцчшщъьыэюяё",
+    "hungarian_light": "abcdefghijklmnopqrstuvwxyzáëéíóőõöúűũûü",
+    "finnish_light": "abcdefghijklmnopqrstuvwxyzäåö",
+    "german_minimal": "abcdefghijklmnopqrstuvwxyzäöüß",
+    "french_minimal": "abcdefghijklmnopqrstuvwxyzàáâôèéêùûîçx",
 }
 PREFIX = {"arabic": "_AR", "persian": "_FA", "czech": "_CZ",
           "bulgarian": "_BG", "hindi": "_HI", "indonesian": "_ID",
           "latvian": "_LV", "sorani": "_CKB", "brazilian": "_BR",
           "galician": "_GL", "german_light": "_DEL",
           "french_light": "_FRL", "spanish_light": "_ES_LIGHT",
-          "portuguese_light": "_PTL", "italian_light": "_ES_LIGHT"}
+          "portuguese_light": "_PTL", "italian_light": "_ES_LIGHT",
+          "portuguese_rslp": "_PTRX", "portuguese_minimal": "_PTRX",
+          "galician_minimal": "_GL", "swedish_light": "_SV",
+          "norwegian_light": "_NO", "norwegian_minimal": "_NO",
+          "russian_light": "_RUL", "hungarian_light": "_HUL",
+          "finnish_light": "_FIL", "german_minimal": "_DEL",
+          "french_minimal": "_FRL"}
 
 
 def harvest(mod, prefix):
+    if prefix == "_PTRX":
+        sufs = set()
+        for st in mod._PTR_STEPS.values():
+            for suf, _mn, rep, exc in st["rules"]:
+                sufs.add(suf)
+                if rep:
+                    sufs.add(rep)
+                for e in exc or ():
+                    sufs.add(e)
+        return sorted(sufs)
+    if prefix in ("_SV", "_NO"):
+        import lucene_solr_spark.analysis.snowball as _sb
+        out = set()
+        for name in dir(_sb):
+            if name.startswith(prefix):
+                val = getattr(_sb, name)
+                if isinstance(val, (tuple, frozenset)):
+                    out |= {x for x in val
+                            if isinstance(x, str) and 0 < len(x) <= 10}
+        return sorted(out)
     if prefix == "_GL":
         sufs = set()
         for st in mod._GL_STEPS.values():
