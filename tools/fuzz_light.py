@@ -1,8 +1,12 @@
 """Differential fuzz of the Porter stemmer and every light language
-pack against the REFERENCE Java implementations (analysis/{en,ar,fa,
-bg,cz,hi,id,lv,el}), compiled with tiny lucene-util stubs next to the
-Snowball oracle (see tools/fuzz_snowball.py, which builds the shared
-/tmp/snowball_oracle tree; LightMain.java drives these classes).
+pack/variant against the REFERENCE Java implementations — 28 kernels:
+porter, the eleven language packs (ar/fa/bg/cz/hi/id/lv/el/ckb/br/gl),
+the five UniNE default-chain light stemmers (de/fr/es/pt/it), and the
+eleven *StemFilter factory options (pt-rslp, pt/gl-minimal, sv/no/ru/
+hu/fi light, no/de/fr minimal). Compiled with tiny lucene-util stubs
+next to the Snowball oracle (see tools/fuzz_snowball.py, which builds
+the shared /tmp/snowball_oracle tree; LightMain.java drives these
+classes, with the .rslp rule files on its classpath).
 
 Usage: python tools/fuzz_light.py [n_words_per_lang]
 Exit 1 on any mismatch.
