@@ -45,6 +45,23 @@ DEFAULT_SYNONYM_LINES = [
 ]
 
 
+def _discounted_lengths(od: np.ndarray, op: np.ndarray,
+                        n_docs: int) -> np.ndarray:
+    """BM25 norm length with discountOverlaps=true (the reference
+    default, search/similarities/BM25Similarity.java computeNorm:
+    state.getLength() - state.getNumOverlap()): posInc-0 tokens —
+    synonym twins, shingles, common grams, WDF catenate/preserve — do
+    not inflate the field length, so count ONE token per occupied
+    (doc, pos) slot."""
+    lengths = np.zeros(n_docs, dtype=np.int32)
+    if len(od):
+        od = od.astype(np.int64)
+        key = od * (int(op.max()) + 1) + op.astype(np.int64)
+        _, first = np.unique(key, return_index=True)
+        np.add.at(lengths, od[first], 1)
+    return lengths
+
+
 def _order_by_doc_pos(flat: pd.DataFrame):
     doc = flat["doc_idx"].to_numpy()
     pos = flat["pos"].to_numpy()
@@ -119,11 +136,9 @@ def shingle_flat(
          "pos": op[order]}
     )
     if "doc_lengths" in flat.attrs:
-        n = len(flat.attrs["doc_lengths"])
-        lengths = np.zeros(n, dtype=np.int32)
-        if len(od):
-            np.add.at(lengths, od.astype(np.int64), 1)
-        out.attrs["doc_lengths"] = lengths
+        out.attrs["doc_lengths"] = _discounted_lengths(
+            od, op, len(flat.attrs["doc_lengths"])
+        )
     return out
 
 
@@ -190,11 +205,9 @@ def synonym_flat(
          "pos": op[order].astype(np.int32)}
     )
     if "doc_lengths" in flat.attrs:
-        n = len(flat.attrs["doc_lengths"])
-        lengths = np.zeros(n, dtype=np.int32)
-        if len(od):
-            np.add.at(lengths, od.astype(np.int64), 1)
-        out.attrs["doc_lengths"] = lengths
+        out.attrs["doc_lengths"] = _discounted_lengths(
+            od, op, len(flat.attrs["doc_lengths"])
+        )
     return out
 
 
@@ -281,11 +294,9 @@ def word_delimiter_flat(
          "pos": op[order].astype(np.int32)}
     )
     if "doc_lengths" in flat.attrs:
-        nd = len(flat.attrs["doc_lengths"])
-        lengths = np.zeros(nd, dtype=np.int32)
-        if len(od):
-            np.add.at(lengths, od.astype(np.int64), 1)
-        out.attrs["doc_lengths"] = lengths
+        out.attrs["doc_lengths"] = _discounted_lengths(
+            od, op, len(flat.attrs["doc_lengths"])
+        )
     return out
 
 
@@ -318,7 +329,7 @@ def common_grams_flat(flat: pd.DataFrame, common: frozenset,
             )
             out = out.iloc[order].reset_index(drop=True)
             if lengths is not None:
-                lengths = np.asarray(lengths).copy()
-                np.add.at(lengths, doc[idx].astype(np.int64), 1)
-                out.attrs["doc_lengths"] = lengths
+                # grams ride posInc-0 on the first word's slot:
+                # discountOverlaps leaves the norm length unchanged
+                out.attrs["doc_lengths"] = np.asarray(lengths)
     return out

@@ -2110,76 +2110,22 @@ LIGHT_STEMMERS = {
     "french_minimal": french_minimal_stem,
 }
 
+# Per-language stop sets: transcribed verbatim from the reference's
+# */stopwords.txt resources (analysis/stopdata.py, generated by
+# tools/gen_stopwords.py). Note the chain POSITION varies by language:
+# ar stops BEFORE normalization (ArabicAnalyzer.java createComponents);
+# fa/hi/ckb/el stop AFTER their normalize/fold stage — handled by the
+# late-stop path in text.py (analysis/chain.py), so these sets are in
+# the normalized form the reference files carry (fa/stopwords.txt:4
+# "this file is used after normalization").
+from .stopdata import REFERENCE_STOPWORDS as _REF_STOPS2  # noqa: E402
+
 LIGHT_STOPWORDS = {
-    "arabic": frozenset(
-        """في من على و ما هذا هذه ذلك التي الذي ان أن إن كان كانت هو هي
-        الى إلى عن مع لم لا ثم او أو اذا إذا كل بعد قبل عند قد لقد منذ
-        حتى بين هناك""".split()
-    ),
-    "persian": frozenset(
-        """و در به از که این آن را با است بود شد برای تا هم او ما من
-        شما آنها اگر هر نه یا چه بر یک خود دو نیز باید""".split()
-    ),
-    "czech": frozenset(
-        """a aby ale ani asi až bez bude by byl byla bylo co což do i
-        ho já jak jako je jeho jejich jen ještě ji jsem jsme jsou k kde
-        když kterou který má mezi mi mně mu na nad není nám o od on
-        po pod pro proto protože před při s se si své ta tak také te
-        to tohle u už v ve více však z za že""".split()
-    ),
-    "bulgarian": frozenset(
-        """а аз ако але бе без беше би бил била било брой в вас ваш във
-        г г-н д да дали до е едва за зад защо и из или им както като
-        кога когато което които кой което ли междуме мен ми мнозина
-        може на над назад най не него нея ни ние но от по пред при с
-        са само се си след със та тази така там те тези то това той
-        тук тя у че чрез ще""".split()
-    ),
-    "hindi": frozenset(
-        """के का एक में की है यह और से हैं को पर इस होता कि जो कर मे
-        गया करने किया लिये अपने ने बनी नहीं तो ही या हो था द्वारा हुआ
-        तक साथ करना वाले बाद लिए सकते इसके अभी भी वह वे थे""".split()
-    ),
-    "indonesian": frozenset(
-        """yang dan di ke dari ini itu dengan untuk pada adalah sebagai
-        juga dalam tidak akan oleh saya kami kita mereka dia ia atau
-        bisa ada sudah telah belum harus karena jika maka bahwa serta
-        para saat lebih bagi tentang seperti hingga antara masih""".split()
-    ),
-    "latvian": frozenset(
-        """un ir es tu viņš viņa mēs jūs tie tās kas ko kam par ar uz
-        no pie bet ja vai arī kā tikai šis šī tas tā jau vēl pēc pirms
-        bija būs būt nav ne savu man tev""".split()
-    ),
-    # accented stop words carry both spellings: the generic-lowercase
-    # stop check runs before the Greek tonos fold (see greek.py)
-    "greek": frozenset(
-        """ο η το οι τα του της των τον την και κι είναι ειναι με σε
-        για από απο να δεν δε στο στη στην στον ότι οτι που ως πως αν
-        θα είχε ειχε έχει εχει αλλά αλλα αυτός αυτος αυτή αυτη αυτό
-        αυτο ή μια ένα ενα δύο δυο""".split()
-    ),
-    "sorani": frozenset(
-        """و لە بە بۆ کە لەگەڵ ئەم ئەو ئەوە ئەمە هەر هەموو هیچ چی
-        بەڵام یان ئەگەر چونکە وەک دوای پێش لەسەر لەژێر نێوان بەبێ
-        من تۆ ئێمە ئێوە ئەوان خۆی هەیە نییە دەبێت بوو""".split()
-    ),
-    "brazilian": frozenset(
-        """de a o que e do da em um para é com não uma os no se na
-        por mais as dos como mas foi ao ele das tem à seu sua ou ser
-        quando muito há nos já está eu também só pelo pela até isso
-        ela entre era depois sem mesmo aos ter seus quem nas me esse
-        eles estão você tinha foram essa num nem suas meu às minha
-        têm numa pelos elas havia seja qual será nós tenho lhe deles
-        essas esses pelas este fosse dele""".split()
-    ),
-    "galician": frozenset(
-        """de a o que e do da en un para é con non unha os no se na
-        por máis as dos como pero foi ao el das ten á seu súa ou ser
-        cando moito hai nos xa está eu tamén só polo pola ata iso
-        ela entre era despois sen mesmo aos ter seus quen nas me ese
-        eles están vostede tiña foron esa nin súas meu miña""".split()
-    ),
+    lang: _REF_STOPS2[lang]
+    for lang in (
+        "arabic", "persian", "czech", "bulgarian", "hindi", "indonesian",
+        "latvian", "greek", "sorani", "brazilian", "galician",
+    )
 }
 
 # the light-variant analyzers use the same per-language stop cores

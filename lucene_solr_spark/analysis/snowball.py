@@ -2729,125 +2729,20 @@ SNOWBALL_STEMMERS = {
     "armenian": armenian_stem,
 }
 
-# Per-language stop sets: the high-frequency function-word core of the
-# published Snowball stop lists (snowballstem.org); deliberately small and
-# stated from common knowledge rather than transcribed, and pluggable the
-# same way ENGLISH_STOP_WORDS is. The reference wires the full lists via
-# {Language}Analyzer.getDefaultStopSet().
+# Per-language stop sets: transcribed verbatim from the reference's
+# resource files (analysis/stopdata.py, generated by
+# tools/gen_stopwords.py from snowball/*_stop.txt and */stopwords.txt —
+# the exact data {Language}Analyzer.getDefaultStopSet() loads;
+# tests/test_stopwords_reference.py asserts per-language equality).
+from .stopdata import REFERENCE_STOPWORDS as _REF_STOPS  # noqa: E402
+
 SNOWBALL_STOPWORDS = {
-    "german": frozenset(
-        """der die das den dem des ein eine einer eines einem einen und
-        oder aber nicht ist sind war waren sein ich du er sie es wir ihr
-        im in zu mit von auf für als auch an bei nach um aus wie noch nur
-        so dass was man wenn""".split()
-    ),
-    "french": frozenset(
-        """le la les un une des du de au aux et ou mais ne pas est sont
-        était je tu il elle nous vous ils elles ce cette ces que qui quoi
-        dans sur sous avec sans pour par plus moins si son sa ses leur
-        leurs mon ma mes ton ta tes notre votre on se en y a""".split()
-    ),
-    "spanish": frozenset(
-        """el la los las un una unos unas y o pero no es son era de del
-        al a en con por para sin sobre entre yo tú él ella nosotros ellos
-        que quien como cuando donde su sus mi mis tu tus se lo le les nos
-        me te si ya muy más""".split()
-    ),
-    "portuguese": frozenset(
-        """o a os as um uma uns umas e ou mas não é são era foi de do da
-        dos das no na nos nas em com por para sem sobre entre eu tu ele
-        ela nós eles elas que quem como quando onde seu sua seus suas meu
-        minha se lhe nos me te já muito mais ao""".split()
-    ),
-    "russian": frozenset(
-        """и в во не что он на я с со как а то все она так его но да ты
-        к у же вы за бы по ее мне было вот от меня еще нет о из ему
-        теперь когда даже ну ли если уже или ни был него до вас""".split()
-    ),
-    "italian": frozenset(
-        """il lo la i gli le un uno una e o ma non è sono era di del
-        della dei delle al alla a in con su per tra fra da io tu lui
-        lei noi voi loro che chi come quando dove suo sua suoi sue mio
-        mia se si ci ne più questo questa""".split()
-    ),
-    "dutch": frozenset(
-        """de het een en of maar niet is zijn was waren ik je hij zij
-        ze we wij jullie in op te met van voor als ook aan bij naar om
-        uit zo dat wat men er dan nog al tot der den""".split()
-    ),
-    "swedish": frozenset(
-        """och det att i en jag hon som han på den med var sig för så
-        till är men ett om hade de av icke mig du henne då sin nu har
-        inte hans honom skulle hennes där min man ej vid kunde något
-        från ut när efter upp vi dem vara vad över än dig kan sina här
-        ha mot alla under någon eller allt mycket sedan ju denna""".split()
-    ),
-    "norwegian": frozenset(
-        """og i jeg det at en et den til er som på de med han av ikke
-        der så var meg seg men ett har om vi min mitt ha hadde hun nå
-        over da ved fra du ut sin dem oss opp man kan hans hvor eller
-        hva skal selv sjøl her alle vil bli ble blitt kunne inn når
-        være kom noen noe""".split()
-    ),
-    "romanian": frozenset(
-        """şi în la cu de pe un o este sunt era a fost al ale lui ei
-        lor că nu se ce care când unde cum dar sau dacă pentru până
-        după între prin fără eu tu el noi voi mai foarte acest această
-        din îi le ne vă să îţi am""".split()
-    ),
-    "danish": frozenset(
-        """og i jeg det at en den til er som på de med han af for ikke
-        der var mig sig men et har om vi min havde ham hun nu over da
-        fra du ud sin dem os op man hans hvor eller hvad skal selv her
-        alle vil blev kunne ind når være dog noget ville jo deres
-        efter ned skulle denne end dette mit også under have dig anden
-        hende mine alt meget sit sine vor mod disse hvis din nogle""".split()
-    ),
-    "finnish": frozenset(
-        """ja on ei se että hän joka oli en mutta niin kuin myös mitä
-        tämä minä sinä me te he ne jos nyt vain sitten kun siis eli tai
-        sekä koska vaan mukaan jälkeen ennen yli noin kanssa ovat olla
-        olen olet olemme ole olivat sen sitä tässä tästä tähän missä
-        mistä mihin kuka mikä miksi miten siellä täällä jo ihan""".split()
-    ),
-    "hungarian": frozenset(
-        """a az és van nem hogy egy ez azt is de mint már csak meg volt
-        lesz ha mi ki mert még el fel le be ott itt én te õ õk ezek
-        azok ilyen olyan minden vagy pedig sem lehet kell voltak nincs
-        úgy így arra erre abban ebben annak ennek után elõtt között
-        által nélkül ellen felé alatt fölött majd tehát illetve""".split()
-    ),
-    "catalan": frozenset(
-        """el la els les un una uns unes i o però no és són era de del
-        al a en amb per sense sobre entre jo tu ell ella nosaltres ells
-        que qui com quan on seu seva seus seves meu meva es lo li ens
-        em et si ja molt més aquest aquesta això allò hi ho també
-        només fins des cap tot tots com a què perquè doncs""".split()
-    ),
-    "turkish": frozenset(
-        """acaba ama ancak aslında az bazı belki biri birkaç birşey biz
-        bu çok çünkü da daha de defa değil diye eğer en gibi hem hep
-        hepsi her hiç için ile ise kez ki kim mı mu mü nasıl ne neden
-        nerde nerede nereye niçin niye o sanki şey siz şu tüm ve veya
-        ya yani ben sen onlar bir iki üç bunun onun şunun""".split()
-    ),
-    "basque": frozenset(
-        """eta edo baina ez da dira zen ziren du dute ni hi hura gu zu
-        haiek hau hori bat batzuk asko oso ere bai baita zer nor non
-        noiz nola zergatik baldin arte gabe bezala arabera artean
-        gainera beraz hala hemen hor han nire zure bere gure""".split()
-    ),
-    "irish": frozenset(
-        """agus is an na a ar le do de i go ní sé sí mé tú siad muid
-        sibh seo sin ach nó má cé cad conas cathain níl tá bhí beidh
-        ag as chun faoi idir roimh thar trí gan mar dá óna sa san
-        aige aici acu agam agat""".split()
-    ),
-    "armenian": frozenset(
-        """եւ և է են էր ես եմ ենք եք չի չեն այս այդ այն որ ով ինչ
-        մի բայց կամ նաև իսկ քանի երբ ուր ինչպես ինչու ամեն բոլոր
-        շատ քիչ մենք դուք նրանք ես դու նա իր մեր ձեր""".split()
-    ),
+    lang: _REF_STOPS[lang]
+    for lang in (
+        "german", "french", "spanish", "portuguese", "russian", "italian",
+        "dutch", "swedish", "norwegian", "danish", "romanian", "finnish",
+        "hungarian", "catalan", "turkish", "basque", "irish", "armenian",
+    )
 }
 
 

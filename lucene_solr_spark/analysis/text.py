@@ -39,11 +39,43 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-# CJKAnalyzer's default set (analysis/cjk/stopwords.txt): the classic
-# English set plus the possessive fragments s/t and 'www'
-CJK_STOP_WORDS = ENGLISH_STOP_WORDS | frozenset({"s", "t", "www"})
+# CJKAnalyzer's default set, transcribed verbatim from
+# analysis/cjk/stopwords.txt (via stopdata.py): the classic English set
+# plus the possessive fragments s/t and 'www' — but WITHOUT 'an', which
+# the reference file omits
+from .stopdata import REFERENCE_STOPWORDS as _REF_STOPS  # noqa: E402
+
+CJK_STOP_WORDS = _REF_STOPS["cjk"]
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
+
+# bump when analyzer semantics change in a way stop-set hashes don't
+# capture (chain order, tokenizer rules, stemmer fixes): cached gate
+# indexes key on analysis_fingerprint() so they rebuild automatically
+ANALYSIS_VERSION = "r5-refstops-latechain-1"
+
+
+def analysis_fingerprint() -> str:
+    """Digest of everything that determines index-time token output:
+    every registered stop set + the late-stop membership + a manual
+    version tag. plans/gate.py mixes this into its index-cache keys so a
+    stale index built under older analyzer semantics is never reused."""
+    import hashlib
+
+    from .chain import LATE_STOP_ANALYZERS
+    from .light import LIGHT_STOPWORDS
+    from .snowball import SNOWBALL_STOPWORDS
+
+    h = hashlib.md5(ANALYSIS_VERSION.encode())
+    for name, stops in sorted(
+        [("english", ENGLISH_STOP_WORDS), ("cjk", CJK_STOP_WORDS)]
+        + sorted(SNOWBALL_STOPWORDS.items())
+        + sorted(LIGHT_STOPWORDS.items())
+    ):
+        h.update(name.encode())
+        h.update("\x00".join(sorted(stops)).encode())
+    h.update(",".join(sorted(LATE_STOP_ANALYZERS)).encode())
+    return h.hexdigest()[:10]
 
 # UAX#29 word: runs of word chars joined by the mid-token classes of the
 # JFlex grammar (standard/StandardTokenizer.java:45-94, word-break rules
@@ -495,6 +527,8 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from .chain import LATE_STOP_ANALYZERS
+
     if analyzer not in ANALYZERS:
         raise ValueError(f"unknown analyzer {analyzer!r}; registry: {ANALYZERS}")
     if analyzer in SNOWBALL_ANALYZERS:
@@ -513,6 +547,16 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         stopset = CJK_STOP_WORDS
     else:
         stopset = ENGLISH_STOP_WORDS
+
+    # fr/it/ca/ga (elision), tr (apostrophe), el/fa/hi/ckb (normalize):
+    # the reference's StopFilter runs AFTER a term-level stage — the
+    # tokenizer runs stop-free and chain.apply_late_chain stops at the
+    # reference chain position (analysis/chain.py docstring for the
+    # per-language createComponents order)
+    late_stopset = None
+    if analyzer in LATE_STOP_ANALYZERS:
+        late_stopset = stopset
+        stopset = frozenset()
 
     if analyzer == "turkish":
         # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java): map
@@ -591,7 +635,13 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             texts = texts.to_pandas()
         fast = slow_fn(texts, stopset=stopset)
     doc_idx, terms, pos, lengths = fast
-    if analyzer == "english":
+    if late_stopset is not None:
+        from .chain import apply_late_chain
+
+        doc_idx, terms, pos, lengths = apply_late_chain(
+            doc_idx, terms, pos, lengths, analyzer, late_stopset
+        )
+    elif analyzer == "english":
         from .stem import english_filter_terms
 
         terms = english_filter_terms(

@@ -45,8 +45,15 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _sql_quote(w: str) -> str:
+    # double any embedded single quote (SQL string-literal escaping);
+    # stop lists are caller-supplied, e.g. the French list carries
+    # elision forms in some Solr schemas
+    return "'" + w.replace("'", "''") + "'"
+
+
 def sql_stoplist() -> str:
-    return ", ".join(f"'{w}'" for w in STOPWORDS)
+    return ", ".join(_sql_quote(w) for w in STOPWORDS)
 
 
 def sql_tokens_cte(table: str = "documents", id_col: str = "doc_id",
@@ -58,7 +65,7 @@ def sql_tokens_cte(table: str = "documents", id_col: str = "doc_id",
     if stopwords is None:
         stop_sql = sql_stoplist()
     else:
-        stop_sql = ", ".join(f"'{w}'" for w in sorted(stopwords)) or "''"
+        stop_sql = ", ".join(_sql_quote(w) for w in sorted(stopwords)) or "''"
     return f"""
 toks_all AS (
   SELECT {id_col} AS doc_id,

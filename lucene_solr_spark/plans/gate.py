@@ -56,7 +56,11 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
     from ..index.build import build_index
     from ..search.engine import SparkSearcher
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from ..analysis.text import analysis_fingerprint
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + analysis_fingerprint()).encode()
+    ).hexdigest()[:10]
     idx = os.path.join(_CACHE, f"gate_index_{key}")
     if mf.read_current(idx) is None:
         corpus = _docs(spark, sf_dir).select(
@@ -76,7 +80,11 @@ def gate_searcher_english(spark: SparkSession, sf_dir: str):
     from ..index.build import build_index
     from ..search.engine import SparkSearcher
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from ..analysis.text import analysis_fingerprint
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + analysis_fingerprint()).encode()
+    ).hexdigest()[:10]
     idx = os.path.join(_CACHE, f"gate_index_en_{key}")
     if mf.read_current(idx) is None:
         corpus = _docs(spark, sf_dir).select(
@@ -98,7 +106,11 @@ def gate_searcher_lang(spark: SparkSession, sf_dir: str, lang: str):
     from ..index.build import build_index
     from ..search.engine import SparkSearcher
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from ..analysis.text import analysis_fingerprint
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + analysis_fingerprint()).encode()
+    ).hexdigest()[:10]
     idx = os.path.join(_CACHE, f"gate_index_{lang}_{key}")
     if mf.read_current(idx) is None:
         corpus = _docs(spark, sf_dir).select(
@@ -120,7 +132,11 @@ def gate_searcher_synonym(spark: SparkSession, sf_dir: str):
     from ..index.build import build_index
     from ..search.engine import SparkSearcher
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from ..analysis.text import analysis_fingerprint
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + analysis_fingerprint()).encode()
+    ).hexdigest()[:10]
     idx = os.path.join(_CACHE, f"gate_index_syn_{key}")
     if mf.read_current(idx) is None:
         corpus = _docs(spark, sf_dir).select(
@@ -142,7 +158,11 @@ def gate_searcher_fields(spark: SparkSession, sf_dir: str):
     from ..index.build import build_index
     from ..search.engine import SparkSearcher
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    from ..analysis.text import analysis_fingerprint
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + analysis_fingerprint()).encode()
+    ).hexdigest()[:10]
     idx = os.path.join(_CACHE, f"gate_index_qf_{key}")
     if mf.read_current(idx) is None:
         corpus = _docs(spark, sf_dir).select(
@@ -190,8 +210,11 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
     stop list reproduces the stemmed index's scores exactly).
     ``syn_inject`` = [(existing_term, injected_term), ...] reproduces an
     index built with the 'synonym' analyzer: every occurrence of
-    existing_term grows an injected_term twin at the same position,
-    which changes dl/avgdl/df exactly like SynonymFilter at index time."""
+    existing_term grows an injected_term twin at the same position.
+    df/tf shift like SynonymFilter at index time; dl does NOT — the
+    twins ride posInc 0 and BM25Similarity defaults discountOverlaps=
+    true (norm = length - numOverlap), which the dl CTE models by
+    counting DISTINCT positions."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     need = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     src = "toks"
@@ -207,12 +230,15 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
     return f"""
 WITH {sql_tokens_cte("documents", stopwords=stopwords)},
 {inject}
-dl AS (SELECT doc_id, count(*) AS dl FROM {src} GROUP BY doc_id),
+dl AS (SELECT doc_id, count(DISTINCT pos) AS dl FROM {src} GROUP BY doc_id),
 nt(lo, hi, qlen) AS (VALUES {_norm_range_values()}),
 qdl AS (SELECT d.doc_id, nt.qlen FROM dl d JOIN nt ON d.dl BETWEEN nt.lo AND nt.hi),
 consts AS (
+  -- avgdl = sumTotalTermFreq / docCount (BM25Similarity.java:82-89):
+  -- counts ALL tokens including posInc-0 twins, while the per-doc norm
+  -- above discounts them (discountOverlaps=true) — exactly Lucene
   SELECT (SELECT count(*) FROM documents) AS n,
-         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+         (SELECT count(*) FROM {src})::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
 ),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM {src}
@@ -2435,7 +2461,9 @@ FROM toks GROUP BY 1 ORDER BY term""",
         ("czech", "matkách", "matk"),
         ("bulgarian", "градът", "град"),
         ("bulgarian", "книгите", "книг"),
-        ("hindi", "करता", "कर"),
+        # करता was the r4 vector; under the reference hi stop list it is
+        # a stop word (proof the r5 transcription changed behavior)
+        ("hindi", "किताबें", "किताब"),
         ("indonesian", "membaca", "baca"),
         ("indonesian", "kebijakan", "bijak"),
         ("latvian", "cilvēkiem", "cilvēk"),
@@ -2690,8 +2718,8 @@ GROUP BY term ORDER BY term""",
 
     # SynonymFilter (synonym/SynonymFilter.java:111) index-time injection:
     # the 'dup, duplicate' equivalence class gives every 'dup' token a
-    # 'duplicate' twin (dl/avgdl/df shift accordingly); querying
-    # 'duplicate' analyzes to the class -> OR(duplicate, dup).
+    # 'duplicate' twin (df/tf shift; dl doesn't — discountOverlaps);
+    # querying 'duplicate' analyzes to the class -> OR(duplicate, dup).
     def _syn_index_topk(spark, sf):
         s = gate_searcher_synonym(spark, sf)
         res = s.search("duplicate", k=10, mode="OR", with_url=False)

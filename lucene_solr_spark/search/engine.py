@@ -51,6 +51,25 @@ RESULT_SCHEMA = "docid long, score float"
 
 
 @functools.lru_cache(maxsize=512)
+def _publish_dir(write_fn, path: str) -> None:
+    """Atomically publish a Spark-written directory: write to a unique
+    temp sibling, then os.rename into place (the same single-rename
+    commit manifest.commit uses). Concurrent lazy builders race safely —
+    the rename loser removes its temp and reads the winner's output; a
+    concurrent reader can never observe a partially written ``path``."""
+    import shutil
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+
+
 def _read_norms_keyed(path: str, _mtime_ns: int, _size: int) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1502,12 +1521,15 @@ class SparkSearcher:
             .agg(F.max("edge").alias("edge"), F.max("ttf").alias("ttf"))
         )
         try:
-            (
-                grams
-                .repartitionByRange(len(self.seg_meta), "gram")
-                .sortWithinPartitions("gram", "term")
-                .write.mode("overwrite")
-                .parquet(path)
+            _publish_dir(
+                lambda tmp: (
+                    grams
+                    .repartitionByRange(len(self.seg_meta), "gram")
+                    .sortWithinPartitions("gram", "term")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                ),
+                path,
             )
         except Exception:
             # read-only index dir (snapshot/replica mount): serve the
@@ -1765,13 +1787,16 @@ class SparkSearcher:
         gen = self.man.get("generation", 0)
         path = os.path.join(self.index_dir, f"terms_rev_g{gen}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            (
-                self._dictionary.select("term").distinct()
-                .withColumn("term_rev", F.reverse(F.col("term")))
-                .repartitionByRange(len(self.seg_meta), "term_rev")
-                .sortWithinPartitions("term_rev")
-                .write.mode("overwrite")
-                .parquet(path)
+            _publish_dir(
+                lambda tmp: (
+                    self._dictionary.select("term").distinct()
+                    .withColumn("term_rev", F.reverse(F.col("term")))
+                    .repartitionByRange(len(self.seg_meta), "term_rev")
+                    .sortWithinPartitions("term_rev")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                ),
+                path,
             )
         return self.spark.read.parquet(path)
 

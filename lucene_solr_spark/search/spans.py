@@ -623,9 +623,16 @@ def near_ordered_general_batch(
     every feasible candidate per link. Ties on total width keep the
     largest end, then largest start (shrinkToAfterShortestMatch
     narrowing). Match width counts THIS level's inter-span gaps:
-    (last.end - first.start) - sum of chosen sub-span extents. Cross-doc
-    chains cost >= SHIFT > any real slop, so the width <= slop test
-    rejects them; the explicit same-doc check stays as a guard.
+    (last.end - first.start) - sum of chosen sub-span extents. Each
+    link's candidate lookup is bounded to the seeker's own doc block: a
+    per-block offset on the prefix-min keys makes same-block candidates
+    always win the min, and a lower-bound searchsorted at the block base
+    marks seekers with no same-block candidate infeasible — so a
+    cross-doc chain can never shadow (and then lose to the same-doc
+    guard) a valid wider same-doc chain, at ANY slop. (A cross-doc link
+    can cost as little as ~MAX_POSITION-headroom below SHIFT, so the old
+    "width <= slop rejects cross-doc" claim only held for small slops —
+    ADVICE r4.)
     """
     k = len(subs)
     z = np.zeros(0, np.int64)
@@ -635,19 +642,22 @@ def near_ordered_general_batch(
     if k == 1:
         return a_gs, a_ge, np.zeros(len(a_gs), np.int64)
     # No slop ceiling needed (Lucene allows slop up to MAX_VALUE): the
-    # same-doc check on cur_start below rejects cross-doc chains on its
-    # own — docs occupy contiguous global ranges and an ordered chain's
-    # interior spans all lie between cur_start and the anchor, so start
-    # and anchor sharing a block implies the whole chain does.
+    # block-bounded lookup below never links across doc blocks.
     BIG = np.int64(1) << 60  # infeasible sentinel (no chain below)
     slop = min(int(slop), int(BIG) - 1)  # keep the int64 compare exact
+    # per-block key offset: true widths are < k*SHIFT << OFFSET, while
+    # block ids stay < 2^34, so blk*OFFSET < 2^62 fits int64 with room
+    OFFSET = np.int64(1) << 28
 
     def _prefix_min_eval(ss, es, val, chain):
         """Build g_j from clause-j candidates: returns (es_sorted,
-        key_sorted, chain_at) where g_j(x) = x + key_sorted[best(x)]."""
+        key_sorted, chain_at) where g_j(x) = x + key_sorted[best(x)]
+        + x_blk*OFFSET. Keys carry -blk*OFFSET so the running min always
+        prefers candidates from the seeker's own (= latest feasible) doc
+        block; the caller's lower-bound check guarantees one exists."""
         order = np.lexsort((ss, es))
-        es_s, ss_s = es[order], ss[order]
-        key = (val - es)[order]
+        es_s = es[order]
+        key = (val - es)[order] - (es_s // SHIFT) * OFFSET
         runmin = np.minimum.accumulate(key)
         # last index attaining the running min -> on width ties prefer
         # larger e, then larger s (later in the (e, s) sort)
@@ -662,10 +672,15 @@ def near_ordered_general_batch(
     )
     for j in range(1, k):
         x = subs[j][0] if j < k - 1 else a_gs
+        x_blk = x // SHIFT
         pos = np.searchsorted(es_s, x, side="right") - 1
-        feas = pos >= 0
+        # candidate must sit in the seeker's doc block: lower-bound the
+        # prefix at the block base (ADVICE r4 — cross-doc links are
+        # structurally excluded, not slop-rejected)
+        lb = np.searchsorted(es_s, x_blk * SHIFT, side="left")
+        feas = pos >= lb
         pos = np.maximum(pos, 0)
-        g = np.where(feas, x + keymin[pos], BIG)
+        g = np.where(feas, x + keymin[pos] + x_blk * OFFSET, BIG)
         g = np.minimum(g, BIG)  # clamp accumulated-infeasible sums
         chain = np.where(feas, chain_at[pos], np.int64(-1))
         if j == k - 1:
@@ -675,5 +690,5 @@ def near_ordered_general_batch(
             subs[j][0], subs[j][1], g, chain
         )
     valid = (width <= slop) & (cur_start >= 0)
-    valid &= (cur_start // SHIFT) == (a_gs // SHIFT)
+    valid &= (cur_start // SHIFT) == (a_gs // SHIFT)  # redundant guard
     return cur_start[valid], a_ge[valid], width[valid]

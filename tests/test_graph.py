@@ -47,7 +47,9 @@ class TestShingle:
             (0, "b", 1), (0, "b c", 1),
             (0, "c", 2),
         ]
-        assert out.attrs["doc_lengths"].tolist() == [5]
+        # discountOverlaps=true: bigrams ride posInc 0, norm counts
+        # occupied positions only (BM25Similarity.computeNorm)
+        assert out.attrs["doc_lengths"].tolist() == [3]
 
     def test_stop_hole_filler(self):
         # pos 1 removed by a stop filter: shingles spanning it get '_'
@@ -104,7 +106,8 @@ class TestSynonym:
         assert _tuples(out) == [
             (0, "dup", 0), (0, "duplicate", 0), (0, "rows", 1),
         ]
-        assert out.attrs["doc_lengths"].tolist() == [3]
+        # the twin is an overlap token: norm length stays 2
+        assert out.attrs["doc_lengths"].tolist() == [2]
 
     def test_mapping_replaces_original(self):
         rules = parse_synonym_rules(["blend => merge"])
@@ -208,4 +211,5 @@ class TestChainIntegration:
     def test_synonym_through_chain_lengths(self):
         f = tokenize_series(pd.Series(["dup rows", "table scan"]),
                             analyzer="synonym")
-        assert f.attrs["doc_lengths"].tolist() == [3, 2]
+        # 'duplicate' twin doesn't inflate the norm (discountOverlaps)
+        assert f.attrs["doc_lengths"].tolist() == [2, 2]

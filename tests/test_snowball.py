@@ -259,11 +259,15 @@ def test_stop_lists_disjoint_from_corpus_vocab():
         "small", "sort", "spark", "stream", "table", "the", "value",
         "vector", "window",
     }
+    # under the reference's verbatim lists (stopdata.py): only 'a' ever
+    # collides — the es/pt/it/ca/hu article; notably the snowball French
+    # and Romanian lists do NOT contain bare 'a' (only accented 'à')
     for lang in ("german", "russian", "dutch", "swedish", "norwegian",
-                 "danish"):
+                 "danish", "french", "romanian", "finnish", "turkish",
+                 "basque", "armenian"):
         assert not (vocab & SNOWBALL_STOPWORDS[lang]), lang
-    for lang in ("french", "spanish", "portuguese", "italian",
-                 "romanian"):
+    for lang in ("spanish", "portuguese", "italian", "catalan",
+                 "hungarian", "irish"):
         assert (vocab & SNOWBALL_STOPWORDS[lang]) == {"a"}, lang
 
 

@@ -330,6 +330,49 @@ def test_general_kernel_equals_unit_kernel_on_unit_spans():
             np.testing.assert_array_equal(x, y)
 
 
+def test_ordered_block_bounded_at_huge_slop():
+    """ADVICE r4 (spans.py cross-doc chain bound): with slop far above
+    the ~255 MAX_POSITION headroom, a chain that only closes across a
+    doc boundary must NOT match, and a same-doc chain must keep winning
+    even when a cross-doc candidate sits numerically closer to the
+    anchor. The block-bounded lookup excludes cross-doc links
+    structurally instead of relying on width > slop."""
+    from lucene_solr_spark.search import spans as SP
+
+    SH = int(SP.SHIFT)
+    big_slop = SH * 4  # Lucene allows slop up to Integer.MAX_VALUE
+
+    # chain exists ONLY cross-doc: C0 at the very end of doc 0, anchor
+    # at the start of doc 1 (link cost would be tiny if blocks ignored)
+    c0 = (np.array([SH - 3], np.int64), np.array([SH - 2], np.int64))
+    c1 = (np.array([SH + 1], np.int64), np.array([SH + 2], np.int64))
+    s, e, w = SP.near_ordered_general_batch([c0, c1], big_slop)
+    assert len(s) == 0
+
+    # same-doc chain with a tempting doc-0 candidate just below the
+    # block boundary: the anchor must link to the doc-1 C0 span
+    c0 = (
+        np.array([SH - 3, SH + 0], np.int64),
+        np.array([SH - 2, SH + 1], np.int64),
+    )
+    anchor = (np.array([SH + 500], np.int64), np.array([SH + 501], np.int64))
+    s, e, w = SP.near_ordered_general_batch([c0, anchor], big_slop)
+    assert list(s) == [SH + 0]
+    assert list(w) == [499]
+
+    # three clauses, middle clause present in both docs: the kept
+    # minimal chain must be the all-doc-1 one
+    c0 = (np.array([SH + 0], np.int64), np.array([SH + 1], np.int64))
+    c1 = (
+        np.array([SH - 2, SH + 100], np.int64),
+        np.array([SH - 1, SH + 101], np.int64),
+    )
+    anchor = (np.array([SH + 110], np.int64), np.array([SH + 111], np.int64))
+    s, e, w = SP.near_ordered_general_batch([c0, c1, anchor], big_slop)
+    assert list(s) == [SH + 0]
+    assert list(w) == [99 + 9]
+
+
 def test_nested_near_through_engine(searcher, pages_small):
     """Nested span query end-to-end through span_query on the real index."""
     from lucene_solr_spark.analysis import tokenize_series
