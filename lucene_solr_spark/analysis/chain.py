@@ -92,7 +92,14 @@ def _irish_pre(t: str):
     # from tokenized "n-athair" forms drop unconditionally
     if t in IRISH_HYPHENATIONS:
         return None
-    return _ELIDE_GA(t)
+    t = _ELIDE_GA(t)
+    # IrishLowerCaseFilter chain position: the eclipsis sentinel planted
+    # by text.py (token-initial n/t before an uppercase vowel) becomes
+    # the reference's inserted hyphen — "nꟿathair" -> "n-athair", which
+    # the Snowball Irish stemmer then strips as an initial mutation
+    if "ꟿ" in t:
+        t = t.replace("ꟿ", "-")
+    return t
 
 
 _ELIDE_FR = make_elision(ELISION_ARTICLES["french"])
@@ -110,12 +117,12 @@ def _lazy_maps():
     from .light import (
         french_light_stem,
         french_minimal_stem,
-        hindi_normalize,
-        hindi_stem,
+        hindi_chain_normalize,
+        hindi_stem_suffixes,
         italian_light_stem,
         persian_normalize,
         sorani_normalize,
-        sorani_stem,
+        sorani_stem_suffixes,
     )
     from .snowball import (
         catalan_stem,
@@ -124,8 +131,14 @@ def _lazy_maps():
         italian_stem,
         turkish_stem,
     )
+    from .stem import _strip_possessive, minimal_english_stem, porter_stem
 
     return {
+        # EnglishAnalyzer.java:99-108: possessive strip runs BEFORE the
+        # stop filter — "IT's" -> it -> stopped (fuzz_chain-caught; the
+        # old post-stop possessive kept such tokens alive)
+        "english": (_strip_possessive, porter_stem),
+        "english_minimal": (_strip_possessive, minimal_english_stem),
         "french": (_ELIDE_FR, french_stem),
         "french_light": (_ELIDE_FR, french_light_stem),
         "french_minimal": (_ELIDE_FR, french_minimal_stem),
@@ -136,12 +149,15 @@ def _lazy_maps():
         "turkish": (apostrophe_truncate, turkish_stem),
         "greek": (greek_lower, greek_stem),
         "persian": (persian_normalize, None),
-        "hindi": (hindi_normalize, hindi_stem),
-        "sorani": (sorani_normalize, sorani_stem),
+        # suffix-only post stems: normalization must run exactly once
+        # (sorani_normalize is NOT idempotent — fuzz_chain-caught)
+        "hindi": (hindi_chain_normalize, hindi_stem_suffixes),
+        "sorani": (sorani_normalize, sorani_stem_suffixes),
     }
 
 
 LATE_STOP_ANALYZERS = frozenset((
+    "english", "english_minimal",
     "french", "french_light", "french_minimal",
     "italian", "italian_light",
     "catalan", "irish", "turkish",

@@ -237,11 +237,86 @@ _HI_NORM_MAP = str.maketrans({
 })
 
 
+# IndicNormalizer (analysis/in/IndicNormalizer.java:70-231), Devanagari
+# rows only (flag(DEVANAGARI)), in the reference table's order — compose
+# independent-vowel/nukta cluster sequences into single letters BEFORE
+# HindiNormalizer runs. Offsets are relative to the 0x0900 block base;
+# ch2 == -1 means a 2-char rule. First matching row wins; matched rows
+# consume 1 or 2 following chars; the scan does not revisit a composed
+# position (normalize() increments past it).
+_INDIC_DEV_ROWS = [
+    (0x05, 0x3E, 0x45, 0x11), (0x05, 0x3E, 0x46, 0x12),
+    (0x05, 0x3E, 0x47, 0x13), (0x05, 0x3E, 0x48, 0x14),
+    (0x05, 0x3E, -1, 0x06), (0x05, 0x45, -1, 0x72),
+    (0x05, 0x46, -1, 0x04), (0x05, 0x49, -1, 0x11),
+    (0x05, 0x4A, -1, 0x12), (0x05, 0x4B, -1, 0x13),
+    (0x05, 0x4C, -1, 0x14), (0x06, 0x45, -1, 0x11),
+    (0x06, 0x46, -1, 0x12), (0x06, 0x47, -1, 0x13),
+    (0x06, 0x48, -1, 0x14), (0x09, 0x41, -1, 0x0A),
+    (0x0F, 0x45, -1, 0x0D), (0x0F, 0x46, -1, 0x0E),
+    (0x0F, 0x47, -1, 0x10), (0x15, 0x3C, -1, 0x58),
+    (0x16, 0x3C, -1, 0x59), (0x17, 0x3C, -1, 0x5A),
+    (0x1C, 0x3C, -1, 0x5B), (0x21, 0x3C, -1, 0x5C),
+    (0x22, 0x3C, -1, 0x5D), (0x28, 0x3C, -1, 0x29),
+    (0x2B, 0x3C, -1, 0x5E), (0x2F, 0x3C, -1, 0x5F),
+    (0x30, 0x3C, -1, 0x31), (0x33, 0x3C, -1, 0x34),
+    (0x3E, 0x45, -1, 0x49), (0x3E, 0x46, -1, 0x4A),
+    (0x3E, 0x47, -1, 0x4B), (0x3E, 0x48, -1, 0x4C),
+]
+_INDIC_DEV_BY_CH0: dict[int, list[tuple[int, int, int, int]]] = {}
+for _r in _INDIC_DEV_ROWS:
+    _INDIC_DEV_BY_CH0.setdefault(_r[0], []).append(_r)
+_DEV_BASE = 0x0900
+
+
+def _dev(c: str) -> int:
+    o = ord(c) - _DEV_BASE
+    return o if 0 <= o < 0x80 else -1
+
+
+def indic_normalize(w: str) -> str:
+    """IndicNormalizer.normalize over the Devanagari block: compose
+    e.g. अ+ा -> आ, ए+े -> ऐ, क+़ -> क़ so HindiNormalizer sees the
+    canonical letters (the reference chain runs this filter first)."""
+    s = list(w)
+    i = 0
+    while i < len(s):
+        ch0 = _dev(s[i])
+        rows = _INDIC_DEV_BY_CH0.get(ch0)
+        if rows and i + 1 < len(s):
+            ch1 = _dev(s[i + 1])
+            if ch1 >= 0:
+                ch2 = -1
+                if i + 2 < len(s):
+                    if s[i + 2] == "‍":
+                        ch2 = 0xFF
+                    else:
+                        ch2 = _dev(s[i + 2])
+                for _c0, c1, c2, res in rows:
+                    if c1 == ch1 and (c2 < 0 or c2 == ch2):
+                        s[i] = chr(_DEV_BASE + res)
+                        del s[i + 1]
+                        if c2 >= 0:
+                            del s[i + 1]
+                        break
+        i += 1
+    return "".join(s)
+
+
 def hindi_normalize(w: str) -> str:
+    """HindiNormalizer alone (hi/HindiNormalizer.java) — the kernel
+    contract tools/fuzz_light.py pins byte-identically. The analyzer
+    chain runs IndicNormalizer first: hindi_chain_normalize."""
     # dead n (na + virama) -> anusvara, BEFORE the general virama delete
     w = w.replace("न्", "ं")
     w = w.translate(_HI_NORM_MAP)
     return w.replace("्", "")  # remaining viramas
+
+
+def hindi_chain_normalize(w: str) -> str:
+    # the reference chain position: IndicNormalization THEN
+    # HindiNormalization (hi/HindiAnalyzer.java createComponents)
+    return hindi_normalize(indic_normalize(w))
 
 
 _HI_SUF_5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
@@ -256,14 +331,23 @@ _HI_SUF_2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी
 _HI_SUF_1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
 
 
-def hindi_stem(w: str) -> str:
-    w = hindi_normalize(w)
+def hindi_stem_suffixes(w: str) -> str:
+    """HindiStemmer's suffix ladder alone — expects ALREADY-normalized
+    input (the chain runs Indic+Hindi normalization before the stop
+    filter, then this after; analysis/chain.py wires the split so the
+    normalizers run exactly once, like the reference filter order)."""
     n = len(w)
     for k, sufs in ((5, _HI_SUF_5), (4, _HI_SUF_4), (3, _HI_SUF_3),
                     (2, _HI_SUF_2), (1, _HI_SUF_1)):
         if n > k + 1 and w.endswith(sufs):
             return w[:-k]
     return w
+
+
+def hindi_stem(w: str) -> str:
+    """Standalone full chain (normalize + stem) for the vocab-mapped
+    LIGHT_STEMMERS registry path."""
+    return hindi_stem_suffixes(hindi_normalize(w))
 
 
 # ---------------------------------------------------------------------------
@@ -480,8 +564,13 @@ def sorani_normalize(w: str) -> str:
     return "".join(s)
 
 
-def sorani_stem(w: str) -> str:
-    w = sorani_normalize(w)
+def sorani_stem_suffixes(w: str) -> str:
+    """SoraniStemmer's ladder alone — expects ALREADY-normalized input.
+    Normalization is NOT idempotent (ھ -> ه on the first pass would
+    become word-final ه -> ە on a second), so the late-stop chain
+    (analysis/chain.py) runs sorani_normalize exactly once before the
+    stop filter and this after, like the reference filter order —
+    double-normalizing was a real fuzz_chain.py-caught bug."""
     n = len(w)
     # postposition
     if n > 5 and w.endswith("دا"):
@@ -532,6 +621,11 @@ def sorani_stem(w: str) -> str:
         return w[:-1]
     return w
 
+
+def sorani_stem(w: str) -> str:
+    """Standalone full chain (normalize + stem) for the vocab-mapped
+    LIGHT_STEMMERS registry path."""
+    return sorani_stem_suffixes(sorani_normalize(w))
 
 
 # ---------------------------------------------------------------------------

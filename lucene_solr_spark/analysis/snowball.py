@@ -2707,6 +2707,14 @@ def armenian_stem(word: str) -> str:
 # registry + vectorized filter
 # ---------------------------------------------------------------------------
 
+# DutchAnalyzer's default StemmerOverrideFilter dictionary
+# (nl/DutchAnalyzer.java:80-84): overridden terms are keyword-marked, so
+# the Snowball stemmer never touches them
+_NL_STEM_OVERRIDES = {
+    "fiets": "fiets", "bromfiets": "bromfiets",
+    "ei": "eier", "kind": "kinder",
+}
+
 SNOWBALL_STEMMERS = {
     "german": german_stem,
     "french": french_stem,
@@ -2714,7 +2722,7 @@ SNOWBALL_STEMMERS = {
     "portuguese": portuguese_stem,
     "russian": russian_stem,
     "italian": italian_stem,
-    "dutch": dutch_stem,
+    "dutch": lambda w: _NL_STEM_OVERRIDES.get(w) or dutch_stem(w),
     "swedish": swedish_stem,
     "norwegian": norwegian_stem,
     "danish": danish_stem,

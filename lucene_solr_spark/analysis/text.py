@@ -52,7 +52,7 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 # bump when analyzer semantics change in a way stop-set hashes don't
 # capture (chain order, tokenizer rules, stemmer fixes): cached gate
 # indexes key on analysis_fingerprint() so they rebuild automatically
-ANALYSIS_VERSION = "r5-refstops-latechain-1"
+ANALYSIS_VERSION = "r5-refstops-latechain-2"  # 2: sum_ttf=len(flat)
 
 
 def analysis_fingerprint() -> str:
@@ -557,6 +557,28 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
     if analyzer in LATE_STOP_ANALYZERS:
         late_stopset = stopset
         stopset = frozenset()
+
+    if analyzer == "irish":
+        # IrishLowerCaseFilter eclipsis (ga/IrishLowerCaseFilter.java:36):
+        # a token-initial n/t before an UPPERCASE vowel gains a hyphen
+        # ("nAthair" -> "n-athair") BEFORE lowercasing. Case is gone
+        # after the generic lowercase, so mark the boundary at text level
+        # with a sentinel letter (U+A7FF, \pL — never splits a token, and
+        # cannot occur in Irish text); chain._irish_pre rewrites it to
+        # the hyphen at the IrishLowerCaseFilter chain position. The
+        # leading group reproduces token-start exactly: the preceding
+        # char is a tokenizer delimiter (complement of _ARROW_DELIM's
+        # token set) or string start.
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.Array.from_pandas(
+                texts.fillna(""), type=pa.string()
+            )
+        texts = pc.replace_substring_regex(
+            texts,
+            pattern=(r"(^|[^\pL\pM\pN\p{Cf}_.,:'’])([nt])"
+                     r"([AEIOUÁÉÍÓÚ])"),
+            replacement="\\1\\2ꟿ\\3",
+        )
 
     if analyzer == "turkish":
         # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java): map

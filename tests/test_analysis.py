@@ -130,7 +130,8 @@ def test_common_grams_analyzer():
     assert rows == [
         (0, "the"), (0, "the_quick"), (1, "quick"), (2, "brown"),
         (3, "fox"), (3, "fox_is"), (4, "is"), (4, "is_fast"), (5, "fast")]
-    assert list(f.attrs["doc_lengths"]) == [9]
+    # grams ride posInc 0: discountOverlaps norm counts the 6 unigrams
+    assert list(f.attrs["doc_lengths"]) == [6]
 
 
 def test_wb4_mark_and_format_gluing():
