@@ -8,10 +8,11 @@ the reference's TokenFilters transform a TokenStream:
   - ShingleFilter (analysis/common/.../shingle/ShingleFilter.java:45):
     token n-grams with '_' filler tokens for stop-filter holes.
   - SynonymFilter (analysis/common/.../synonym/SynonymFilter.java:111):
-    inject synonym terms at the same position (posInc 0). Single-token
-    inputs with one-or-more single-token outputs (the SolrSynonymParser
-    equivalence-class case, solr/example schema.xml:126-150); multi-token
-    *match* graphs are out of scope and documented so.
+    inject synonym terms at the same position (posInc 0). synonym_flat
+    handles single-token inputs (the SolrSynonymParser equivalence-class
+    case, solr/example schema.xml:126-150); synonym_graph_flat adds the
+    FST's multi-token MATCH support ("wi fi => wifi") with the
+    reference's flattened sausage output positions.
   - WordDelimiterFilter (analysis/common/.../miscellaneous/
     WordDelimiterFilter.java:86): split tokens on letter/digit
     transitions ('x100' -> x, 100), each part consuming a position (the
@@ -42,6 +43,18 @@ FILLER = "_"  # ShingleFilter.DEFAULT_FILLER_TOKEN
 DEFAULT_SYNONYM_LINES = [
     "dup, duplicate",
     "blend => merge",
+]
+
+# Default rules for the 'synonym_graph' registry analyzer: the multi-token
+# MATCH cases SynonymFilter's FST handles ("wi fi => wifi" shaped). The
+# corpus bigram "table hash" is frequent in the testdata, so the '=>'
+# rule visibly rewrites the index; "big row, bigrow" exercises the
+# keep-originals equivalence with a multi-word member.
+SYNONYM_GRAPH_LINES = [
+    "dup, duplicate",
+    "blend => merge",
+    "table hash => tablehash",
+    "big row, bigrow",
 ]
 
 
@@ -163,6 +176,191 @@ def parse_synonym_rules(lines: list[str]) -> dict[str, tuple[str, ...]]:
             for key in cls:
                 rules.setdefault(key, set()).update(cls)
     return {k: tuple(sorted(v)) for k, v in rules.items()}
+
+
+def parse_synonym_rules_multi(lines: list[str]):
+    """SolrSynonymParser with MULTI-token inputs and outputs
+    (synonym/SolrSynonymParser.java; the FST in SynonymFilter.java:111
+    matches multi-word inputs like "wi fi => wifi").
+
+    Returns {input_token_tuple: (output_phrase_tuples, keep_originals)}.
+    Equivalence classes map every member to all members (keep=True,
+    self included); '=>' maps each LHS alternative to the RHS outputs
+    (keep=False). Each output phrase is a tuple of tokens.
+    """
+    rules: dict[tuple, tuple] = {}
+
+    def phrase(s: str) -> tuple:
+        return tuple(s.split())
+
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            outs = tuple(phrase(t) for t in rhs.split(",") if t.strip())
+            for key in (phrase(t) for t in lhs.split(",") if t.strip()):
+                prev = rules.get(key, ((), False))
+                rules[key] = (tuple(sorted(set(prev[0]) | set(outs))), False)
+        else:
+            cls = [phrase(t) for t in line.split(",") if t.strip()]
+            for key in cls:
+                prev = rules.get(key, ((), True))
+                outs = set(prev[0]) | {c for c in cls if c != key}
+                rules[key] = (tuple(sorted(outs)), True)
+    return rules
+
+
+def _synonym_replay_doc(terms_d, pos_d, matches_d):
+    """Flattened SynonymFilter replay for one doc (only docs with >= 1
+    match pay this; semantics pinned against a compiled SynonymFilter
+    harness — see tests/test_graph.py::TestSynonymGraph):
+
+      * output word j of every matched rule attaches to stream SLOT
+        s + j (s = the match's first slot) as a posInc-0 rider on
+        whatever token emits that slot; riders past the last slot flush
+        at doc end as posInc-1 slots, in slot order;
+      * keepOrig matches emit their original tokens unchanged (own
+        increments preserved);
+      * '=>' matches swallow the inputs and emit min(k, longest-output)
+        fresh slots with posInc 1 HARD (any gap before or inside the
+        match is lost — the reference does not preserve it), so
+        downstream positions compress when the output is shorter.
+    """
+    out_terms: list = []
+    out_pos: list = []
+    slot_pos: list = []
+    pending: dict[int, list] = {}
+
+    def emit_slot(p):
+        slot_pos.append(p)
+        for w in pending.pop(len(slot_pos) - 1, ()):
+            out_terms.append(w)
+            out_pos.append(p)
+
+    i = 0
+    mi = 0
+    prev_orig = -1
+    n = len(terms_d)
+    while i < n:
+        if mi < len(matches_d) and matches_d[mi][0] == i:
+            _start, k, outs, keep = matches_d[mi]
+            mi += 1
+            s = len(slot_pos)
+            for o in outs:
+                for j, w in enumerate(o):
+                    pending.setdefault(s + j, []).append(w)
+            if keep:
+                for t in range(k):
+                    p = ((slot_pos[-1] if slot_pos else -1)
+                         + int(pos_d[i + t]) - prev_orig)
+                    out_terms.append(terms_d[i + t])
+                    out_pos.append(p)
+                    emit_slot(p)
+                    prev_orig = int(pos_d[i + t])
+            else:
+                for _ in range(min(k, max(len(o) for o in outs))):
+                    emit_slot((slot_pos[-1] if slot_pos else -1) + 1)
+                prev_orig = int(pos_d[i + k - 1])
+            i += k
+        else:
+            p = ((slot_pos[-1] if slot_pos else -1)
+                 + int(pos_d[i]) - prev_orig)
+            out_terms.append(terms_d[i])
+            out_pos.append(p)
+            emit_slot(p)
+            prev_orig = int(pos_d[i])
+            i += 1
+    for s in sorted(pending):
+        p = (slot_pos[-1] if slot_pos else -1) + 1
+        ws = pending[s]
+        del pending[s]
+        for w in ws:
+            out_terms.append(w)
+            out_pos.append(p)
+        slot_pos.append(p)
+    return out_terms, out_pos
+
+
+def synonym_graph_flat(
+    flat: pd.DataFrame,
+    rules: dict,
+) -> pd.DataFrame:
+    """SynonymFilter with multi-token MATCH support over the flat stream
+    (synonym/SynonymFilter.java:111 — the FST consumes the longest
+    matching input sequence at each stream position, left to right,
+    matched spans never overlapping).
+
+    Semantics are bug-for-bug with the reference's flattened (pre-graph)
+    token stream, pinned against a compiled-from-reference SynonymFilter
+    harness: multi-word outputs sausage onto the following slots, '=>'
+    replacements compress downstream positions and swallow position-
+    increment gaps at/inside the match. Candidate generation is
+    vocabulary-gated and only docs with >= 1 match pay the per-doc
+    replay; every other doc passes through untouched (vectorized)."""
+    if not rules:
+        return flat
+    doc, term, pos = _order_by_doc_pos(flat)
+    n = len(doc)
+    if n == 0:
+        return flat
+    by_first: dict[str, list] = {}
+    for k, v in rules.items():
+        by_first.setdefault(k[0], []).append((k, v))
+    for lst in by_first.values():
+        lst.sort(key=lambda kv: -len(kv[0]))  # longest input first
+    first_mask = np.isin(term, list(by_first))
+    cand = np.flatnonzero(first_mask)
+    matches: dict[int, list] = {}  # doc -> [(start_row, k, outs, keep)]
+    next_free = 0  # left-to-right: matched spans never overlap
+    for i in cand:
+        if i < next_free:
+            continue
+        for key, (outs, keep) in by_first[term[i]]:
+            k = len(key)
+            if i + k > n or doc[i + k - 1] != doc[i]:
+                continue
+            if k > 1 and not all(term[i + j] == key[j] for j in range(1, k)):
+                continue
+            matches.setdefault(int(doc[i]), []).append((i, k, outs, keep))
+            next_free = i + k
+            break
+    if not matches:
+        return flat
+
+    hit_docs = np.zeros(int(doc.max()) + 1, dtype=bool)
+    hit_docs[list(matches)] = True
+    row_hit = hit_docs[doc]
+    out_doc = [doc[~row_hit]]
+    out_term = [term[~row_hit].astype(object)]
+    out_pos = [pos[~row_hit]]
+    starts = np.flatnonzero(np.concatenate([[True], doc[1:] != doc[:-1]]))
+    bounds = np.append(starts, n)
+    row0 = {int(doc[st]): i for i, st in enumerate(starts)}
+    for d, ms in matches.items():
+        lo = int(bounds[row0[d]])
+        hi = int(bounds[row0[d] + 1])
+        td = term[lo:hi]
+        pd_ = pos[lo:hi]
+        local = [(st - lo, k, outs, keep) for st, k, outs, keep in ms]
+        ts, ps = _synonym_replay_doc(td, pd_, local)
+        out_doc.append(np.full(len(ts), d, dtype=doc.dtype))
+        out_term.append(np.asarray(ts, dtype=object))
+        out_pos.append(np.asarray(ps, dtype=pos.dtype))
+    od = np.concatenate(out_doc)
+    ot = np.concatenate(out_term)
+    op = np.concatenate(out_pos)
+    order = np.lexsort((op, od))
+    out = pd.DataFrame(
+        {"doc_idx": od[order], "term": ot[order],
+         "pos": op[order].astype(np.int32)}
+    )
+    if "doc_lengths" in flat.attrs:
+        out.attrs["doc_lengths"] = _discounted_lengths(
+            od, op, len(flat.attrs["doc_lengths"])
+        )
+    return out
 
 
 def synonym_flat(

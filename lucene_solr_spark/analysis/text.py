@@ -52,7 +52,7 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 # bump when analyzer semantics change in a way stop-set hashes don't
 # capture (chain order, tokenizer rules, stemmer fixes): cached gate
 # indexes key on analysis_fingerprint() so they rebuild automatically
-ANALYSIS_VERSION = "r5-refstops-latechain-2"  # 2: sum_ttf=len(flat)
+ANALYSIS_VERSION = "r5-refstops-latechain-3"  # 3: synonym_graph replay
 
 
 def analysis_fingerprint() -> str:
@@ -569,8 +569,8 @@ SNOWBALL_ANALYZERS = ("finnish", "hungarian", "catalan", "turkish",
 #   common_grams — no stop removal; adjacent pairs containing a common
 #              word add a "w1_w2" gram at the first word's position
 #              (commongrams/CommonGramsFilter.java:52)
-GRAPH_ANALYZERS = ("shingle", "synonym", "word_delimiter",
-                   "common_grams")
+GRAPH_ANALYZERS = ("shingle", "synonym", "synonym_graph",
+                   "word_delimiter", "common_grams")
 LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
                    "indonesian", "latvian", "greek", "sorani", "brazilian",
                    "galician", "german_light", "french_light",
@@ -806,6 +806,11 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         elif analyzer == "synonym":
             out = graph.synonym_flat(
                 out, graph.parse_synonym_rules(graph.DEFAULT_SYNONYM_LINES)
+            )
+        elif analyzer == "synonym_graph":
+            out = graph.synonym_graph_flat(
+                out,
+                graph.parse_synonym_rules_multi(graph.SYNONYM_GRAPH_LINES),
             )
         elif analyzer == "common_grams":
             out = graph.common_grams_flat(out, ENGLISH_STOP_WORDS)

@@ -203,7 +203,7 @@ def _norm_range_values(max_len: int = 2_000_000) -> str:
 
 
 def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
-              stopwords=None, syn_inject=None) -> str:
+              stopwords=None, syn_inject=None, graph_cte=None) -> str:
     """BM25 oracle SQL; ``stopwords`` switches the tokens CTE to a
     language stop list (Snowball analyzer gates — the stem map is
     injective over the corpus vocabulary, so raw-term BM25 with the same
@@ -219,7 +219,13 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
     need = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     src = "toks"
     inject = ""
-    if syn_inject:
+    if graph_cte:
+        # caller-supplied token-graph rewrite: a full CTE chain whose
+        # LAST CTE must be toks2(doc_id, term, pos) (multi-token synonym
+        # gate uses this to model the FST match/replace)
+        inject = graph_cte + ","
+        src = "toks2"
+    elif syn_inject:
         unions = " UNION ALL ".join(
             f"SELECT doc_id, '{new}' AS term, pos FROM toks WHERE term = '{old}'"
             for old, new in syn_inject
@@ -2830,6 +2836,61 @@ GROUP BY term ORDER BY term""",
         _bm25_sql(["merge"], 10, False, syn_inject=[("dup", "duplicate")]),
     )
 
+    # r5: multi-token synonym MATCH graph (synonym/SynonymFilter.java:111
+    # FST lookahead, VERDICT-r4 item 4). Index built with the
+    # 'synonym_graph' analyzer (graph.SYNONYM_GRAPH_LINES): every
+    # stream-adjacent "table hash" is REPLACED by 'tablehash' at the
+    # first token's position ('=>' rule), every "big row" gains a
+    # 'bigrow' twin (equivalence), every 'dup' a 'duplicate' twin. The
+    # oracle rebuilds the same graph in SQL over stream-rank adjacency
+    # (rn = row_number over pos — stop holes don't break adjacency,
+    # matching the post-stop token stream the filter consumes). Plain
+    # joins are exact here because no rule's tokens overlap another's
+    # (the engine's left-to-right sweep handles the general case).
+    _GRAPH_CTE = """
+ws AS (SELECT doc_id, term, pos,
+              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+       FROM toks),
+m1 AS (SELECT a.doc_id, a.rn AS rn_a, b.rn AS rn_b, a.pos AS p0
+       FROM ws a JOIN ws b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+       WHERE a.term = 'table' AND b.term = 'hash'),
+m2 AS (SELECT a.doc_id, a.pos AS p0
+       FROM ws a JOIN ws b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+       WHERE a.term = 'big' AND b.term = 'row'),
+toks2 AS (
+  SELECT w.doc_id, w.term, w.pos FROM ws w
+  WHERE NOT EXISTS (SELECT 1 FROM m1
+                    WHERE m1.doc_id = w.doc_id
+                      AND w.rn IN (m1.rn_a, m1.rn_b))
+  UNION ALL SELECT doc_id, 'tablehash' AS term, p0 AS pos FROM m1
+  UNION ALL SELECT doc_id, 'bigrow' AS term, p0 AS pos FROM m2
+  UNION ALL SELECT doc_id, 'duplicate' AS term, pos FROM toks
+            WHERE term = 'dup'
+)"""
+
+    def _syn_graph_topk(query):
+        def run(spark, sf):
+            s = gate_searcher_lang(spark, sf, "synonym_graph")
+            res = s.search(query, k=10, mode="OR", with_url=False)
+            return res.select(
+                F.col("docid").alias("doc_id"),
+                F.round(F.col("score").cast("double") * 1000)
+                 .cast("long").alias("milliscore"),
+            ).orderBy("doc_id")
+        return run
+
+    R["synonym_graph_topk"] = (
+        _syn_graph_topk("tablehash"),
+        _bm25_sql(["tablehash"], 10, False, graph_cte=_GRAPH_CTE),
+    )
+    # the equivalence member: query-side analysis expands 'bigrow'
+    # through the same chain -> OR(bigrow, big, row) over the graph index
+    R["synonym_graph_equiv_topk"] = (
+        _syn_graph_topk("bigrow"),
+        _bm25_sql(["bigrow", "big", "row"], 10, False,
+                  graph_cte=_GRAPH_CTE),
+    )
+
     # WordDelimiterFilter (miscellaneous/WordDelimiterFilter.java:86):
     # planted mixed-alnum docs through the real chain; each split part
     # consumes a position (renumbering downstream tokens, stop-filter
@@ -3087,7 +3148,7 @@ _PRIORITY = [
     # round-5 NEW gates first (never driver-checked). chain_parity_values
     # is the non-self-referential whole-chain row (expected values from
     # the compiled reference analyzers, tools/fuzz_chain.py provenance).
-    "chain_parity_values",
+    "chain_parity_values", "synonym_graph_topk", "synonym_graph_equiv_topk",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything

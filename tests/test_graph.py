@@ -213,3 +213,96 @@ class TestChainIntegration:
                             analyzer="synonym")
         # 'duplicate' twin doesn't inflate the norm (discountOverlaps)
         assert f.attrs["doc_lengths"].tolist() == [2, 2]
+
+
+class TestSynonymGraph:
+    """Multi-token MATCH graphs (synonym/SynonymFilter.java:111 FST):
+    longest match, left-to-right, non-overlapping. Semantics pinned
+    byte-for-byte against a compiled-from-reference SynonymFilter
+    harness (StandardTokenizer -> Lower -> Stop -> SynonymFilter):
+    '=>' drops inputs, swallows increment gaps at/inside the match and
+    COMPRESSES downstream positions; equivalence keeps originals with
+    their own increments; multi-word outputs sausage one word per
+    following stream slot, flushing at doc end."""
+
+    def _rules(self):
+        from lucene_solr_spark.analysis.graph import parse_synonym_rules_multi
+
+        return parse_synonym_rules_multi([
+            "wi fi => wifi",
+            "big row, bigrow",
+            "dup, duplicate",
+            "table hash => tablehash",
+            "cold war => east west conflict",
+            "nyc => new york city",
+        ])
+
+    def _run(self, line):
+        from lucene_solr_spark.analysis.graph import synonym_graph_flat
+
+        flat = tokenize_series(pd.Series([line]), analyzer="standard")
+        out = synonym_graph_flat(flat, self._rules())
+        got = sorted(zip(out["term"].astype(str), out["pos"].tolist()))
+        return got, out.attrs.get("doc_lengths")
+
+    def test_compiled_reference_probe_matrix(self):
+        # every case's expectation is the verbatim output of the
+        # compiled reference SynonymFilter over the same line
+        cases = {
+            "bigrow scan runs": [("bigrow", 0), ("big", 0), ("scan", 1),
+                                 ("row", 1), ("runs", 2)],
+            "use wi fi now": [("use", 0), ("wifi", 1), ("now", 2)],
+            "big row here": [("big", 0), ("bigrow", 0), ("row", 1),
+                             ("here", 2)],
+            "the table hash join": [("tablehash", 0), ("join", 1)],
+            "wi wi fi fi": [("wi", 0), ("wifi", 1), ("fi", 2)],
+            "wi the fi": [("wifi", 0)],
+            "dup rows": [("dup", 0), ("duplicate", 0), ("rows", 1)],
+            "table table hash hash": [("table", 0), ("tablehash", 1),
+                                      ("hash", 2)],
+            "table hash table hash": [("tablehash", 0), ("tablehash", 1)],
+            "the dup rows": [("dup", 1), ("duplicate", 1), ("rows", 2)],
+            "the wi fi now": [("wifi", 0), ("now", 1)],
+            "wi fi the now": [("wifi", 0), ("now", 2)],
+            "big the row": [("big", 0), ("bigrow", 0), ("row", 2)],
+            "table the hash": [("tablehash", 0)],
+            "use wi fi wi fi end": [("use", 0), ("wifi", 1), ("wifi", 2),
+                                    ("end", 3)],
+            "the big row end": [("big", 1), ("bigrow", 1), ("row", 2),
+                                ("end", 3)],
+            "the bigrow end": [("bigrow", 1), ("big", 1), ("end", 2),
+                               ("row", 2)],
+            "cold war end game": [("east", 0), ("west", 1), ("end", 2),
+                                  ("conflict", 2), ("game", 3)],
+            "nyc marathon start": [("new", 0), ("marathon", 1),
+                                   ("york", 1), ("start", 2), ("city", 2)],
+            "the cold war the end": [("east", 0), ("west", 1), ("end", 3),
+                                     ("conflict", 3)],
+            "cold the war end": [("east", 0), ("west", 1), ("end", 2),
+                                 ("conflict", 2)],
+            "nyc": [("new", 0), ("york", 1), ("city", 2)],
+            "the bigrow": [("bigrow", 1), ("big", 1), ("row", 2)],
+        }
+        for line, exp in cases.items():
+            got, _ = self._run(line)
+            assert got == sorted(exp), line
+
+    def test_discounted_lengths(self):
+        # '=>' compression shrinks the norm length; riders don't add
+        got, dl = self._run("use wi fi now")
+        assert dl.tolist() == [3]
+        got, dl = self._run("big row here")
+        assert dl.tolist() == [3]
+
+    def test_match_never_crosses_docs(self):
+        from lucene_solr_spark.analysis.graph import synonym_graph_flat
+
+        f = _flat([(0, "wi", 0), (1, "fi", 0)])
+        out = synonym_graph_flat(f, self._rules())
+        assert _tuples(out) == [(0, "wi", 0), (1, "fi", 0)]
+
+    def test_through_chain(self):
+        f = tokenize_series(
+            pd.Series(["the table hash join"]), analyzer="synonym_graph"
+        )
+        assert _tuples(f) == [(0, "tablehash", 0), (0, "join", 1)]
