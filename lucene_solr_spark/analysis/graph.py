@@ -531,3 +531,81 @@ def common_grams_flat(flat: pd.DataFrame, common: frozenset,
                 # discountOverlaps leaves the norm length unchanged
                 out.attrs["doc_lengths"] = np.asarray(lengths)
     return out
+
+
+# DictionaryCompoundWordTokenFilter's dictionary for the
+# 'german_decompound' registry analyzer (compound/
+# DictionaryCompoundWordTokenFilterFactory.java wires a user word list;
+# this compact list covers common German compound parts and mirrors the
+# compiled-harness probe dictionary in tests/test_graph.py)
+GERMAN_COMPOUND_DICT = frozenset((
+    "donau", "dampf", "schiff", "fahrt", "gesellschaft", "kapitän",
+    "haus", "tür", "schlüssel", "bund", "land", "straße", "bahn",
+    "hof", "wasser", "kraft", "werk", "zeit", "arbeit", "markt",
+    "platz", "buch", "hand", "schuh", "eisen", "auto", "versicherung",
+    "geschwindigkeit", "begrenzung", "fuß", "ball", "spiel", "feld",
+))
+
+
+def decompose_word(term: str, dictionary: frozenset,
+                   min_word: int = 5, min_sub: int = 2,
+                   max_sub: int = 15) -> list[str]:
+    """CompoundWordTokenFilterBase.decompose (compound/
+    DictionaryCompoundWordTokenFilter.java:41): for every start index,
+    every dictionary substring of length min_sub..max_sub is a subword
+    — including the whole word itself when it is in the dictionary
+    (bug-for-bug: 'schiff' >= minWordSize re-emits itself)."""
+    n = len(term)
+    if n < min_word:
+        return []
+    subs = []
+    for i in range(0, n - min_sub + 1):
+        for j in range(min_sub, max_sub + 1):
+            if i + j > n:
+                break
+            if term[i: i + j] in dictionary:
+                subs.append(term[i: i + j])
+    return subs
+
+
+def decompound_flat(flat: pd.DataFrame,
+                    dictionary: frozenset = GERMAN_COMPOUND_DICT,
+                    min_word: int = 5, min_sub: int = 2,
+                    max_sub: int = 15) -> pd.DataFrame:
+    """DictionaryCompoundWordTokenFilter over the flat stream: subwords
+    ride posInc 0 at the original's position, original kept first
+    (CompoundWordTokenFilterBase.incrementToken restores state, sets
+    increment 0). Vocabulary-vectorized: decompose runs once per
+    distinct term; rows expand by dictionary code."""
+    term = flat["term"].astype(str)
+    cats, codes = np.unique(term.to_numpy(), return_inverse=True)
+    subs_by_cat = {}
+    for ci, t in enumerate(cats):
+        subs = decompose_word(t, dictionary, min_word, min_sub, max_sub)
+        if subs:
+            subs_by_cat[ci] = subs
+    if not subs_by_cat:
+        return flat
+    doc = flat["doc_idx"].to_numpy()
+    pos = flat["pos"].to_numpy()
+    add_doc, add_term, add_pos = [], [], []
+    for ci, subs in subs_by_cat.items():
+        hits = np.flatnonzero(codes == ci)
+        for s in subs:
+            add_doc.append(doc[hits])
+            add_term.append(np.full(len(hits), s, dtype=object))
+            add_pos.append(pos[hits])
+    od = np.concatenate([doc] + add_doc)
+    ot = np.concatenate([term.to_numpy().astype(object)] + add_term)
+    op = np.concatenate([pos] + add_pos)
+    # stable by (doc, pos): originals precede their subwords (original
+    # rows come first in the concatenation)
+    order = np.lexsort((op, od))
+    out = pd.DataFrame(
+        {"doc_idx": od[order], "term": ot[order],
+         "pos": op[order].astype(np.int32)}
+    )
+    if "doc_lengths" in flat.attrs:
+        # subwords are posInc-0 overlaps: norm lengths unchanged
+        out.attrs["doc_lengths"] = np.asarray(flat.attrs["doc_lengths"])
+    return out

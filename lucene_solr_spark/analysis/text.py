@@ -509,6 +509,37 @@ def _tokenize_urlemail_bulk(texts: pd.Series,
     return doc_idx, new_terms, pos, lengths
 
 
+def _tokenize_thai(texts: pd.Series,
+                   stopset: frozenset = ENGLISH_STOP_WORDS) -> tuple:
+    """Per-doc slow path for docs with Thai-script runs
+    (th/ThaiTokenizer.java): Thai runs segment through the dictionary
+    longest-match (analysis/thai.py); interleaved non-Thai text breaks
+    like the standard tokenizer. Positions interleave in text order."""
+    from .thai import THAI_RUN_RE, thai_segment
+
+    texts = texts.map(str.lower)
+
+    def _words(seg: str) -> list[str]:
+        ts = _TOKEN_RE.findall(seg)
+        return _expand_cjk(ts) if _CJK_RE.search(seg) else ts
+
+    tok_lists = []
+    for s in texts:
+        toks: list[str] = []
+        last = 0
+        for m in THAI_RUN_RE.finditer(s):
+            if m.start() > last:
+                toks.extend(_words(s[last:m.start()]))
+            toks.extend(thai_segment(m.group(0)))
+            last = m.end()
+        if last < len(s):
+            toks.extend(_words(s[last:]))
+        tok_lists.append(toks)
+    return _emit_token_lists(
+        pd.Series(tok_lists, index=texts.index), len(texts), stopset
+    )
+
+
 def _tokenize_urlemail(texts: pd.Series,
                        stopset: frozenset = ENGLISH_STOP_WORDS) -> tuple:
     """Per-doc slow path for docs that may contain URL/email tokens."""
@@ -579,9 +610,20 @@ LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
                    "galician_minimal", "swedish_light", "norwegian_light",
                    "norwegian_minimal", "russian_light", "hungarian_light",
                    "finnish_light", "german_minimal", "french_minimal")
+#   german_decompound — GermanAnalyzer chain with
+#              DictionaryCompoundWordTokenFilter between stop and the
+#              normalize/stem tail (compound/DictionaryCompoundWord
+#              TokenFilter.java:41; subwords ride posInc 0); matching
+#              runs on the PRE-normalization lowercased term (the
+#              dictionary carries ä/ß forms), stemming applies to
+#              originals AND subwords — pinned against a compiled
+#              harness in tests/test_graph.py
+#   thai — ThaiAnalyzer chain (th/ThaiAnalyzer.java): Thai-script runs
+#              dictionary-segmented (analysis/thai.py), LowerCase, the
+#              transcribed th stop list
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
-             "url_email", "cjk") + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS \
-    + GRAPH_ANALYZERS
+             "url_email", "cjk", "german_decompound", "thai") \
+    + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS + GRAPH_ANALYZERS
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFrame:
@@ -619,6 +661,12 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         from .light import LIGHT_STOPWORDS
 
         stopset = LIGHT_STOPWORDS[analyzer]
+    elif analyzer == "german_decompound":
+        from .snowball import SNOWBALL_STOPWORDS
+
+        stopset = SNOWBALL_STOPWORDS["german"]
+    elif analyzer == "thai":
+        stopset = _REF_STOPS["thai"]
     elif analyzer == "common_grams":
         # CommonGramsFilter replaces stop removal: common words stay as
         # unigrams AND seed the grams
@@ -682,6 +730,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         slow_pat = f"[{_CJK_CLASS}{_HANGUL_CLASS}]"
         slow_re = _HAS_BIGRAMMABLE_RE
         slow_fn = _tokenize_regex_cjk_bigram
+    elif analyzer == "thai":
+        slow_pat = f"[{_CJK_CLASS}\u0e00-\u0e7f]"
+        slow_re = re.compile(slow_pat)
+        slow_fn = _tokenize_thai
     else:
         slow_pat = f"[{_CJK_CLASS}]"
         slow_re = _CJK_RE
@@ -798,7 +850,15 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         }
     )
     out.attrs["doc_lengths"] = lengths
-    if analyzer in GRAPH_ANALYZERS:
+    if analyzer == "german_decompound":
+        from . import graph
+        from .light import light_filter_terms
+
+        out = graph.decompound_flat(out)
+        out["term"] = light_filter_terms(
+            pd.Categorical(out["term"]), "german_light"
+        )
+    elif analyzer in GRAPH_ANALYZERS:
         from . import graph
 
         if analyzer == "shingle":

@@ -339,3 +339,31 @@ def test_urlemail_bulk_equals_perdoc():
         np.asarray(b[1]).astype(str))
     np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
     np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+
+
+def test_thai_analyzer_matches_compiled_reference():
+    """ThaiAnalyzer chain (th/ThaiAnalyzer.java: ThaiTokenizer ->
+    LowerCase -> Stop(th/stopwords.txt)): expectations are the verbatim
+    output of the compiled reference ThaiAnalyzer over these lines
+    (ChainMain harness). General-text parity is NOT claimed — the JDK
+    BreakIterator dictionary differs from analysis/thai.py's curated
+    longest-match lexicon (documented there)."""
+    cases = {
+        "การที่ได้ต้องแสดงว่างานดี": [("แสดง", 4), ("งาน", 6), ("ดี", 7)],
+        "ภาษาไทยเป็นภาษาที่สวยงาม": [
+            ("ภาษา", 0), ("ไทย", 1), ("ภาษา", 3), ("สวย", 5), ("งาม", 6)],
+        "Apache Lucene กับภาษาไทย": [
+            ("apache", 0), ("lucene", 1), ("ภาษา", 3), ("ไทย", 4)],
+    }
+    for line, exp in cases.items():
+        assert analyze_one(line, analyzer="thai") == exp, line
+
+
+def test_thai_stop_words_segment_out():
+    # every th stop word must be segmentable or it could never be
+    # removed by the stop filter
+    from lucene_solr_spark.analysis.stopdata import REFERENCE_STOPWORDS
+    from lucene_solr_spark.analysis.thai import thai_segment
+
+    for w in REFERENCE_STOPWORDS["thai"]:
+        assert w in thai_segment(w), w

@@ -306,3 +306,52 @@ class TestSynonymGraph:
             pd.Series(["the table hash join"]), analyzer="synonym_graph"
         )
         assert _tuples(f) == [(0, "tablehash", 0), (0, "join", 1)]
+
+
+class TestDecompound:
+    """DictionaryCompoundWordTokenFilter (compound/DictionaryCompound
+    WordTokenFilter.java:41) inside the German chain: stop -> decompound
+    (pre-normalization text, dictionary carries umlaut/eszett forms) ->
+    GermanNormalization -> GermanLightStem, subwords at posInc 0.
+    Expectations are the verbatim output of a compiled-from-reference
+    harness over the same lines (StandardTokenizer -> Lower ->
+    Stop(german_stop.txt) -> DictionaryCompound -> GermanNormalization
+    -> GermanLightStem)."""
+
+    def test_compiled_reference_probe_matrix(self):
+        cases = {
+            "Donaudampfschifffahrtsgesellschaftskapitän war hier": [
+                ("donaudampfschifffahrtsgesellschaftskapitan", 0),
+                ("donau", 0), ("dampf", 0), ("schiff", 0), ("fahrt", 0),
+                ("gesellschaft", 0), ("kapitan", 0)],
+            "die Handschuhe und das Fußballspielfeld": [
+                ("handschuh", 1), ("hand", 1), ("schuh", 1),
+                ("fussballspielfeld", 4), ("fuss", 4), ("ball", 4),
+                ("spiel", 4), ("feld", 4)],
+            # 'schiff' >= minWordSize and in the dictionary: re-emits
+            # itself (bug-for-bug); 'haus' < minWordSize: untouched
+            "haus schiff kurz": [
+                ("haus", 0), ("schiff", 1), ("schiff", 1), ("kurz", 2)],
+            "Wasserkraftwerk am Marktplatz": [
+                ("wasserkraftwerk", 0), ("wass", 0), ("kraft", 0),
+                ("werk", 0), ("marktplatz", 2), ("markt", 2),
+                ("platz", 2)],
+            "Autoversicherung Geschwindigkeitsbegrenzung": [
+                ("autoversicherung", 0), ("auto", 0),
+                ("versicherung", 0), ("geschwindigkeitsbegrenzung", 1),
+                ("geschwindigkeit", 1), ("begrenzung", 1)],
+        }
+        for line, exp in cases.items():
+            f = tokenize_series(pd.Series([line]),
+                                analyzer="german_decompound")
+            got = sorted(zip(f["term"].astype(str), f["pos"].tolist()))
+            assert got == sorted(exp), line
+
+    def test_norm_length_unchanged(self):
+        f = tokenize_series(
+            pd.Series(["die Handschuhe und das Fußballspielfeld"]),
+            analyzer="german_decompound",
+        )
+        # subwords are posInc-0 overlaps: norm counts the 2 surviving
+        # originals only (die/und/das stopped)
+        assert list(f.attrs["doc_lengths"]) == [2]
