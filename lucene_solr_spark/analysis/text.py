@@ -77,39 +77,83 @@ def analysis_fingerprint() -> str:
     h.update(",".join(sorted(LATE_STOP_ANALYZERS)).encode())
     return h.hexdigest()[:10]
 
-# UAX#29 word: runs of word chars joined by the mid-token classes of the
-# JFlex grammar (standard/StandardTokenizer.java:45-94, word-break rules
-# WB6/7 and WB11/12), with the EXACT per-class neighbor constraints:
-#   MidNumLet + Single_Quote ('.', "'", '’'): letter.letter OR digit.digit
-#   MidLetter (':'):                          letter:letter only
-#   MidNum (','):                             digit,digit only
-# so "3.14", "example.com", "can't", "1,000", "a:b", "ab1.2cd" hold
-# together while "1:30", "a,b", "a.4", "a_.b" split — matching JFlex
-# (the pre-r4 approximation joined any \w neighbors). '_' is
-# ExtendNumLet (WB13a/b): glued inside \w runs but never a joiner
-# neighbor. WB4 (X [Extend Format]* -> X) is honored when the `regex`
-# module is importable: combining marks (M) and format chars (Cf, e.g.
-# ZWJ/ZWNJ) glue to the preceding base char instead of breaking the
-# token — decomposed "café" and Indic matras stay whole, matching
-# the JFlex Ex-suffixed classes ({ALetterEx} = ALetter [Format Extend]*).
-# Divergences kept: the mid classes cover the web-text subset
-# {. , : ' ’} not the full Unicode sets, Nl/No "letters" (Ⅻ, ①) don't
-# serve as joiner context (JFlex ALetter includes most Nl), and without
-# the regex module marks break tokens (NFC input unaffected).
-# Joiner contexts use L / N (not Nd) so they stay consistent with the
-# Arrow-side _ARROW_SUSPECT classes — a shape the suspect scan does NOT
-# flag must tokenize identically under this regex.
+# UAX#29 word tokenization: the full word-break grammar of the JFlex
+# tokenizer (standard/StandardTokenizerImpl.jflex:148-162), transcribed
+# as the POSIX-longest regex below (_TOKEN_RE) — byte-identical to the
+# compiled reference StandardAnalyzer on a 12k-line hard-unicode fuzz
+# corpus (Hebrew quotes, full mid classes, Nl/No, SEA scripts,
+# underscore shapes; tools/fuzz_chain.py harness). The Arrow fast path
+# reproduces it exactly via delimiter-split + trim + suspect resplit
+# (docs with chars Arrow cannot split faithfully divert wholesale
+# through _NONARROW_PAT). Remaining divergence without the `regex`
+# module (not this container): marks break tokens, approximate classes.
 _L = r"[^\W\d_]"  # \w letters (no digits, no underscore)
+# Full UAX#29 word-break classes (r5, closing the documented tail; every
+# rule below was probed against the compiled reference StandardAnalyzer
+# via the tools/fuzz_chain.py harness):
+#   MidLetter / MidNum / MidNumLet: the FULL Unicode sets, not just the
+#     web subset {. , : ' ’} — a·b and a‧b join, 12;34 joins, ab;cd splits
+#   Hebrew_Letter: WB7a (trailing ' glues after a Hebrew letter:
+#     "ששש'" keeps the quote), WB7b/c (א"ב joins, א"b does not)
+#   U+05F3 geresh is ALetter (ש׳ש and standalone ׳׳ are tokens)
+#   Numeric = Nd only and "letters" = L | Nl: No chars (①) are NOT
+#     token chars at all
+#   Complex_Context (Thai/Lao/Myanmar/Khmer letters): one token per
+#     script run, no joiner participation ("กกก" one token, "ก๑ก"
+#     three — the Thai DIGIT is Nd Numeric, not Complex_Context)
+#   ExtendNumLet '_': glues inside runs but an underscore-only shape is
+#     NOT a token ("__" emits nothing, not even a position)
+_MIDLETTER = "\u003a\u00b7\u0387\u05f4\u2027\ufe13\ufe55\uff1a"
+_MIDNUM = ("\u002c\u003b\u037e\u0589\u060c\u060d\u066c\u07f8"
+           "\u2044\ufe10\ufe14\ufe50\ufe54\uff0c\uff1b")
+_MIDNUMLET_SQ = "\u002e\u0027\u2018\u2019\u2024\ufe52\uff07\uff0e"
+_HEBREW_LETTER = "\u05d0-\u05ea\ufb1d-\ufb28\ufb2a-\ufb4f"
+_SEA_SCRIPTS = r"\p{Thai}\p{Lao}\p{Myanmar}\p{Khmer}"
 try:
     import regex as _regex  # third-party; supports \p{..}, var-len lookbehind
 
     _HAS_REGEX = True
     _M = r"[\p{M}\p{Cf}]"
+    # token chars: Nd (including SEA-script digits like ๑, which are
+    # Numeric to JFlex) + letters (L minus SEA scripts) + Nl + '_' +
+    # geresh
+    _W = (rf"(?:\p{{Nd}}|(?![{_SEA_SCRIPTS}])"
+          rf"[\p{{L}}\p{{Nl}}_׳])")
+    _LETTER_CTX = (rf"(?:(?![{_SEA_SCRIPTS}])"
+                   rf"[\p{{L}}\p{{Nl}}׳])")
+    _SEA_CHAR = rf"(?:(?!\p{{Nd}})[{_SEA_SCRIPTS}])"
+    # Direct transcription of the WORD rule of
+    # StandardTokenizerImpl.jflex:148-162 (the Ex suffix = trailing
+    # [Format Extend]* marks, WB4):
+    #   word = ENL* segment+ (ENL+ segment+)* ENL*
+    #   segment = HebrewLetter (SQ | DQ HebrewLetter)      (WB7a/b/c)
+    #           | Numeric ((ENL*|MidNum|MidNumLet|SQ) Numeric)*
+    #           | AHLetter ((ENL*|MidLetter|MidNumLet|SQ) AHLetter)*
+    # Segment structure (not pairwise lookbehinds) is what makes the
+    # quote cases come out right: "ג'1_" is ONE word (the HL-quote
+    # segment chains into the numeric segment), "׳׳'א'" ends at א (the
+    # א is consumed by the WB6 join, so no segment can start there and
+    # the final quote drops), "2ששש'" keeps its quote (ששש splits as
+    # letters + a fresh HL'-segment).
+    _AHx = rf"(?:{_LETTER_CTX}{_M}*)"
+    _HLx = rf"(?:[{_HEBREW_LETTER}]{_M}*)"
+    _NDx = rf"(?:\p{{Nd}}{_M}*)"
+    _ENLx = rf"(?:_{_M}*)"
+    _MidLx = rf"(?:[{_MIDLETTER}{_MIDNUMLET_SQ}]{_M}*)"
+    _MidNx = rf"(?:[{_MIDNUM}{_MIDNUMLET_SQ}]{_M}*)"
+    # JFlex is a DFA (leftmost-LONGEST match); Python's default regex
+    # semantics are greedy-first, which mis-segments the quote cases
+    # ("2ששש'" would stop before the WB7a quote, "ⅻב'ש"שa" would miss
+    # the HLQ(ב') re-segmentation). The regex module's POSIX flag gives
+    # true leftmost-longest matching — exactly the DFA behavior.
+    _SEG = (rf"(?:{_HLx}(?:'{_M}*|\"{_M}*{_HLx})"
+            rf"|{_NDx}(?:(?:{_ENLx}*|{_MidNx}){_NDx})*"
+            rf"|{_AHx}(?:(?:{_ENLx}*|{_MidLx}){_AHx})*)")
+    _CHUNK = rf"(?:{_SEG}+)"
     _TOKEN_RE = _regex.compile(
-        rf"(?:[\p{{L}}\p{{N}}_]{_M}*)+"
-        rf"(?:(?:(?<=\p{{L}}{_M}*)[.:'’]{_M}*(?=\p{{L}})"
-        rf"|(?<=\p{{N}}{_M}*)[.,'’]{_M}*(?=\p{{N}}))"
-        rf"(?:[\p{{L}}\p{{N}}_]{_M}*)+)*"
+        rf"{_SEA_CHAR}+"                                   # SEA run
+        rf"|{_ENLx}*{_CHUNK}(?:{_ENLx}+{_CHUNK})*{_ENLx}*",
+        _regex.POSIX,
     )
 except ImportError:  # pragma: no cover - regex is in the container
     _HAS_REGEX = False
@@ -117,6 +161,15 @@ except ImportError:  # pragma: no cover - regex is in the container
         rf"\w+(?:(?:(?<={_L})[.:'’](?={_L})|(?<=\d)[.,'’](?=\d))\w+)*",
         re.UNICODE,
     )
+
+_UNDERSCORE_ONLY_RE = re.compile(r"^_+$")
+
+
+def _findall_tokens(s: str) -> list[str]:
+    """_TOKEN_RE.findall minus underscore-only shapes (ExtendNumLet has
+    nothing to extend: JFlex emits no token and no position for them)."""
+    return [t for t in _TOKEN_RE.findall(s)
+            if not _UNDERSCORE_ONLY_RE.match(t)]
 
 # CJK handling per the JFlex grammar (StandardTokenizerImpl.jflex:55-60,
 # 135, 190-191): Han ideographs and Hiragana are emitted one token per
@@ -249,19 +302,46 @@ def _expand_cjk_bigram(tokens: list[str]) -> list[str]:
 # post-hoc (rare), so the fast path is byte-identical to the regex path
 # (tested). RE2 (Arrow's engine) treats \w as ASCII; spell out the
 # unicode word classes (letters, marks, numbers, underscore).
-_ARROW_DELIM = r"[^\pL\pM\pN\p{Cf}_.,:'’]+"
-_ARROW_TRIM = ".,:'’"
+_ARROW_DELIM = r"[^\pL\pM\pN\p{Cf}_.,;:'’]+"
+_ARROW_TRIM = ".,;:'’"
 # interior contexts only (edge joiners are trimmed): colon next to
 # digit/underscore, comma next to letter/underscore, dot/quote between
 # mixed letter-digit or next to underscore, joiner runs, any mark or
 # format char (WB4 gluing happens in the regex resplit)
 _ARROW_SUSPECT = (
-    r"[.,:'’]{2}"
+    r"[.,;:'’]{2}"
     r"|[\pN_]:[\pL\pN_]|[\pL\pN_]:[\pN_]"
-    r"|[\pL_],[\pL\pN_]|[\pL\pN_],[\pL_]"
+    r"|[\pL_][,;][\pL\pN_]|[\pL\pN_][,;][\pL_]"
     r"|\pL[.'’][\pN_]|\pN[.'’][\pL_]|_[.'’][\pL\pN_]"
     r"|\pM|\p{Cf}"
+    # Nl (Ⅻ) serves as a letter but NOT as a joiner's numeric context,
+    # and No (①) is not a token char at all — both need the regex's
+    # Nd/Nl-split classes (rare chars, cheap to divert)
+    r"|\p{Nl}|\p{No}"
+    # an underscore-only token (post-trim) is NOT a token to JFlex
+    # (ExtendNumLet with nothing to extend); detect the shape both
+    # doc-level (underscore touching a non-word char through optional
+    # joiners) and token-level (anchored)
+    r"|^_+$"
+    r"|(?:^|[^\pL\pM\pN\p{Cf}_])[.,;:'’]*_"
+    r"|_[.,;:'’]*(?:[^\pL\pM\pN\p{Cf}_]|$)"
 )
+
+# chars the Arrow fast path cannot tokenize faithfully — such docs route
+# through the regex path wholesale (the same doc-level gate CJK uses):
+# Hebrew (WB7a/b/c quote rules + geresh/gershayim), SEA scripts
+# (Complex_Context run tokens), the rare mid-class chars, and \p{No}
+# "digits" ((1), 1/2 — not token chars to JFlex but \pN to the old
+# classes). Web corpora hit these rarely; the testdata corpus never.
+_NONARROW_EXTRA = (
+    "\u0590-\u05ff\ufb1d-\ufb4f"                    # Hebrew
+    "\u0e00-\u0eff\u1000-\u109f\u1780-\u17ff"      # Thai Lao Myanmar Khmer
+    "\u00b7\u0387\u2027\ufe13\ufe55\uff1a"          # MidLetter extras
+    "\u037e\u0589\u060c\u060d\u066c\u07f8\u2044"   # MidNum extras
+    "\ufe10\ufe14\ufe50\ufe54\uff0c\uff1b"
+    "\u2018\u2024\ufe52\uff07\uff0e"                # MidNumLet extras
+)
+_NONARROW_PAT = f"[{_CJK_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
 
 
 def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
@@ -280,8 +360,10 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
         else pa.Array.from_pandas(texts, type=pa.string())
     )
     low = pc.utf8_lower(arr)
-    if check_cjk and pc.any(pc.match_substring_regex(low, f"[{_CJK_CLASS}]")).as_py():
-        return None  # rare: per-char CJK handling uses the regex path
+    if check_cjk and pc.any(
+        pc.match_substring_regex(low, _NONARROW_PAT)
+    ).as_py():
+        return None  # rare: CJK/Hebrew/SEA/No handling -> regex path
     lists = pc.split_pattern_regex(low, _ARROW_DELIM)
     parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     vals = pc.utf8_trim(pc.list_flatten(lists), _ARROW_TRIM)
@@ -312,7 +394,7 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
         counts = np.ones(len(v_np), np.int64)
         repl: dict[int, list[str]] = {}
         for i in np.flatnonzero(viol):
-            toks = _TOKEN_RE.findall(v_np[i])
+            toks = _findall_tokens(v_np[i])
             counts[i] = len(toks)
             repl[i] = toks
         offs = np.cumsum(counts) - counts
@@ -364,7 +446,7 @@ def _tokenize_regex(texts: pd.Series,
     """Reference regex path (handles CJK per-char/bigram expansion)."""
     expand_re = expand_re if expand_re is not None else _CJK_RE
     texts = texts.map(str.lower)
-    tok_lists = texts.map(_TOKEN_RE.findall)
+    tok_lists = texts.map(_findall_tokens)
     has_cjk = texts.map(lambda s: expand_re.search(s) is not None)
     if has_cjk.any():
         idx = np.flatnonzero(has_cjk.to_numpy())
@@ -458,9 +540,9 @@ def _tokenize_urlemail_bulk(texts: pd.Series,
     if any(_UE_SENT in s or "\x00" in s or "\x01" in s for s in low):
         return _tokenize_urlemail(pd.Series(low), stopset=stopset)
     joined = "\x00".join(low)
-    if _CJK_RE.search(joined):
-        # CJK needs per-char expansion — the per-doc path handles the
-        # (rare) CJK+URL combination
+    if (_regex if _HAS_REGEX else re).search(_NONARROW_PAT, joined):
+        # CJK/Hebrew/SEA/No chars need the regex machinery — the per-doc
+        # path handles the (rare) combination with URLs
         return _tokenize_urlemail(pd.Series(low), stopset=stopset)
     # ONE C-level global scan: the capturing split yields
     # [seg0, match1, seg1, match2, ...] — segments and matches together,
@@ -520,7 +602,7 @@ def _tokenize_thai(texts: pd.Series,
     texts = texts.map(str.lower)
 
     def _words(seg: str) -> list[str]:
-        ts = _TOKEN_RE.findall(seg)
+        ts = _findall_tokens(seg)
         return _expand_cjk(ts) if _CJK_RE.search(seg) else ts
 
     tok_lists = []
@@ -546,7 +628,7 @@ def _tokenize_urlemail(texts: pd.Series,
     texts = texts.map(str.lower)
 
     def _words(seg: str) -> list[str]:
-        ts = _TOKEN_RE.findall(seg)
+        ts = _findall_tokens(seg)
         return _expand_cjk(ts) if _CJK_RE.search(seg) else ts
 
     tok_lists = []
@@ -735,8 +817,8 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         slow_re = re.compile(slow_pat)
         slow_fn = _tokenize_thai
     else:
-        slow_pat = f"[{_CJK_CLASS}]"
-        slow_re = _CJK_RE
+        slow_pat = _NONARROW_PAT
+        slow_re = (_regex if _HAS_REGEX else re).compile(slow_pat)
         slow_fn = _tokenize_regex
 
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):

@@ -367,3 +367,39 @@ def test_thai_stop_words_segment_out():
 
     for w in REFERENCE_STOPWORDS["thai"]:
         assert w in thai_segment(w), w
+
+
+def test_uax29_full_class_tail():
+    """r5 tail closure — every expectation is the verbatim output of the
+    compiled reference StandardAnalyzer (ChainMain harness): Hebrew
+    WB7a/b/c quotes, geresh-as-ALetter, full MidLetter/MidNum sets,
+    Nd/Nl/No distinctions, SEA script runs, underscore-only shapes."""
+    from lucene_solr_spark.analysis.text import (
+        ENGLISH_STOP_WORDS,
+        _findall_tokens,
+    )
+
+    cases = {
+        "א\"ב": ['א"ב'],          # WB7b/c joins
+        "א\"b": ["א", "b"],       # only between Hebrew letters
+        "ששש'": ["ששש'"],         # WB7a trailing quote kept
+        "׳׳'א'": ["׳׳'א"],        # א consumed by WB6 join: quote drops
+        "שש'ש'": ["שש'ש'"],       # re-segmentation keeps both quotes
+        "ג'1_": ["ג'1_"],         # HL-quote segment chains onward
+        "ש׳ש ׳׳2": ["ש׳ש", "׳׳2"],  # geresh is ALetter
+        "12;34 ab;cd": ["12;34", "ab", "cd"],   # ';' MidNum
+        "a·b 1·2": ["a·b", "1", "2"],           # '·' MidLetter
+        "a‧b": ["a‧b"],                          # '‧' MidLetter
+        "กกก abc": ["กกก", "abc"],               # SEA run = one token
+        "ก๑ก": ["ก", "๑", "ก"],   # Thai digit is Numeric, splits the run
+        "ภาษาไทย": ["ภาษาไทย"],
+        "__ _a a_": ["_a", "a_"],  # underscore-only: no token
+        "①① a①b": ["a", "b"],      # No chars are not token chars
+        "Ⅻ.2": ["ⅻ", "2"],        # Nl is a letter, not a digit context
+        "a2’Ⅻ": ["a2", "ⅻ"],
+    }
+    for src, want in cases.items():
+        assert _findall_tokens(src.lower()) == want, src
+        # the full pipeline (Arrow gate + suspect resplit) must agree
+        got = [t for t, _p in analyze_one(src, analyzer="standard")]
+        assert got == [w for w in want if w not in ENGLISH_STOP_WORDS], src

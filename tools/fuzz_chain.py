@@ -74,8 +74,12 @@ public class ChainMain {
 
 # (java analyzer FQCN, repo analyzer name, alphabet extras)
 # NOTE the vintage's DEFAULT de/fr/es/pt/it analyzers use LIGHT stemmers
+# The standard-analyzer extras exercise the full UAX#29 tail: Hebrew
+# quotes (WB7a/b/c), geresh/gershayim, the full mid classes, Nl/No,
+# SEA scripts, underscore shapes.
 LANGS = [
-    ("org.apache.lucene.analysis.standard.StandardAnalyzer", "standard", ""),
+    ("org.apache.lucene.analysis.standard.StandardAnalyzer", "standard",
+     "אבגש׳״·‧Ⅻ①๑ก"),
     ("org.apache.lucene.analysis.en.EnglishAnalyzer", "english", ""),
     ("org.apache.lucene.analysis.de.GermanAnalyzer", "german_light", "äöüß"),
     ("org.apache.lucene.analysis.fr.FrenchAnalyzer", "french_light",
