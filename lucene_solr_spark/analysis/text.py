@@ -150,11 +150,20 @@ try:
             rf"|{_NDx}(?:(?:{_ENLx}*|{_MidNx}){_NDx})*"
             rf"|{_AHx}(?:(?:{_ENLx}*|{_MidLx}){_AHx})*)")
     _CHUNK = rf"(?:{_SEG}+)"
-    _TOKEN_RE = _regex.compile(
+    _TOKEN_PATTERN = (
         rf"{_SEA_CHAR}+"                                   # SEA run
-        rf"|{_ENLx}*{_CHUNK}(?:{_ENLx}+{_CHUNK})*{_ENLx}*",
-        _regex.POSIX,
+        rf"|{_ENLx}*{_CHUNK}(?:{_ENLx}+{_CHUNK})*{_ENLx}*"
     )
+    # POSIX longest-match is ~300x slower than greedy-first on long
+    # letter runs, and the grammar is only AMBIGUOUS around the
+    # HebrewLetter-quote segments (everything else concatenates
+    # deterministically) — so the POSIX engine runs only on strings
+    # containing Hebrew letters; everything else takes the fast greedy
+    # compile of the SAME pattern (fuzz-verified identical on
+    # Hebrew-free input).
+    _TOKEN_RE = _regex.compile(_TOKEN_PATTERN, _regex.POSIX)
+    _TOKEN_RE_FAST = _regex.compile(_TOKEN_PATTERN)
+    _HAS_HEBREW_RE = _regex.compile(rf"[{_HEBREW_LETTER}]")
 except ImportError:  # pragma: no cover - regex is in the container
     _HAS_REGEX = False
     _TOKEN_RE = re.compile(
@@ -165,10 +174,19 @@ except ImportError:  # pragma: no cover - regex is in the container
 _UNDERSCORE_ONLY_RE = re.compile(r"^_+$")
 
 
+def _token_pattern_for(s: str):
+    """POSIX (DFA-longest) engine only when Hebrew letters are present —
+    the one ambiguity source; the greedy compile is identical (and much
+    faster) everywhere else."""
+    if _HAS_REGEX and not _HAS_HEBREW_RE.search(s):
+        return _TOKEN_RE_FAST
+    return _TOKEN_RE
+
+
 def _findall_tokens(s: str) -> list[str]:
-    """_TOKEN_RE.findall minus underscore-only shapes (ExtendNumLet has
+    """Token findall minus underscore-only shapes (ExtendNumLet has
     nothing to extend: JFlex emits no token and no position for them)."""
-    return [t for t in _TOKEN_RE.findall(s)
+    return [t for t in _token_pattern_for(s).findall(s)
             if not _UNDERSCORE_ONLY_RE.match(t)]
 
 # CJK handling per the JFlex grammar (StandardTokenizerImpl.jflex:55-60,

@@ -329,13 +329,14 @@ def analyzed_snippets(
     page hits pay string work)."""
     import pandas as pd
 
-    from ..analysis.text import _TOKEN_RE
     from ..analysis import analyze_one
+    from ..analysis.text import _token_pattern_for
 
     out: list[str | None] = []
     qset = set(query_terms)
     for text in texts:
-        spans = [(m.start(), m.end(), m.group(0)) for m in _TOKEN_RE.finditer(text)]
+        spans = [(m.start(), m.end(), m.group(0))
+                 for m in _token_pattern_for(text).finditer(text)]
         if not spans:
             out.append(None)
             continue
