@@ -721,8 +721,17 @@ LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
 #   thai — ThaiAnalyzer chain (th/ThaiAnalyzer.java): Thai-script runs
 #              dictionary-segmented (analysis/thai.py), LowerCase, the
 #              transcribed th stop list
+#   hunspell — StandardTokenizer + LowerCase + HunspellStemFilter over
+#              the bundled demo dictionary (hunspell/HunspellStemFilter
+#              .java; the Solr hunspell fieldtype shape: no stop filter,
+#              dictionary decides). First stem replaces the token, extra
+#              stems ride posInc 0, unknown words pass through. The
+#              stemmer recursion is differentially verified against the
+#              compiled reference Dictionary/Stemmer (tools/
+#              fuzz_hunspell.py, 6k+ comparisons across all fixtures).
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
-             "url_email", "cjk", "german_decompound", "thai") \
+             "url_email", "cjk", "german_decompound", "thai",
+             "hunspell") \
     + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS + GRAPH_ANALYZERS
 
 
@@ -767,9 +776,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         stopset = SNOWBALL_STOPWORDS["german"]
     elif analyzer == "thai":
         stopset = _REF_STOPS["thai"]
-    elif analyzer == "common_grams":
+    elif analyzer in ("common_grams", "hunspell"):
         # CommonGramsFilter replaces stop removal: common words stay as
-        # unigrams AND seed the grams
+        # unigrams AND seed the grams; the hunspell fieldtype carries no
+        # stop filter (the dictionary decides)
         stopset = frozenset()
     elif analyzer == "cjk":
         stopset = CJK_STOP_WORDS
@@ -958,6 +968,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         out["term"] = light_filter_terms(
             pd.Categorical(out["term"]), "german_light"
         )
+    elif analyzer == "hunspell":
+        from .hunspell import hunspell_flat
+
+        out = hunspell_flat(out)
     elif analyzer in GRAPH_ANALYZERS:
         from . import graph
 

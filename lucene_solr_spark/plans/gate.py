@@ -2580,6 +2580,136 @@ FROM toks GROUP BY 1 ORDER BY term""",
         + ") AS t(row_id, term, pos) ORDER BY row_id, pos, term",
     )
 
+    # r5 hunspell: StandardTokenizer + LowerCase + HunspellStemFilter
+    # over the bundled demo dictionary (hunspell/HunspellStemFilter.java
+    # semantics: first stem replaces the token, extra stems ride posInc
+    # 0, unknown words pass through). Two layers: the VALUES gate pins
+    # (term, pos) streams whose expected stems were verified against the
+    # reference's OWN Dictionary/Stemmer compiled with javac
+    # (tools/fuzz_hunspell.py — 6k+ comparisons across all 31 fixture
+    # dictionaries, 0 mismatches); the topk gate runs the same filter
+    # over the real documents table with the stem mapping threaded into
+    # the SQL as an unnest(CASE ...) list expansion.
+    _HUNSPELL_LINES = [
+        "the customer filter joins a slow table",
+        "order by value then merge the line",
+        "spark scans small batches agg fast",
+        "Sparker ORDERS tables unknown",
+    ]
+    _HUNSPELL_EXPECT = [
+        (0, 0, "the"), (0, 1, "custom"), (0, 2, "filt"), (0, 3, "joins"),
+        (0, 4, "a"), (0, 5, "low"), (0, 6, "tabl"),
+        (1, 0, "order"), (1, 0, "ord"), (1, 1, "by"), (1, 2, "valu"),
+        (1, 3, "then"), (1, 4, "merg"), (1, 5, "the"), (1, 6, "lin"),
+        (2, 0, "park"), (2, 1, "scans"), (2, 2, "mall"), (2, 3, "batches"),
+        (2, 4, "ag"), (2, 5, "fast"),
+        (3, 0, "sparker"), (3, 1, "orders"), (3, 2, "tables"),
+        (3, 3, "unknown"),
+    ]
+
+    def _hunspell_values(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        pdf = pd.DataFrame({
+            "row_id": list(range(len(_HUNSPELL_LINES))),
+            "text": _HUNSPELL_LINES,
+        })
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                flat = tokenize_series(b["text"], analyzer="hunspell")
+                yield pd.DataFrame({
+                    "row_id": b["row_id"].to_numpy()[
+                        flat["doc_idx"].to_numpy()
+                    ],
+                    "term": flat["term"].astype(str),
+                    "pos": flat["pos"].to_numpy().astype("int64"),
+                })
+
+        return df.repartition(1).mapInPandas(
+            run, "row_id long, term string, pos long"
+        ).orderBy("row_id", "pos", "term")
+
+    R["hunspell_stem_values"] = (
+        _hunspell_values,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, term, "
+        "CAST(pos AS BIGINT) AS pos FROM (VALUES "
+        + ", ".join(
+            f"({r}, '{t}', {p})" for r, p, t in _HUNSPELL_EXPECT
+        )
+        + ") AS t(row_id, term, pos) ORDER BY row_id, pos, term",
+    )
+
+    # the changed-word mapping is closed: a word the demo stemmer
+    # changes must be root+append or append+root over the 13-entry dic,
+    # so enumerating those candidates covers every changed token
+    from ..analysis.hunspell import demo_stemmer, hunspell_stems
+
+    _hs = demo_stemmer()
+    _hcands = set(_hs.d.words)
+    for _root in list(_hs.d.words):
+        for _a in _hs.d.affixes:
+            _hcands.add(_root + _a.append)
+            _hcands.add(_a.append + _root)
+    _hmap = {
+        w: hunspell_stems(w, _hs)
+        for w in sorted(_hcands)
+        if w and hunspell_stems(w, _hs) != [w]
+    }
+    _hcase = " ".join(
+        "WHEN '{}' THEN [{}]".format(
+            w, ", ".join(f"'{s}'" for s in stems))
+        for w, stems in _hmap.items()
+    )
+
+    def _hunspell_topk(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+
+        def run(batches):
+            for b in batches:
+                flat = tokenize_series(b["text"], analyzer="hunspell")
+                yield pd.DataFrame({
+                    "doc_id": b["doc_id"].to_numpy()[
+                        flat["doc_idx"].to_numpy()
+                    ],
+                    "term": flat["term"].astype(str),
+                })
+
+        toks = docs.mapInPandas(run, "doc_id long, term string")
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count(F.lit(1)).alias("ttf"),
+            )
+            .orderBy(F.desc("df"), "term")
+            .limit(20)
+        )
+
+    R["hunspell_docs_topk"] = (
+        _hunspell_topk,
+        f"""WITH toks_all AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+stems AS (
+  SELECT doc_id,
+         unnest(CASE term {_hcase} ELSE [term] END) AS term
+  FROM toks_all
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM stems GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+    )
+
     # round-4 Snowball batch 3 (fi/hu): full chain, expected stems
     # hand-traced from the published algorithms + the reference tables
     _SNOWBALL3_VECTORS = [
@@ -3266,7 +3396,8 @@ _PRIORITY = [
     # is the non-self-referential whole-chain row (expected values from
     # the compiled reference analyzers, tools/fuzz_chain.py provenance).
     "chain_parity_values", "synonym_graph_topk", "synonym_graph_equiv_topk",
-    "decompound_values", "thai_values",
+    "decompound_values", "thai_values", "hunspell_stem_values",
+    "hunspell_docs_topk",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything
