@@ -721,6 +721,14 @@ LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
 #   thai — ThaiAnalyzer chain (th/ThaiAnalyzer.java): Thai-script runs
 #              dictionary-segmented (analysis/thai.py), LowerCase, the
 #              transcribed th stop list
+#   cjk_ja — JapaneseIterationMarkCharFilter (ja/JapaneseIterationMark
+#              CharFilter.java, byte-identical vs the compiled filter,
+#              tools/fuzz_ja.py) before the CJK bigram chain — the
+#              dictionary-free slice of the kuromoji package. The
+#              JapaneseTokenizer itself is ENVIRONMENT-BLOCKED: the
+#              reference checkout lacks TokenInfoDictionary$buffer.dat,
+#              its own JapaneseAnalyzer cannot start (analysis/
+#              japanese.py docstring).
 #   hunspell — StandardTokenizer + LowerCase + HunspellStemFilter over
 #              the bundled demo dictionary (hunspell/HunspellStemFilter
 #              .java; the Solr hunspell fieldtype shape: no stop filter,
@@ -730,7 +738,7 @@ LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
 #              compiled reference Dictionary/Stemmer (tools/
 #              fuzz_hunspell.py, 6k+ comparisons across all fixtures).
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
-             "url_email", "cjk", "german_decompound", "thai",
+             "url_email", "cjk", "cjk_ja", "german_decompound", "thai",
              "hunspell") \
     + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS + GRAPH_ANALYZERS
 
@@ -781,7 +789,7 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         # unigrams AND seed the grams; the hunspell fieldtype carries no
         # stop filter (the dictionary decides)
         stopset = frozenset()
-    elif analyzer == "cjk":
+    elif analyzer in ("cjk", "cjk_ja"):
         stopset = CJK_STOP_WORDS
     else:
         stopset = ENGLISH_STOP_WORDS
@@ -818,6 +826,31 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             replacement="\\1\\2ꟿ\\3",
         )
 
+    if analyzer == "cjk_ja":
+        # JapaneseIterationMarkCharFilter at the reference's char-filter
+        # position (before tokenization). Iteration marks are rare: an
+        # Arrow contains-gate keeps mark-free docs off the Python
+        # normalizer (the filter itself is differentially verified
+        # byte-identical, tools/fuzz_ja.py)
+        from .japanese import iteration_mark_normalize
+
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.Array.from_pandas(texts.fillna(""), type=pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        has_mark = pc.match_substring_regex(
+            texts, "[々ゝゞヽヾ]"
+        ).to_numpy(zero_copy_only=False)
+        if has_mark.any():
+            idx = np.flatnonzero(has_mark)
+            fixed = pa.array(
+                [iteration_mark_normalize(texts[int(i)].as_py())
+                 for i in idx],
+                type=pa.string(),
+            )
+            mask = pa.array(has_mark)
+            texts = pc.replace_with_mask(texts, mask, fixed)
+
     if analyzer == "turkish":
         # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java): map
         # İ->i and I->ı BEFORE the generic lowercase, so İ never becomes
@@ -836,7 +869,7 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         slow_pat = f"[{_CJK_CLASS}]|{_URLEMAIL_MARK}"
         slow_re = re.compile(slow_pat)
         slow_fn = _tokenize_urlemail_bulk
-    elif analyzer == "cjk":
+    elif analyzer in ("cjk", "cjk_ja"):
         slow_pat = f"[{_CJK_CLASS}{_HANGUL_CLASS}]"
         slow_re = _HAS_BIGRAMMABLE_RE
         slow_fn = _tokenize_regex_cjk_bigram

@@ -2643,6 +2643,97 @@ FROM toks GROUP BY 1 ORDER BY term""",
         + ") AS t(row_id, term, pos) ORDER BY row_id, pos, term",
     )
 
+    # r5 kuromoji dictionary-free slice: JapaneseIterationMarkCharFilter
+    # before the CJK bigram chain (analyzer cjk_ja) + the
+    # JapaneseKatakanaStemFilter on whitespace tokens. Expected values
+    # verified against the compiled reference classes (tools/fuzz_ja.py
+    # — 20k lines byte-identical — plus an 800-line COMPOSED run of
+    # compiled IterationMarkCharFilter + CJKAnalyzer matching cjk_ja
+    # exactly). The JapaneseTokenizer itself cannot run in this sandbox
+    # (TokenInfoDictionary$buffer.dat absent from the reference
+    # checkout); the CJK bigram chain is the reference's own fallback.
+    _JA_LINES = [
+        "時々 index こゝろ",          # kanji mark + hiragana mark
+        "学生々々 バナヽ",            # mark spans + katakana mark
+        "みすゞ ほゞ 馬鹿々々しい",   # voiced marks
+    ]
+    _JA_EXPECT = [
+        (0, 0, "時時"), (0, 1, "index"), (0, 2, "ここ"), (0, 3, "ころ"),
+        # ナヽ -> ナド: the reference's dakuten table maps no-variant
+        # positions to themselves, so isKatakanaDakuten(ナ) is true and
+        # the devoicing mark subtracts 1 — bug-for-bug (verified vs the
+        # compiled filter)
+        (1, 0, "学生"), (1, 1, "生学"), (1, 2, "学生"), (1, 3, "バナ"),
+        (1, 4, "ナド"),
+        (2, 0, "みす"), (2, 1, "すず"), (2, 2, "ほぼ"), (2, 3, "馬鹿"),
+        (2, 4, "鹿馬"), (2, 5, "馬鹿"), (2, 6, "鹿し"), (2, 7, "しい"),
+    ]
+    _JA_STEM_TERMS = ["コンピューター", "サーバー", "ター", "データー",
+                      "セーター", "コピー", "abcー"]
+    _JA_STEM_EXPECT = ["コンピューター"[:-1], "サーバ", "ター", "データ",
+                       "セータ", "コピー", "abcー"]
+
+    def _ja_values(spark, sf):
+        import pandas as pd
+
+        from ..analysis import tokenize_series
+        from ..analysis.japanese import katakana_stem
+
+        pdf = pd.DataFrame({
+            "row_id": list(range(len(_JA_LINES))),
+            "text": _JA_LINES,
+        })
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                flat = tokenize_series(b["text"], analyzer="cjk_ja")
+                yield pd.DataFrame({
+                    "row_id": b["row_id"].to_numpy()[
+                        flat["doc_idx"].to_numpy()
+                    ],
+                    "term": flat["term"].astype(str),
+                    "pos": flat["pos"].to_numpy().astype("int64"),
+                })
+
+        toks = df.repartition(1).mapInPandas(
+            run, "row_id long, term string, pos long"
+        )
+
+        spdf = pd.DataFrame({
+            "row_id": [100 + i for i in range(len(_JA_STEM_TERMS))],
+            "term": _JA_STEM_TERMS,
+        })
+        sdf = spark.createDataFrame(spdf)
+
+        def run_stem(batches):
+            for b in batches:
+                yield pd.DataFrame({
+                    "row_id": b["row_id"],
+                    "term": [katakana_stem(t) for t in b["term"]],
+                    "pos": [0] * len(b),
+                })
+
+        stems = sdf.repartition(1).mapInPandas(
+            run_stem, "row_id long, term string, pos long"
+        )
+        return toks.unionAll(stems).orderBy("row_id", "pos", "term")
+
+    R["ja_iteration_values"] = (
+        _ja_values,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, term, "
+        "CAST(pos AS BIGINT) AS pos FROM (VALUES "
+        + ", ".join(
+            f"({r}, '{t}', {p})" for r, p, t in _JA_EXPECT
+        )
+        + ", "
+        + ", ".join(
+            f"({100 + i}, '{t}', 0)"
+            for i, t in enumerate(_JA_STEM_EXPECT)
+        )
+        + ") AS t(row_id, term, pos) ORDER BY row_id, pos, term",
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3397,7 +3488,7 @@ _PRIORITY = [
     # the compiled reference analyzers, tools/fuzz_chain.py provenance).
     "chain_parity_values", "synonym_graph_topk", "synonym_graph_equiv_topk",
     "decompound_values", "thai_values", "hunspell_stem_values",
-    "hunspell_docs_topk",
+    "hunspell_docs_topk", "ja_iteration_values",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything
