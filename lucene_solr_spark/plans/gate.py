@@ -2734,6 +2734,73 @@ FROM toks GROUP BY 1 ORDER BY term""",
         + ") AS t(row_id, term, pos) ORDER BY row_id, pos, term",
     )
 
+    # r5 webtext URL operators (functions/webtext.py). url_classify is
+    # the URLClassifyProcessor analog (solr URLClassifyProcessor.java),
+    # differentially verified against the COMPILED reference processor
+    # (tools/fuzz_url.py — 1000+ urls byte-identical incl. the
+    # URI.normalize scheme-lowering and slash-collapse, the lowercase
+    # landing detection vs case-sensitive strip quirk); these gates pin
+    # Spark == DuckDB over deterministic urls derived from doc_id/source
+    # (the testdata has no url column; the derivation covers mixed-case
+    # schemes/hosts, userinfo, default/odd ports, slash runs, landing
+    # suffixes, bare '?', fragments). Java == SQL == Spark closes.
+    _URL_EXPR = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 "
+        "THEN 'https' ELSE 'HtTpS' END || '://' || "
+        "CASE WHEN doc_id % 7 = 0 THEN 'u:p@' ELSE '' END || "
+        "CASE WHEN doc_id % 10 < 5 THEN 'WWW.' ELSE 'a.B.' END || "
+        "upper(source) || CASE WHEN doc_id % 5 = 0 THEN "
+        "'.CO.UK' ELSE '.com' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN "
+        "':443' WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END || "
+        "CASE WHEN doc_id % 6 = 0 THEN '' WHEN doc_id % 6 = 1 THEN '/' "
+        "WHEN doc_id % 6 = 2 THEN '//a//' || CAST(doc_id % 50 AS STRING) "
+        "WHEN doc_id % 6 = 3 THEN '/a/' || CAST(doc_id % 50 AS STRING) "
+        "|| '/index.html' WHEN doc_id % 6 = 4 THEN '/Welcome.PHP' "
+        "ELSE '/p/' || CAST(doc_id % 50 AS STRING) END || "
+        "CASE WHEN doc_id % 8 = 0 THEN '?q=' || CAST(doc_id % 9 AS "
+        "STRING) WHEN doc_id % 8 = 1 THEN '?' ELSE '' END || "
+        "CASE WHEN doc_id % 9 = 0 THEN '#Sec' ELSE '' END"
+    )
+
+    def _url_docs(spark, sf):
+        return (
+            _docs(spark, sf)
+            .select("doc_id", "source", "n_chars")
+            .withColumn("url", F.expr(_URL_EXPR))
+        )
+
+    from ..functions import webtext as W
+
+    R["url_classify_fields"] = (
+        lambda spark, sf: W.url_classify(_url_docs(spark, sf))
+        .orderBy("doc_id"),
+        f"""WITH d AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents)
+SELECT {W.sql_url_classify('url')}
+FROM d ORDER BY doc_id""",
+    )
+
+    R["host_stats_topk"] = (
+        lambda spark, sf: W.host_stats(_url_docs(spark, sf), k=10),
+        f"""WITH d AS (SELECT doc_id, n_chars, {_URL_EXPR} AS url
+            FROM documents),
+h AS (SELECT {W.sql_registered_domain(W.sql_url_host('url'))} AS domain,
+             n_chars FROM d)
+SELECT domain, CAST(count(*) AS BIGINT) AS docs,
+       CAST(round(avg(n_chars) * 100) AS BIGINT) AS avg_len_c
+FROM h GROUP BY domain ORDER BY docs DESC, domain LIMIT 10""",
+    )
+
+    R["url_canonical_dedup"] = (
+        lambda spark, sf: W.canonical_dedup(_url_docs(spark, sf))
+        .orderBy("canon"),
+        f"""WITH d AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents)
+SELECT canon, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS copies
+FROM (SELECT {W.sql_canonical_url('url')} AS canon, doc_id FROM d)
+GROUP BY canon ORDER BY canon""",
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3488,7 +3555,8 @@ _PRIORITY = [
     # the compiled reference analyzers, tools/fuzz_chain.py provenance).
     "chain_parity_values", "synonym_graph_topk", "synonym_graph_equiv_topk",
     "decompound_values", "thai_values", "hunspell_stem_values",
-    "hunspell_docs_topk", "ja_iteration_values",
+    "hunspell_docs_topk", "ja_iteration_values", "url_classify_fields",
+    "host_stats_topk", "url_canonical_dedup",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything
