@@ -2801,6 +2801,74 @@ FROM (SELECT {W.sql_canonical_url('url')} AS canon, doc_id FROM d)
 GROUP BY canon ORDER BY canon""",
     )
 
+    # r5 training-data curation operators (functions/sampling.py):
+    # deterministic hash split / stratified sampling / sequence packing
+    # / PII redaction — each with the identical arithmetic or regex
+    # chain in the DuckDB oracle (shared constants), so values match
+    # exactly across engines.
+    from ..functions import sampling as SMP
+
+    R["split_counts"] = (
+        lambda spark, sf: SMP.split_assign(_docs(spark, sf))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("split"),
+        f"""SELECT {SMP.sql_split_case('doc_id')} AS split,
+       CAST(count(*) AS BIGINT) AS docs
+FROM documents GROUP BY 1 ORDER BY split""",
+    )
+
+    R["stratified_sample_rows"] = (
+        lambda spark, sf: SMP.stratified_sample(
+            _docs(spark, sf).select("doc_id", "lang"), "lang", 3)
+        .orderBy("lang", "doc_id"),
+        f"""WITH rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY {SMP.sql_det_hash('doc_id')}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM rk WHERE rk <= 3 ORDER BY lang, doc_id""",
+    )
+
+    R["pack_sequence_bins"] = (
+        lambda spark, sf: SMP.pack_sequences(
+            _docs(spark, sf).select("doc_id", "n_chars"),
+            tokens_col="n_chars", budget=1000)
+        .select("doc_id", "bin").orderBy("doc_id"),
+        """SELECT doc_id,
+       CAST(floor(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 1000) AS BIGINT) AS bin
+FROM documents ORDER BY doc_id""",
+    )
+
+    _PII_LINES = [
+        "contact john.doe+x@sub.example.org or admin@h.net today",
+        "server at 192.168.0.1 and 8.8.8.8 responded",
+        "call +1 (555) 123-4567 or 555.867.5309 now",
+        "account 123456789012 ok but 12345678 stays",
+        "mixed: a@b.co 10.0.0.254 +44 20 7946 0958 999999999",
+        "clean line with no identifiers at all",
+    ]
+
+    def _redact_gate(spark, sf):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(_PII_LINES)],
+            "row_id long, text string")
+        return df.select(
+            "row_id", SMP.redact_pii(F.col("text")).alias("redacted")
+        ).orderBy("row_id")
+
+    R["redact_pii_values"] = (
+        _redact_gate,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, "
+        + SMP.sql_redact_pii("text") + " AS redacted FROM (VALUES "
+        + ", ".join(
+            "({}, '{}')".format(i, t.replace("'", "''"))
+            for i, t in enumerate(_PII_LINES)
+        )
+        + ") AS t(row_id, text) ORDER BY row_id",
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3556,7 +3624,8 @@ _PRIORITY = [
     "chain_parity_values", "synonym_graph_topk", "synonym_graph_equiv_topk",
     "decompound_values", "thai_values", "hunspell_stem_values",
     "hunspell_docs_topk", "ja_iteration_values", "url_classify_fields",
-    "host_stats_topk", "url_canonical_dedup",
+    "host_stats_topk", "url_canonical_dedup", "split_counts",
+    "stratified_sample_rows", "pack_sequence_bins", "redact_pii_values",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything
