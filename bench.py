@@ -232,6 +232,8 @@ def run_suite(cores: int, sf_dir: str, n_docs: int, build_only: bool = False,
         "grouping_top2_per_source",
         "token_counts",
         "fingerprint",
+        "url_classify_fields",
+        "hunspell_docs_topk",
     ]:
         t0 = time.time()
         G[name](spark, sf_dir).collect()
