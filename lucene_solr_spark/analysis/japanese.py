@@ -28,10 +28,13 @@ verified against their compiled reference classes (tools/fuzz_ja.py):
   from all-katakana terms of length >= 4.
 
 Exposed Spark-side as the ``cjk_ja`` analyzer: iteration-mark
-normalization at text level, then the CJK bigram chain, then the
-katakana stem on emitted unigram terms (bigram terms are length 2 and
-untouched by the >=4 rule, matching the filter's behavior on the same
-token stream).
+normalization at text level before the CJK bigram chain.
+``katakana_stem`` is a standalone filter utility (the bigram chain
+emits only length-1/2 katakana terms, below the filter's >=4
+threshold, so chaining it there would be a no-op — it applies to
+word-level token streams, e.g. whitespace/dictionary tokenization);
+it is exercised by the ja_iteration_values gate rows 100+ and the
+fuzz/pytest campaigns.
 """
 from __future__ import annotations
 
@@ -118,7 +121,7 @@ def iteration_mark_normalize(text: str, normalize_kanji: bool = True,
         if is_mark(c):
             if i < span_end:
                 # inside the current span: source char is spanSize back
-                src = out_source(units, out, i, span_size)
+                src = _source_char(units, i, span_size)
                 out[i] = _normalize_one(src, c)
             elif i == span_end:
                 # new span starting where the previous ended (or at the
@@ -136,21 +139,19 @@ def iteration_mark_normalize(text: str, normalize_kanji: bool = True,
                 if i - span_size < span_end:
                     span_size = i - span_end
                 span_end = i + span_size
-                src = out_source(units, out, i, span_size)
+                src = _source_char(units, i, span_size)
                 out[i] = _normalize_one(src, c)
         i += 1
     return _from_utf16_units(out)
 
 
-def out_source(units, out, position: int, span_size: int) -> int:
-    """sourceCharacter(): the char spanSize positions back.  The Java
-    filter reads the ORIGINAL buffer (RollingCharBuffer holds input),
-    so marks referring to earlier marks see the raw mark, and
-    normalize() passes non-kana sources through unchanged."""
-    idx = position - span_size
-    if idx < 0:
-        return units[position]  # never happens: span restricted above
-    return units[idx]
+def _source_char(units, position: int, span_size: int) -> int:
+    """sourceCharacter(): the char spanSize positions back in the
+    ORIGINAL buffer (RollingCharBuffer holds input, not output), so
+    marks referring to earlier marks see the raw mark and normalize()
+    passes non-kana sources through unchanged.  The span-size
+    restriction above guarantees position - span_size >= 0."""
+    return units[position - span_size]
 
 
 def _to_utf16_units(text: str) -> str:

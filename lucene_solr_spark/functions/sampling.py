@@ -44,16 +44,26 @@ HASH_MOD = 2147483647    # 2^31 - 1
 
 def det_hash(id_col: Column, seed: int = 0) -> Column:
     # reduce the id first: (2^31)*HASH_MULT stays inside BIGINT, and
-    # 10^12-scale ids WOULD overflow the raw product
-    h1 = (((id_col % F.lit(HASH_MOD)) + F.lit(seed))
-          * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
-    return ((h1 + F.lit(12345)) * F.lit(HASH_MULT2)) % F.lit(HASH_MOD)
+    # 10^12-scale ids WOULD overflow the raw product. pmod keeps
+    # NEGATIVE ids (signed-hash id schemes) in [0, MOD) — plain % is
+    # sign-preserving in both engines, which would push every negative
+    # id below any split threshold
+    h1 = (F.pmod(id_col, F.lit(HASH_MOD)) + F.lit(seed)) \
+        * F.lit(HASH_MULT)
+    h1 = F.pmod(h1, F.lit(HASH_MOD))
+    return F.pmod((h1 + F.lit(12345)) * F.lit(HASH_MULT2),
+                  F.lit(HASH_MOD))
+
+
+def _sql_pmod(expr: str, m: int) -> str:
+    return f"((({expr}) % {m} + {m}) % {m})"
 
 
 def sql_det_hash(id_expr: str, seed: int = 0) -> str:
-    h1 = (f"((((({id_expr}) % {HASH_MOD}) + {seed}) * {HASH_MULT}) "
-          f"% {HASH_MOD})")
-    return f"((({h1}) + 12345) * {HASH_MULT2}) % {HASH_MOD}"
+    h1 = _sql_pmod(
+        f"({_sql_pmod(id_expr, HASH_MOD)} + {seed}) * {HASH_MULT}",
+        HASH_MOD)
+    return _sql_pmod(f"({h1} + 12345) * {HASH_MULT2}", HASH_MOD)
 
 
 def split_assign(docs: DataFrame, id_col: str = "doc_id",
@@ -122,9 +132,14 @@ def pack_sequences(docs: DataFrame, tokens_col: str = "n_tokens",
 PII_RULES = (
     (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    # at least one separator required, so unseparated digit runs fall
-    # through to the <ID> rule
-    (r"\+?[0-9]{1,4}[()\-. ][0-9()\-. ]{4,}[0-9]", "<PHONE>"),
+    # phone shapes only: international (+CC then anything phone-like),
+    # parenthesized area code, or -/.-separated triples. Space as the
+    # ONLY separator is allowed just after a leading '+' — otherwise
+    # year lists / decimal sequences ("2020 2021 2022") would be eaten.
+    # Unseparated digit runs fall through to the <ID> rule.
+    (r"(?:\+[0-9]{1,3}[()\-. ][0-9()\-. ]{4,}[0-9]"
+     r"|\([0-9]{1,4}\)[-. ]?[0-9][0-9\-. ]{3,}[0-9]"
+     r"|\b[0-9]{2,4}[-.][0-9]{2,4}[-.][0-9]{2,4}\b)", "<PHONE>"),
     (r"\b[0-9]{9,}\b", "<ID>"),
 )
 

@@ -87,15 +87,21 @@ def canonical_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, portpart, path, query)
 
 
+RE_IPV4_HOST = r"^([0-9]{1,3}\.){3}[0-9]{1,3}$"
+
+
 def registered_domain(host: Column) -> Column:
     """Registrable domain: one label + public suffix (3 host labels for
-    the 2-label suffixes in PUBLIC_SUFFIXES_2, else the last 2)."""
-    expr = None
+    the 2-label suffixes in PUBLIC_SUFFIXES_2, else the last 2).
+    IP-literal and dotless hosts are their own key — the last-2-labels
+    fallback would otherwise collapse every x.y.0.1 IP into '0.1' and
+    every bare hostname into ''."""
+    expr = F.when(host.rlike(RE_IPV4_HOST), host) \
+        .when(~host.contains("."), host)
     for suf in PUBLIC_SUFFIXES_2:
         pat = r"([^.]+\." + suf.replace(".", r"\.") + r")$"
-        cond = host.endswith("." + suf)
-        hit = F.regexp_extract(host, pat, 1)
-        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
+        expr = expr.when(host.endswith("." + suf),
+                         F.regexp_extract(host, pat, 1))
     return expr.otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
@@ -133,7 +139,10 @@ def sql_registered_domain(host_expr: str) -> str:
             h=host_expr, s=suf, e=suf.replace(".", "\\."))
         for suf in PUBLIC_SUFFIXES_2
     )
-    return (f"CASE {cases} ELSE regexp_extract({host_expr}, "
+    return (f"CASE WHEN regexp_matches({host_expr}, '{RE_IPV4_HOST}') "
+            f"THEN {host_expr} "
+            f"WHEN NOT contains({host_expr}, '.') THEN {host_expr} "
+            f"{cases} ELSE regexp_extract({host_expr}, "
             f"'([^.]+\\.[^.]+)$', 1) END")
 
 
@@ -183,11 +192,6 @@ LANDING_SUFFIXES = (
     "welcome.html", "welcome.htm", "welcome.phtml", "welcome.shtml",
     "welcome.xml", "welcome.php", "welcome.asp", "welcome.aspx",
 )
-
-
-def _url_path(url: Column) -> Column:
-    rest = F.regexp_extract(url, RE_PATH_QUERY, 1)
-    return F.regexp_extract(rest, RE_PATH, 1)
 
 
 def _landing_suffix(path_lower: Column) -> Column:

@@ -39,6 +39,17 @@ def test_large_ids_do_not_overflow(spark):
     assert sum(r["count"] for r in out) == 100
 
 
+def test_negative_ids_split_normally(spark):
+    # signed-hash id schemes: pmod keeps the split non-degenerate
+    df = spark.createDataFrame(
+        [(-(i + 1),) for i in range(2000)], "doc_id long")
+    counts = {r["split"]: r["count"]
+              for r in SMP.split_assign(df).groupBy("split")
+              .count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1900
+
+
 def test_stratified_sample_exact(spark):
     rows = [(i, "l%d" % (i % 4)) for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")

@@ -35,6 +35,9 @@ def test_registered_domain(spark):
     assert _one(spark, "http://a.b.site.co.uk/x", d) == "site.co.uk"
     assert _one(spark, "http://www.site.com/x", d) == "site.com"
     assert _one(spark, "http://site.com/x", d) == "site.com"
+    # IP-literal and dotless hosts are their own key
+    assert _one(spark, "http://192.168.0.1/x", d) == "192.168.0.1"
+    assert _one(spark, "http://localhost:8080/x", d) == "localhost"
 
 
 def test_url_classify_pinned(spark):
