@@ -2869,6 +2869,78 @@ FROM documents ORDER BY doc_id""",
         + ") AS t(row_id, text) ORDER BY row_id",
     )
 
+    # r5 Solr dedup signatures (functions/signature.py —
+    # SignatureUpdateProcessor's MD5/Lookup3/TextProfile). The VALUES
+    # gate pins all three hexes produced by the COMPILED reference
+    # classes (tools/fuzz_signature.py SigMain — 5k-line campaign
+    # byte-identical, incl. the Java-HashMap tie order inside
+    # TextProfileSignature); the md5 gate cross-checks Spark against
+    # DuckDB's own md5() over the real documents table.
+    from ..functions import signature as SIG
+
+    _SIG_LINES = [
+        "the table hash join merge query spark value data table hash "
+        "table",
+        "aaa bbb aaa ccc bbb aaa dedup dedup dedup dedup",
+        "short ab xy tokens only",
+        "CASE Case case MiXeD content 123456",
+    ]
+    _SIG_EXPECT = [
+        ("8d56feee0700e8bb335b2a7307d26bc3", "5660450d8a0ca86d",
+         "028a740c5fe4f5fe35c1e969d9f4527f"),
+        ("6bb9b92738583b6835db4b1d1a95c77a", "a142ceb216d6001d",
+         "d4c15b40417f10f3ea1a1f409ce8ccd7"),
+        ("9aaeebc909be33b5cb7b3c98c5cd5c66", "751e3ee3d56bed95",
+         "1e475859b8f8d5e4c5f75a6134b1c057"),
+        ("cf5210fd6342a7d13e0f32ff72411860", "ae9750b70ff9dac4",
+         "8c0cb928820c2c7e1c326ec16673dd27"),
+    ]
+
+    def _sig_values(spark, sf):
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "row_id": list(range(len(_SIG_LINES))),
+            "text": _SIG_LINES,
+        })
+        df = spark.createDataFrame(pdf)
+
+        def run(batches):
+            for b in batches:
+                yield pd.DataFrame({
+                    "row_id": b["row_id"],
+                    "md5": [SIG.md5_signature(t) for t in b["text"]],
+                    "lookup3": [SIG.lookup3_signature(t)
+                                for t in b["text"]],
+                    "text_profile": [SIG.text_profile_signature(t)
+                                     for t in b["text"]],
+                })
+
+        return df.repartition(1).mapInPandas(
+            run, "row_id long, md5 string, lookup3 string, "
+                 "text_profile string"
+        ).orderBy("row_id")
+
+    R["signature_values"] = (
+        _sig_values,
+        "SELECT CAST(row_id AS BIGINT) AS row_id, md5, lookup3, "
+        "text_profile FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{m}', '{l}', '{t}')"
+            for i, (m, l, t) in enumerate(_SIG_EXPECT)
+        )
+        + ") AS t(row_id, md5, lookup3, text_profile) ORDER BY row_id",
+    )
+
+    R["md5_signature_dedup"] = (
+        lambda spark, sf: SIG.dedup_by_signature(
+            _docs(spark, sf), method="md5").orderBy("signature"),
+        """SELECT md5(text) AS signature,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS copies
+FROM documents GROUP BY 1 ORDER BY signature""",
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3626,6 +3698,7 @@ _PRIORITY = [
     "hunspell_docs_topk", "ja_iteration_values", "url_classify_fields",
     "host_stats_topk", "url_canonical_dedup", "split_counts",
     "stratified_sample_rows", "pack_sequence_bins", "redact_pii_values",
+    "signature_values", "md5_signature_dedup",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything
