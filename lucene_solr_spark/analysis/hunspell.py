@@ -814,16 +814,21 @@ def hunspell_stems(token: str, stemmer: HunspellStemmer,
         return [token]
     if longest_only:
         if len(buf) > 1:
-            buf.sort(key=lambda s: (-len(s), _neg_str(s)))
+            buf.sort(key=_longest_only_key)
         return [buf[0]]
     return buf
 
 
-class _neg_str(str):
-    """Reverse-ordering wrapper for the longestOnly tie-break
-    (o2.compareTo(o1): longer first, then reverse lexicographic)."""
-    def __lt__(self, other):  # type: ignore[override]
-        return str.__gt__(self, other)
+def _utf16_units(s: str) -> tuple:
+    b = s.encode("utf-16-be", "surrogatepass")
+    return tuple((b[k] << 8) | b[k + 1] for k in range(0, len(b), 2))
+
+
+def _longest_only_key(s: str):
+    """HunspellStemFilter.lengthComparator: CharsRef length (UTF-16
+    units, not code points) descending, tie reverse UTF-16 order."""
+    units = _utf16_units(s)
+    return (-len(units), tuple(-u for u in units))
 
 
 # ---------------------------------------------------------------------

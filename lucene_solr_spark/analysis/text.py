@@ -75,6 +75,17 @@ def analysis_fingerprint() -> str:
         h.update(name.encode())
         h.update("\x00".join(sorted(stops)).encode())
     h.update(",".join(sorted(LATE_STOP_ANALYZERS)).encode())
+    # rule DATA that changes token output without touching any stop set
+    from . import graph as _graph
+    from .hunspell import DEMO_AFF, DEMO_DIC
+    from .thai import THAI_DICT
+
+    h.update("\x00".join(_graph.DEFAULT_SYNONYM_LINES).encode())
+    h.update("\x00".join(_graph.SYNONYM_GRAPH_LINES).encode())
+    h.update("\x00".join(sorted(_graph.GERMAN_COMPOUND_DICT)).encode())
+    h.update("\x00".join(sorted(THAI_DICT)).encode())
+    h.update(DEMO_AFF)
+    h.update(DEMO_DIC)
     return h.hexdigest()[:10]
 
 # UAX#29 word tokenization: the full word-break grammar of the JFlex
@@ -362,6 +373,16 @@ _NONARROW_EXTRA = (
 _NONARROW_PAT = f"[{_CJK_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
 
 
+def _compile_gate(pat: str):
+    """Compile a suspect-gate pattern for the Python-side scan.  The
+    stdlib re fallback (regex module absent) cannot take \\p{No}; in
+    that mode tokenization itself already runs the approximate rules,
+    so the gate drops the No-class alternation rather than crash."""
+    if _HAS_REGEX:
+        return _regex.compile(pat)
+    return re.compile(pat.replace("|\\p{No}", ""))
+
+
 def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
                     stopset: frozenset = ENGLISH_STOP_WORDS):
     """C++-side tokenize: lower+split+trim+filter without Python objects.
@@ -558,7 +579,7 @@ def _tokenize_urlemail_bulk(texts: pd.Series,
     if any(_UE_SENT in s or "\x00" in s or "\x01" in s for s in low):
         return _tokenize_urlemail(pd.Series(low), stopset=stopset)
     joined = "\x00".join(low)
-    if (_regex if _HAS_REGEX else re).search(_NONARROW_PAT, joined):
+    if _compile_gate(_NONARROW_PAT).search(joined):
         # CJK/Hebrew/SEA/No chars need the regex machinery — the per-doc
         # path handles the (rare) combination with URLs
         return _tokenize_urlemail(pd.Series(low), stopset=stopset)
@@ -821,9 +842,22 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             )
         texts = pc.replace_substring_regex(
             texts,
-            pattern=(r"(^|[^\pL\pM\pN\p{Cf}_.,:'’])([nt])"
-                     r"([AEIOUÁÉÍÓÚ])"),
+            pattern=(r"(^|[^\pL\pM\pN\p{Cf}_"
+                     + _MIDLETTER + _MIDNUMLET_SQ
+                     + r"])([nt])([AEIOUÁÉÍÓÚ])"),
             replacement="\\1\\2ꟿ\\3",
+        )
+        # a MidLetter/MidNumLet char joins only letter_letter: when NOT
+        # preceded by a letter it is an ordinary delimiter, so the n/t
+        # after it IS token-initial (e.g. "12:nUll", "1.nUll" hyphenate;
+        # "a:nAthair", "a.nAthair" do not — probed vs the compiled
+        # IrishAnalyzer)
+        texts = pc.replace_substring_regex(
+            texts,
+            pattern=(r"(^|[^\pL\p{Nl}])(["
+                     + _MIDLETTER + _MIDNUMLET_SQ
+                     + r"])([nt])([AEIOUÁÉÍÓÚ])"),
+            replacement="\\1\\2\\3ꟿ\\4",
         )
 
     if analyzer == "cjk_ja":
@@ -865,21 +899,27 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
     # the slow per-doc path serves CJK docs (per-char/run expansion) and,
     # for the url_email tokenizer, docs that may contain URL/email tokens
     # (doc-level marker pre-gate keeps everything else on the Arrow path)
+    # every analyzer's slow gate must ALSO divert the hard-unicode
+    # suspect classes (_NONARROW_EXTRA / \p{No}) \u2014 otherwise a
+    # Hebrew-quote/SEA/No doc tokenizes by the approximate Arrow rules
+    # on the fast path while the same text plus a gate marker takes the
+    # exact path: an index/query mismatch WITHIN one analyzer
     if analyzer == "url_email":
-        slow_pat = f"[{_CJK_CLASS}]|{_URLEMAIL_MARK}"
-        slow_re = re.compile(slow_pat)
+        slow_pat = (f"[{_CJK_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
+                    f"|{_URLEMAIL_MARK}")
+        slow_re = _compile_gate(slow_pat)
         slow_fn = _tokenize_urlemail_bulk
     elif analyzer in ("cjk", "cjk_ja"):
-        slow_pat = f"[{_CJK_CLASS}{_HANGUL_CLASS}]"
-        slow_re = _HAS_BIGRAMMABLE_RE
+        slow_pat = f"[{_CJK_CLASS}{_HANGUL_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
+        slow_re = _compile_gate(slow_pat)
         slow_fn = _tokenize_regex_cjk_bigram
     elif analyzer == "thai":
-        slow_pat = f"[{_CJK_CLASS}\u0e00-\u0e7f]"
-        slow_re = re.compile(slow_pat)
+        slow_pat = f"[{_CJK_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
+        slow_re = _compile_gate(slow_pat)
         slow_fn = _tokenize_thai
     else:
         slow_pat = _NONARROW_PAT
-        slow_re = (_regex if _HAS_REGEX else re).compile(slow_pat)
+        slow_re = _compile_gate(slow_pat)
         slow_fn = _tokenize_regex
 
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):

@@ -38,7 +38,12 @@ class OracleSearcher:
         self.lengths = flat.attrs["doc_lengths"]
         self.norm_bytes = bm25.encode_norm(self.lengths)
         self.max_doc = len(pages)
-        self.sum_len = int(self.lengths.sum())
+        # sumTotalTermFreq counts EVERY posting (overlaps included),
+        # while doc_lengths are discountOverlaps norms — for overlap-
+        # producing analyzers (synonym/shingle/common_grams/hunspell/
+        # decompound) the two differ; the engine index stores
+        # sum_len = len(flat) (index/build.py), match it
+        self.sum_len = int(len(flat))
 
         from ..index.build import _factorize_sorted
 

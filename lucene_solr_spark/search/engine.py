@@ -50,7 +50,6 @@ from .query import Query, parse_query
 RESULT_SCHEMA = "docid long, score float"
 
 
-@functools.lru_cache(maxsize=512)
 def _publish_dir(write_fn, path: str) -> None:
     """Atomically publish a Spark-written directory: write to a unique
     temp sibling, then os.rename into place (the same single-rename
@@ -70,6 +69,7 @@ def _publish_dir(write_fn, path: str) -> None:
             raise
 
 
+@functools.lru_cache(maxsize=512)
 def _read_norms_keyed(path: str, _mtime_ns: int, _size: int) -> np.ndarray:
     import pyarrow.parquet as pq
 

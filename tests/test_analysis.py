@@ -403,3 +403,40 @@ def test_uax29_full_class_tail():
         # the full pipeline (Arrow gate + suspect resplit) must agree
         got = [t for t, _p in analyze_one(src, analyzer="standard")]
         assert got == [w for w in want if w not in ENGLISH_STOP_WORDS], src
+
+
+def test_hard_unicode_consistent_across_gate_paths():
+    """A Hebrew-quote doc must tokenize identically whether or not it
+    also contains the analyzer's own slow-path marker (url/CJK/Thai) —
+    the suspect classes divert to the exact path in EVERY analyzer."""
+    from lucene_solr_spark.analysis import analyze_one
+
+    heb = 'ששש"א hello'
+    for analyzer, marker in (("url_email", " x@y.com"),
+                             ("cjk", " 中文"),
+                             ("thai", " ไทย")):
+        base = [t for t, _ in analyze_one(heb, analyzer=analyzer)]
+        with_marker = [t for t, _ in
+                       analyze_one(heb + marker, analyzer=analyzer)]
+        assert with_marker[: len(base)] == base, (analyzer, base,
+                                                  with_marker)
+        assert 'ששש"א' in base, (analyzer, base)
+
+
+def test_oracle_sum_len_counts_overlaps():
+    """sumTotalTermFreq counts every posting (overlaps included) while
+    doc_lengths are discountOverlaps norms; the pandas oracle must use
+    the former for avgdl, like index/build.py does."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import tokenize_series
+    from lucene_solr_spark.oracle.searcher import OracleSearcher
+
+    pages = pd.DataFrame({
+        "url": ["u0", "u1"],
+        "text": ["dup rows in the table", "merge the dup batch"],
+    })
+    s = OracleSearcher(pages, analyzer="synonym")
+    flat = tokenize_series(pages["text"], analyzer="synonym")
+    assert s.sum_len == len(flat)
+    assert s.sum_len > int(flat.attrs["doc_lengths"].sum())
