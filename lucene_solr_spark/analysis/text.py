@@ -52,7 +52,7 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH
 # bump when analyzer semantics change in a way stop-set hashes don't
 # capture (chain order, tokenizer rules, stemmer fixes): cached gate
 # indexes key on analysis_fingerprint() so they rebuild automatically
-ANALYSIS_VERSION = "r5-refstops-latechain-3"  # 3: synonym_graph replay
+ANALYSIS_VERSION = "r5-cjk-exact-4"  # 4: JFlex-exact CJK/width/bigram
 
 
 def analysis_fingerprint() -> str:
@@ -120,17 +120,43 @@ _MIDNUM = ("\u002c\u003b\u037e\u0589\u060c\u060d\u066c\u07f8"
 _MIDNUMLET_SQ = "\u002e\u0027\u2018\u2019\u2024\ufe52\uff07\uff0e"
 _HEBREW_LETTER = "\u05d0-\u05ea\ufb1d-\ufb28\ufb2a-\ufb4f"
 _SEA_SCRIPTS = r"\p{Thai}\p{Lao}\p{Myanmar}\p{Khmer}"
+# WB:Katakana (UCD WordBreak.txt, this vintage): kana repeat marks
+# 3031-3035, spacing voice marks 309B-309C, the main blocks, phonetic
+# extensions, squared-katakana symbols, halfwidth forms FF66-FF9D.
+# FF9E/FF9F halfwidth voice marks are WB:Extend (they GLUE to any
+# preceding token char — probed vs the compiled StandardAnalyzer:
+# 'aﾞb' and '1ﾞ2' are single tokens), so they live in _M, not here.
+_KATAKANA_CLASS = ("\u3031-\u3035\u309b\u309c\u30a0-\u30fa"
+                   "\u30fc-\u30ff\u31f0-\u31ff\u32d0-\u32fe"
+                   "\u3300-\u3357\uff66-\uff9d")
+# the single-token ideograph/hiragana classes ({HanEx}/{HiraganaEx}
+# rules): Han ideographs + the Ideographic Nl numerals (〇, Hangzhou)
+# that WB:ALetter excludes, and script-Hiragana letters incl. the
+# iteration marks ゝゞ (NOT 309B/309C, which are WB:Katakana)
+_CJK_SINGLE_CLASS = (
+    "\u2e80-\u2eff\u3007\u3021-\u3029\u3038-\u303a"
+    "\u3041-\u3096\u309d-\u309f\u3400-\u4dbf\u4e00-\u9fff"
+    "\uf900-\ufaff"
+)
+
 try:
     import regex as _regex  # third-party; supports \p{..}, var-len lookbehind
 
     _HAS_REGEX = True
-    _M = r"[\p{M}\p{Cf}]"
+    _M = r"[\p{M}\p{Cf}\uff9e\uff9f]"
     # token chars: Nd (including SEA-script digits like ๑, which are
     # Numeric to JFlex) + letters (L minus SEA scripts) + Nl + '_' +
     # geresh
-    _W = (rf"(?:\p{{Nd}}|(?![{_SEA_SCRIPTS}])"
+    # ALetter excludes SEA (Complex_Context), Ideographic/Hiragana
+    # singles, Katakana (its own chunk class below), and the WB:Extend
+    # halfwidth voice marks (\p{L} members that must never START a
+    # token — they only glue via _M)
+    _NOT_ALETTER = (rf"{_SEA_SCRIPTS}"
+                    rf"{_CJK_SINGLE_CLASS}{_KATAKANA_CLASS}"
+                    "\uff9e\uff9f")
+    _W = (rf"(?:\p{{Nd}}|(?![{_NOT_ALETTER}])"
           rf"[\p{{L}}\p{{Nl}}_׳])")
-    _LETTER_CTX = (rf"(?:(?![{_SEA_SCRIPTS}])"
+    _LETTER_CTX = (rf"(?:(?![{_NOT_ALETTER}])"
                    rf"[\p{{L}}\p{{Nl}}׳])")
     _SEA_CHAR = rf"(?:(?!\p{{Nd}})[{_SEA_SCRIPTS}])"
     # Direct transcription of the WORD rule of
@@ -160,10 +186,17 @@ try:
     _SEG = (rf"(?:{_HLx}(?:'{_M}*|\"{_M}*{_HLx})"
             rf"|{_NDx}(?:(?:{_ENLx}*|{_MidNx}){_NDx})*"
             rf"|{_AHx}(?:(?:{_ENLx}*|{_MidLx}){_AHx})*)")
-    _CHUNK = rf"(?:{_SEG}+)"
+    # the WORD rule's chunk alternation (jflex:152-162): a Katakana run
+    # (WB13, chainable over ENL runs) OR a segment+ sequence — katakana
+    # never mixes into a letter segment (ALetter excludes it), so
+    # 'カ_ナ' is one word via ENL chaining while 'カxナ' is three tokens
+    _KTx = rf"(?:[{_KATAKANA_CLASS}]{_M}*)"
+    _KCHUNK = rf"(?:{_KTx}(?:{_ENLx}*{_KTx})*)"
+    _CHUNK = rf"(?:{_KCHUNK}|{_SEG}+)"
     _TOKEN_PATTERN = (
         rf"{_SEA_CHAR}+"                                   # SEA run
         rf"|{_ENLx}*{_CHUNK}(?:{_ENLx}+{_CHUNK})*{_ENLx}*"
+        rf"|[{_CJK_SINGLE_CLASS}]{_M}*"       # HanEx / HiraganaEx
     )
     # POSIX longest-match is ~300x slower than greedy-first on long
     # letter runs, and the grammar is only AMBIGUOUS around the
@@ -209,10 +242,6 @@ def _findall_tokens(s: str) -> list[str]:
 # (the Ex suffix). Divergence kept: ExtendNumLet ('_') does not chain
 # katakana runs across it (WB13a/b), and U+30FB middle dot splits (it is
 # not a \w char here; JFlex keeps it out of tokens too).
-_KATAKANA_CLASS = "\u30a0-\u30fa\u30fc-\u30ff\u31f0-\u31ff\uff66-\uff9f"
-_CJK_SINGLE_CLASS = (
-    "\u2e80-\u2eff\u3040-\u309f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
-)
 _CJK_CLASS = _CJK_SINGLE_CLASS + _KATAKANA_CLASS
 _CJK_RE = re.compile(f"[{_CJK_CLASS}]")
 # combining marks that appear glued after kana/ideographs (voiced-sound
@@ -276,49 +305,129 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
     return out
 
 
-# CJKBigramFilter (cjk/CJKBigramFilter.java:48, flags HAN | HIRAGANA |
-# KATAKANA | HANGUL, outputUnigrams=false — the CJKAnalyzer default):
-# contiguous CJK characters form overlapping character bigrams; an
-# isolated single CJK char stays a unigram. Contiguity is what the
-# filter derives from offsets; here it falls out of the tokenizer
-# naturally: CJK chars inside ONE \w-matched token are adjacent in the
-# source text, while chars in different tokens had a delimiter between
-# them (so no bigram across). Hangul runs (ALetter in our grammar, its
-# own HANGUL type in the reference's) are split out and bigrammed only
-# in this mode; mixed Hangul+Latin tokens stay word tokens (documented
-# divergence — the reference splits them).
+# CJKAnalyzer chain (cjk/CJKAnalyzer.java:87-94): StandardTokenizer ->
+# CJKWidthFilter -> LowerCase -> CJKBigramFilter(HAN|HIRAGANA|KATAKANA|
+# HANGUL, outputUnigrams=false) -> Stop. The r5 rewrite runs the REAL
+# pipeline: tokens come from the proven POSIX WORD grammar (with
+# spans), each token is width-folded exactly like CJKWidthFilter
+# (fullwidth ASCII, halfwidth kana, voice-mark combining), token TYPE
+# follows the JFlex rule priority (a token whose whole text is Hangul+
+# marks was matched by the earlier HangulEx+ rule -> HANGUL; likewise
+# KatakanaEx+; Han/Hiragana singles; everything else is WORD/NUMERIC
+# and passes through whole — so '국l' or 'zﾡk919' stay intact, exactly
+# like the reference), and bigrams join chars across TEXT-ADJACENT CJK
+# tokens only (the offset contiguity CJKBigramFilter sees: '中文'
+# bigrams, '中 文' does not). Probed + fuzzed vs the compiled
+# CJKAnalyzer (tools/fuzz_chain.py).
 # Jamo, Compatibility Jamo, Jamo Extended-A/B, Syllables, halfwidth
-# forms — UAX#29 Hangul script members the reference's HANGUL_TYPE
-# covers (halfwidth Katakana was already in _KATAKANA_CLASS; halfwidth
-# Hangul U+FFA0-FFDC gets the same treatment)
+# forms — the Hangul script members of the reference's HANGUL_TYPE
 _HANGUL_CLASS = (
     "ᄀ-ᇿ㄰-㆏ꥠ-꥿가-퟿ﾠ-ￜ"
 )
-_CJK_BIGRAM_SPLIT_RE = re.compile(
-    f"([{_CJK_CLASS}{_HANGUL_CLASS}]+)"
-)
 _HAS_BIGRAMMABLE_RE = re.compile(f"[{_CJK_CLASS}{_HANGUL_CLASS}]")
 
+# CJKWidthFilter.KANA_NORM (cjk/CJKWidthFilter.java:47): FF65..FF9F
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3,
+    0x30E5, 0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8,
+    0x30AA, 0x30AB, 0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7,
+    0x30B9, 0x30BB, 0x30BD, 0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8,
+    0x30CA, 0x30CB, 0x30CC, 0x30CD, 0x30CE, 0x30CF, 0x30D2, 0x30D5,
+    0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0, 0x30E1, 0x30E2, 0x30E4,
+    0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC, 0x30ED, 0x30EF,
+    0x30F3, 0x3099, 0x309A,
+]
+_KANA_COMBINE_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0,
+    1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_COMBINE_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0,
+    2, 0, 0, 2, 0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
 
-def _expand_cjk_bigram(tokens: list[str]) -> list[str]:
-    """CJK bigram expansion: each maximal in-token CJK/Hangul run emits
-    its character bigrams (or a unigram when length 1)."""
+
+def cjk_width_fold(token: str) -> str:
+    """CJKWidthFilter.incrementToken over one token's chars: fullwidth
+    ASCII -> basic latin, halfwidth kana -> fullwidth, FF9E/FF9F voice
+    marks combine into the preceding (already-folded) kana when a
+    composed form exists, else map to combining U+3099/309A."""
     out: list[str] = []
-    for t in tokens:
-        if _HAS_BIGRAMMABLE_RE.search(t):
-            for piece in _CJK_BIGRAM_SPLIT_RE.split(t):
-                if not piece:
-                    continue
-                if _HAS_BIGRAMMABLE_RE.match(piece):
-                    if len(piece) == 1:
-                        out.append(piece)
-                    else:
-                        out.extend(piece[i:i + 2]
-                                   for i in range(len(piece) - 1))
-                else:
-                    out.append(piece)
+    for ch in token:
+        c = ord(ch)
+        if 0xFF01 <= c <= 0xFF5E:
+            out.append(chr(c - 0xFEE0))
+        elif 0xFF65 <= c <= 0xFF9F:
+            if c in (0xFF9E, 0xFF9F) and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    diff = (_KANA_COMBINE_HALF_VOICED if c == 0xFF9F
+                            else _KANA_COMBINE_VOICED)[prev - 0x30A6]
+                    if diff:
+                        out[-1] = chr(prev + diff)
+                        continue
+            out.append(chr(_KANA_NORM[c - 0xFF65]))
         else:
-            out.append(t)
+            out.append(ch)
+    return "".join(out)
+
+
+# token-type purity per the JFlex rule priority: HangulEx+ /
+# KatakanaEx+ beat the general WORD rule only when they match the
+# WHOLE token; HanEx/HiraganaEx singles come from their own grammar
+# alternative (trailing marks/format/voice-mark chars glue per Ex)
+if _HAS_REGEX:
+    _TYPE_M = r"\p{M}\p{Cf}\uff9e\uff9f"
+else:  # pragma: no cover - regex is in the container
+    _TYPE_M = _CJK_MARKS + "\uff9e\uff9f"
+_CJK_TYPED_RE = (_regex if _HAS_REGEX else re).compile(
+    f"(?:[{_HANGUL_CLASS}](?:[{_HANGUL_CLASS}]|[{_TYPE_M}])*"
+    f"|[{_KATAKANA_CLASS}](?:[{_KATAKANA_CLASS}]|[{_TYPE_M}])*"
+    f"|[{_CJK_SINGLE_CLASS}][{_TYPE_M}]*)")
+
+
+def _cjk_bigram_doc(s: str) -> list[str]:
+    """One doc through tokenize -> width -> bigram (lowercase is done
+    by the caller).  Tokens come straight from the JFlex-exact grammar;
+    a token is CJK-typed when the HangulEx+/KatakanaEx+ whole-match or
+    a HanEx/HiraganaEx single produced it — mixed words ('국l',
+    'zﾡk919', 'カ_ナ') are WORD_TYPE and pass through intact, exactly
+    like the reference.  CJK-typed tokens chain while TEXT-ADJACENT
+    (the offset contiguity CJKBigramFilter requires: '中文' bigrams,
+    '中 文' does not), and the chain's width-FOLDED chars emit
+    overlapping bigrams (unigram when the chain is one char)."""
+    out: list[str] = []
+    chain: list[str] = []
+    chain_end = -2
+
+    def flush():
+        nonlocal chain
+        if chain:
+            t = "".join(chain)
+            if len(t) == 1:
+                out.append(t)
+            else:
+                out.extend(t[i:i + 2] for i in range(len(t) - 1))
+            chain = []
+
+    for m in _token_pattern_for(s).finditer(s):
+        tok = m.group(0)
+        if _UNDERSCORE_ONLY_RE.match(tok):
+            continue
+        if _CJK_TYPED_RE.fullmatch(tok) is not None:
+            if m.start() != chain_end:
+                flush()
+            chain.extend(cjk_width_fold(tok))
+            chain_end = m.end()
+        else:
+            flush()
+            chain_end = -2
+            out.append(cjk_width_fold(tok))
+    flush()
     return out
 
 
@@ -369,6 +478,7 @@ _NONARROW_EXTRA = (
     "\u037e\u0589\u060c\u060d\u066c\u07f8\u2044"   # MidNum extras
     "\ufe10\ufe14\ufe50\ufe54\uff0c\uff1b"
     "\u2018\u2024\ufe52\uff07\uff0e"                # MidNumLet extras
+    "\uff9e\uff9f"       # halfwidth voice marks: WB:Extend, glue anywhere
 )
 _NONARROW_PAT = f"[{_CJK_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
 
@@ -480,28 +590,22 @@ def _tokenize_arrow(texts: pd.Series, check_cjk: bool = True,
 
 
 def _tokenize_regex(texts: pd.Series,
-                    stopset: frozenset = ENGLISH_STOP_WORDS,
-                    expand=_expand_cjk, expand_re=None) -> tuple:
-    """Reference regex path (handles CJK per-char/bigram expansion)."""
-    expand_re = expand_re if expand_re is not None else _CJK_RE
+                    stopset: frozenset = ENGLISH_STOP_WORDS) -> tuple:
+    """Reference regex path: the grammar emits exact JFlex tokens
+    (incl. Han/Hiragana singles and Katakana runs — no post-expansion
+    since the r5 grammar carries the HanEx/HiraganaEx alternatives)."""
     texts = texts.map(str.lower)
     tok_lists = texts.map(_findall_tokens)
-    has_cjk = texts.map(lambda s: expand_re.search(s) is not None)
-    if has_cjk.any():
-        idx = np.flatnonzero(has_cjk.to_numpy())
-        tl = tok_lists.to_numpy(dtype=object)
-        for i in idx:
-            tl[i] = expand(tl[i])
-        tok_lists = pd.Series(tl, index=texts.index)
-
     return _emit_token_lists(tok_lists, len(texts), stopset)
 
 
 def _tokenize_regex_cjk_bigram(texts: pd.Series,
                                stopset: frozenset = ENGLISH_STOP_WORDS):
-    return _tokenize_regex(texts, stopset=stopset,
-                           expand=_expand_cjk_bigram,
-                           expand_re=_HAS_BIGRAMMABLE_RE)
+    """Per-doc slow path for the cjk analyzers: the real CJKAnalyzer
+    pipeline over the proven POSIX tokenization (_cjk_bigram_doc)."""
+    texts = texts.map(str.lower)
+    tok_lists = texts.map(_cjk_bigram_doc)
+    return _emit_token_lists(tok_lists, len(texts), stopset)
 
 
 def _emit_token_lists(tok_lists: pd.Series, n_docs: int, stopset) -> tuple:
@@ -641,8 +745,7 @@ def _tokenize_thai(texts: pd.Series,
     texts = texts.map(str.lower)
 
     def _words(seg: str) -> list[str]:
-        ts = _findall_tokens(seg)
-        return _expand_cjk(ts) if _CJK_RE.search(seg) else ts
+        return _findall_tokens(seg)
 
     tok_lists = []
     for s in texts:
@@ -667,8 +770,7 @@ def _tokenize_urlemail(texts: pd.Series,
     texts = texts.map(str.lower)
 
     def _words(seg: str) -> list[str]:
-        ts = _findall_tokens(seg)
-        return _expand_cjk(ts) if _CJK_RE.search(seg) else ts
+        return _findall_tokens(seg)
 
     tok_lists = []
     for s in texts:
@@ -910,7 +1012,10 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
         slow_re = _compile_gate(slow_pat)
         slow_fn = _tokenize_urlemail_bulk
     elif analyzer in ("cjk", "cjk_ja"):
-        slow_pat = f"[{_CJK_CLASS}{_HANGUL_CLASS}{_NONARROW_EXTRA}]|\\p{{No}}"
+        # ！-･: CJKWidthFilter's fullwidth-ASCII fold range —
+        # such docs must reach the slow path where the width filter runs
+        slow_pat = (f"[{_CJK_CLASS}{_HANGUL_CLASS}{_NONARROW_EXTRA}"
+                    f"！-･]|\\p{{No}}")
         slow_re = _compile_gate(slow_pat)
         slow_fn = _tokenize_regex_cjk_bigram
     elif analyzer == "thai":

@@ -128,6 +128,8 @@ LANGS = [
      "áâãçéêíóôõú"),
     ("org.apache.lucene.analysis.gl.GalicianAnalyzer", "galician",
      "áéíñóúü"),
+    ("org.apache.lucene.analysis.cjk.CJKAnalyzer", "cjk",
+     "中文字漢語カタカナひらがな한국어ﾡﾢﾣ"),
 ]
 
 _PKGS = ("de fr es pt ru it nl sv no da ro fi hu ca tr eu ga hy ar fa cz "
