@@ -1,46 +1,26 @@
 """ASCII folding filter (analysis/common/src/java/org/apache/lucene/
 analysis/miscellaneous/ASCIIFoldingFilter.java).
 
-The reference enumerates the Latin-1 Supplement / Latin Extended blocks in
-a giant switch; this restates the same mapping as (a) an explicit table
-for the letters whose folds are not unicode decompositions (ss/ae/oe/th
-ligature folds, stroked letters) and (b) NFKD decomposition with combining
-marks stripped for everything else. Characters the reference does not map
-(non-Latin scripts) pass through unchanged, as in the reference.
-
-No reference code was consulted beyond the published mapping semantics.
+The reference enumerates the Latin blocks in a giant switch; the exact
+per-character mapping lives in folddata.py, EXTRACTED by running every
+BMP character through the compiled reference filter (tools/fuzz_fold.py
+FoldMain raw mode — behavior extraction of the published mapping, no
+code copied).  Characters outside the table pass through unchanged,
+exactly like the reference.  Differentially re-verified per run by
+tools/fuzz_fold.py under the chain contract (fold after lowercase).
 """
 
 from __future__ import annotations
 
-import unicodedata
+from .folddata import FOLD_MAP
 
-import numpy as np
-import pandas as pd
-
-# post-lowercase explicit folds (ASCIIFoldingFilter's non-decomposable rows)
-_EXPLICIT = {
-    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
-    "þ": "th", "ł": "l", "ħ": "h", "ı": "i", "ŧ": "t", "ƒ": "f",
-}
-_EXPLICIT_TRANS = str.maketrans(_EXPLICIT)
-
-
-def _fold_char(c: str) -> str:
-    m = _EXPLICIT.get(c)
-    if m is not None:
-        return m
-    d = unicodedata.normalize("NFKD", c)
-    stripped = "".join(x for x in d if not unicodedata.combining(x))
-    # fold only when the base character is ASCII (the reference's switch
-    # covers Latin blocks; everything else passes through unchanged)
-    return stripped if stripped and stripped.isascii() else c
+_FOLD_TRANS = str.maketrans(FOLD_MAP)
 
 
 def ascii_fold(term: str) -> str:
     if term.isascii():
         return term
-    return "".join(_fold_char(c) for c in term)
+    return term.translate(_FOLD_TRANS)
 
 
 def fold_filter_terms(terms):

@@ -987,6 +987,20 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             mask = pa.array(has_mark)
             texts = pc.replace_with_mask(texts, mask, fixed)
 
+    if analyzer != "turkish":
+        # Character.toLowerCase('İ') is the single char 'i'; Python's
+        # str.lower() expands U+0130 to 'i' + combining dot (the ONLY
+        # BMP char with a multi-char lowercase), so terms would diverge
+        # from the reference for every analyzer. Pre-map it (turkish
+        # has its own İ/I mapping below). Gated: the replace only runs
+        # when a batch actually contains the char.
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            if pc.any(pc.match_substring(texts, "İ")).as_py():
+                texts = pc.replace_substring(texts, "İ", "i")
+        else:
+            if texts.str.contains("İ", regex=False).any():
+                texts = texts.str.replace("İ", "i", regex=False)
+
     if analyzer == "turkish":
         # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java): map
         # İ->i and I->ı BEFORE the generic lowercase, so İ never becomes

@@ -440,3 +440,23 @@ def test_oracle_sum_len_counts_overlaps():
     flat = tokenize_series(pages["text"], analyzer="synonym")
     assert s.sum_len == len(flat)
     assert s.sum_len > int(flat.attrs["doc_lengths"].sum())
+
+
+def test_fold_table_matches_compiled_reference():
+    """The fold table was EXTRACTED from the compiled reference filter
+    (tools/fuzz_fold.py); pin its size + rows the old NFKD heuristic
+    got wrong, and the İ lowercase contract."""
+    from lucene_solr_spark.analysis import analyze_one
+    from lucene_solr_spark.analysis.fold import ascii_fold
+    from lucene_solr_spark.analysis.folddata import FOLD_MAP
+
+    assert len(FOLD_MAP) == 1242
+    # rows the NFKD approximation missed (verified vs compiled filter)
+    assert ascii_fold("ɔƈɖǝə") == "ocdea"
+    assert ascii_fold("ƕ") == "hv"
+    assert ascii_fold("½") == "½"      # NOT mapped by the reference
+    assert ascii_fold("⑰") == "17"
+    assert ascii_fold("“q”") == '"q"'
+    # Character.toLowerCase contract: 'İ' -> plain 'i' in EVERY chain
+    assert analyze_one("İstanbul", analyzer="standard") == [
+        ("istanbul", 0)]
