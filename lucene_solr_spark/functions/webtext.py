@@ -303,3 +303,92 @@ def sql_url_classify(raw_url_expr: str, id_col: str = "doc_id") -> str:
   CASE WHEN {suffix} = '' THEN {url_expr}
        ELSE regexp_replace({url_expr}, '/' || {suffix} || '$', '/')
   END AS canonical_url"""
+
+
+# PathHierarchyTokenizer (analysis/path/PathHierarchyTokenizer.java:94-
+# 190): cumulative path-prefix tokens — '/a/b/c' emits '/a', '/a/b',
+# '/a/b/c' (first at posInc 1, the rest posInc 0); a trailing delimiter
+# carries into the NEXT token ('/a/' emits '/a', '/a/'); `skip` drops
+# the leading segments from every token; `replacement` substitutes the
+# delimiter in the output. Differentially verified against the
+# compiled reference tokenizer (tools/fuzz_path.py).
+def path_hierarchy(path: str, delimiter: str = "/",
+                   replacement: str = None, skip: int = 0) -> list[str]:
+    """Reference-exact token list for one path string."""
+    if replacement is None:
+        replacement = delimiter
+    out: list[str] = []
+    result = ""          # resultToken: the previous emitted token
+    skipped = 0
+    start = 0            # startPosition (offset bookkeeping only)
+    end_delimiter = False
+    i, n = 0, len(path)
+    while True:
+        term = result
+        added = False
+        if end_delimiter:
+            term += replacement
+            end_delimiter = False
+            added = True
+        while True:
+            if i >= n:
+                if skipped > skip:
+                    if added:
+                        out.append(term)
+                        result = term
+                    return out
+                return out
+            c = path[i]
+            i += 1
+            if not added:
+                added = True
+                skipped += 1
+                if skipped > skip:
+                    term += replacement if c == delimiter else c
+                else:
+                    start += 1
+            else:
+                if c == delimiter:
+                    if skipped > skip:
+                        end_delimiter = True
+                        break
+                    skipped += 1
+                    if skipped > skip:
+                        term += replacement
+                    else:
+                        start += 1
+                else:
+                    if skipped > skip:
+                        term += c
+                    else:
+                        start += 1
+        out.append(term)
+        result = term
+
+
+def url_path_hierarchy(docs: DataFrame, url_col: str = "url",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host, prefix) — every cumulative path prefix of the
+    normalized URL path, Spark-native (split + transform(sequence), no
+    Python): the path-hierarchy drilldown facet over a crawl.  For the
+    default '/'-delimited no-skip case the cumulative-join expansion is
+    exactly the reference tokenizer's output (trailing/doubled
+    delimiters included — verified in tests against path_hierarchy)."""
+    url = F.col(url_col)
+    rest = F.regexp_extract(url, RE_PATH_QUERY, 1)
+    path = F.regexp_extract(rest, RE_PATH, 1)
+    parts = F.split(path, "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(2), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            url_host(url).alias("host"),
+            F.explode(
+                F.when(F.size(parts) >= 2, prefixes)
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("prefix"),
+        )
+    )

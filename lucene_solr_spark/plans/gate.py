@@ -2941,6 +2941,29 @@ FROM documents ORDER BY doc_id""",
 FROM documents GROUP BY 1 ORDER BY signature""",
     )
 
+    # r5 PathHierarchyTokenizer analog (analysis/path/
+    # PathHierarchyTokenizer.java — port byte-identical across 5
+    # delimiter/replacement/skip configs, tools/fuzz_path.py);
+    # url_path_hierarchy is the Spark-native cumulative-prefix
+    # expansion (split + transform(sequence), codegen'd)
+    R["path_hierarchy_topk"] = (
+        lambda spark, sf: W.url_path_hierarchy(_url_docs(spark, sf))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy(F.desc("docs"), "prefix").limit(15),
+        f"""WITH d AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+p AS (SELECT doc_id,
+             regexp_extract(regexp_extract(url, '{W.RE_PATH_QUERY}', 1),
+                            '{W.RE_PATH}', 1) AS path
+      FROM d),
+parts AS (SELECT doc_id, string_split(path, '/') AS arr FROM p),
+pref AS (SELECT doc_id, array_to_string(arr[1:i], '/') AS prefix
+         FROM parts, UNNEST(generate_series(2, len(arr))) AS t(i)
+         WHERE len(arr) >= 2)
+SELECT prefix, CAST(count(*) AS BIGINT) AS docs
+FROM pref GROUP BY prefix ORDER BY docs DESC, prefix LIMIT 15""",
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3698,7 +3721,7 @@ _PRIORITY = [
     "hunspell_docs_topk", "ja_iteration_values", "url_classify_fields",
     "host_stats_topk", "url_canonical_dedup", "split_counts",
     "stratified_sample_rows", "pack_sequence_bins", "redact_pii_values",
-    "signature_values", "md5_signature_dedup",
+    "signature_values", "md5_signature_dedup", "path_hierarchy_topk",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything

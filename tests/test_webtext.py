@@ -81,3 +81,50 @@ def test_fuzz_subset_matches_compiled_reference():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "OK" in proc.stdout, proc.stdout
+
+
+def test_path_hierarchy_reference_semantics():
+    # pinned from the compiled PathHierarchyTokenizer
+    # (tools/fuzz_path.py: 7575 comparisons byte-identical)
+    assert W.path_hierarchy("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
+    assert W.path_hierarchy("/a/b/") == ["/a", "/a/b", "/a/b/"]
+    assert W.path_hierarchy("a/b") == ["a", "a/b"]
+    assert W.path_hierarchy("/") == ["/"]
+    assert W.path_hierarchy("") == []
+    # doubled delimiter carries into the next token
+    assert W.path_hierarchy("/a//b") == ["/a", "/a/", "/a//b"]
+    # skip drops leading segments from every token
+    assert W.path_hierarchy("/usr/share/doc", skip=1) == [
+        "/share", "/share/doc"]
+    assert W.path_hierarchy("/a/b/c", replacement="-") == [
+        "-a", "-a-b", "-a-b-c"]
+
+
+def test_url_path_hierarchy_matches_port(spark):
+    import pandas as pd
+
+    urls = ["http://h.net/a/b/c", "http://h.net/a/b/", "http://h.net",
+            "http://h.net/x", "http://h.net/a//b?q=1#f"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    rows = W.url_path_hierarchy(df).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["prefix"])
+    import re as _re
+    for i, u in enumerate(urls):
+        path = _re.sub(r"[?#].*", "", u.split("h.net", 1)[1])
+        assert got.get(i, []) == W.path_hierarchy(path), (u, path)
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK for the reference oracle",
+)
+def test_path_fuzz_subset_matches_compiled_reference():
+    proc = subprocess.run(
+        [sys.executable, "tools/fuzz_path.py", "150"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "0 mismatches" in proc.stdout, proc.stdout
