@@ -392,3 +392,50 @@ def url_path_hierarchy(docs: DataFrame, url_col: str = "url",
             ).alias("prefix"),
         )
     )
+
+
+def reverse_path_hierarchy(path: str, delimiter: str = "/",
+                           replacement: str = None,
+                           skip: int = 0) -> list[str]:
+    """ReversePathHierarchyTokenizer (analysis/path/
+    ReversePathHierarchyTokenizer.java:108-176): the suffix chain —
+    'www.site.com' with '.' emits ['www.site.com', 'site.com', 'com'];
+    `skip` drops trailing segments from every token.  Reference-exact
+    (tools/fuzz_path.py reverse mode)."""
+    if replacement is None:
+        replacement = delimiter
+    replaced = "".join(replacement if c == delimiter else c
+                       for c in path)
+    positions = [0]
+    for idx, c in enumerate(path):
+        if c == delimiter:
+            positions.append(idx + 1)
+    if positions[-1] < len(path):
+        positions.append(len(path))
+    count = len(positions)
+    end_idx = count - 1 - skip
+    if end_idx < 0:
+        return []
+    end = positions[end_idx]
+    return [replaced[positions[s]:end]
+            for s in range(0, count - skip - 1)]
+
+
+def host_hierarchy(docs: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, suffix) — the registrable-domain drilldown: every
+    dot-suffix of the host ('www.site.com' -> www.site.com, site.com,
+    com), Spark-native (the ReversePathHierarchyTokenizer use case for
+    domains).  Scan-side, no shuffle until the consumer aggregates."""
+    url = F.col(url_col)
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + 1), "."),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(suffixes).alias("suffix"),
+    )

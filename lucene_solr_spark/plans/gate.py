@@ -2964,6 +2964,24 @@ SELECT prefix, CAST(count(*) AS BIGINT) AS docs
 FROM pref GROUP BY prefix ORDER BY docs DESC, prefix LIMIT 15""",
     )
 
+    # r5 ReversePathHierarchyTokenizer analog: domain suffix drilldown
+    # over hosts (the reference's reverse tokenizer with '.' —
+    # byte-identical across 4 configs, tools/fuzz_path.py rev mode)
+    R["host_hierarchy_topk"] = (
+        lambda spark, sf: W.host_hierarchy(_url_docs(spark, sf))
+        .groupBy("suffix")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy(F.desc("docs"), "suffix").limit(15),
+        f"""WITH d AS (SELECT doc_id, {_URL_EXPR} AS url FROM documents),
+h AS (SELECT doc_id, {W.sql_url_host('url')} AS host FROM d),
+parts AS (SELECT doc_id, string_split(host, '.') AS arr FROM h),
+suf AS (SELECT doc_id,
+               array_to_string(arr[i:len(arr)], '.') AS suffix
+        FROM parts, UNNEST(generate_series(1, len(arr))) AS t(i))
+SELECT suffix, CAST(count(*) AS BIGINT) AS docs
+FROM suf GROUP BY suffix ORDER BY docs DESC, suffix LIMIT 15""",
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3722,6 +3740,7 @@ _PRIORITY = [
     "host_stats_topk", "url_canonical_dedup", "split_counts",
     "stratified_sample_rows", "pack_sequence_bins", "redact_pii_values",
     "signature_values", "md5_signature_dedup", "path_hierarchy_topk",
+    "host_hierarchy_topk",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything

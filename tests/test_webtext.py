@@ -128,3 +128,26 @@ def test_path_fuzz_subset_matches_compiled_reference():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "0 mismatches" in proc.stdout, proc.stdout
+
+
+def test_reverse_path_hierarchy_reference_semantics():
+    # pinned from the compiled ReversePathHierarchyTokenizer
+    # (tools/fuzz_path.py rev mode: byte-identical across 4 configs)
+    assert W.reverse_path_hierarchy("www.site.com", ".") == [
+        "www.site.com", "site.com", "com"]
+    assert W.reverse_path_hierarchy("www.site.com", ".", skip=1) == [
+        "www.site.", "site."]
+    assert W.reverse_path_hierarchy("/a/b/c") == [
+        "/a/b/c", "a/b/c", "b/c", "c"]
+    assert W.reverse_path_hierarchy("") == []
+    assert W.reverse_path_hierarchy("a") == ["a"]
+
+
+def test_host_hierarchy(spark):
+    df = spark.createDataFrame(
+        [(0, "http://www.site.co.uk/x"), (1, "http://site.co.uk/y")],
+        "doc_id long, url string")
+    rows = {(r["doc_id"], r["suffix"])
+            for r in W.host_hierarchy(df).collect()}
+    assert (0, "www.site.co.uk") in rows and (0, "co.uk") in rows
+    assert (0, "uk") in rows and (1, "site.co.uk") in rows

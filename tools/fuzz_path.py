@@ -18,7 +18,9 @@ COMMON = f"{REF}/lucene/analysis/common/src/java"
 
 PATH_MAIN = """
 import org.apache.lucene.analysis.TokenStream;
+import org.apache.lucene.analysis.Tokenizer;
 import org.apache.lucene.analysis.path.PathHierarchyTokenizer;
+import org.apache.lucene.analysis.path.ReversePathHierarchyTokenizer;
 import org.apache.lucene.analysis.tokenattributes.CharTermAttribute;
 import java.io.*;
 import java.nio.charset.StandardCharsets;
@@ -28,13 +30,17 @@ public class PathMain {
         char delimiter = args[0].charAt(0);
         char replacement = args[1].charAt(0);
         int skip = Integer.parseInt(args[2]);
+        boolean reverse = args.length > 3 && args[3].equals("rev");
         BufferedReader in = new BufferedReader(
             new InputStreamReader(System.in, StandardCharsets.UTF_8));
         PrintStream out = new PrintStream(System.out, true, "UTF-8");
         String line;
         while ((line = in.readLine()) != null) {
-            PathHierarchyTokenizer tok = new PathHierarchyTokenizer(
-                1024, delimiter, replacement, skip);
+            Tokenizer tok = reverse
+                ? new ReversePathHierarchyTokenizer(
+                      1024, delimiter, replacement, skip)
+                : new PathHierarchyTokenizer(
+                      1024, delimiter, replacement, skip);
             tok.setReader(new StringReader(line.replace('\\u241E','\\n')));
             CharTermAttribute term = tok.addAttribute(CharTermAttribute.class);
             tok.reset();
@@ -87,7 +93,8 @@ def gen_paths(n: int, rng: random.Random) -> list[str]:
 
 
 def main() -> int:
-    from lucene_solr_spark.functions.webtext import path_hierarchy
+    from lucene_solr_spark.functions.webtext import (
+        path_hierarchy, reverse_path_hierarchy)
 
     classes = ensure_oracle()
     rng = random.Random(20260818)
@@ -95,10 +102,16 @@ def main() -> int:
     paths = gen_paths(n, rng)
 
     total = fails = 0
-    for delim, repl, skip in (("/", "/", 0), ("/", "/", 1), ("/", "-", 0),
-                              ("-", "/", 0), ("/", "/", 3)):
+    for delim, repl, skip, rev in (
+            ("/", "/", 0, False), ("/", "/", 1, False),
+            ("/", "-", 0, False), ("-", "/", 0, False),
+            ("/", "/", 3, False), ("/", "/", 0, True),
+            (".", ".", 0, True), (".", ".", 1, True),
+            ("/", "-", 2, True)):
+        args = ["java", "-cp", classes, "PathMain", delim, repl,
+                str(skip)] + (["rev"] if rev else [])
         proc = subprocess.run(
-            ["java", "-cp", classes, "PathMain", delim, repl, str(skip)],
+            args,
             input="\n".join(paths).encode("utf-8"),
             capture_output=True, timeout=600,
         )
@@ -106,16 +119,18 @@ def main() -> int:
             raise RuntimeError(proc.stderr.decode()[:3000])
         jlines = proc.stdout.decode("utf-8").split("\n")[: len(paths)]
         bad = 0
+        fn = reverse_path_hierarchy if rev else path_hierarchy
         for p, j in zip(paths, jlines):
             want = j.split("␟") if j else []
-            got = path_hierarchy(p, delim, repl, skip)
+            got = fn(p, delim, repl, skip)
             if got != want:
                 bad += 1
                 if bad <= 5:
                     print(f"  MISMATCH d={delim!r} r={repl!r} s={skip} "
                           f"{p!r}: java={want} py={got}")
-        print(f"path d={delim!r} r={repl!r} skip={skip}: {len(paths)} "
-              f"paths {'OK' if not bad else f'FAIL({bad})'}")
+        print(f"path{'-rev' if rev else ''} d={delim!r} r={repl!r} "
+              f"skip={skip}: {len(paths)} paths "
+              f"{'OK' if not bad else f'FAIL({bad})'}")
         total += len(paths)
         fails += bad
     print(f"TOTAL: {total} comparisons, {fails} mismatches")
