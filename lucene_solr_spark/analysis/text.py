@@ -243,22 +243,10 @@ def _findall_tokens(s: str) -> list[str]:
 # katakana runs across it (WB13a/b), and U+30FB middle dot splits (it is
 # not a \w char here; JFlex keeps it out of tokens too).
 _CJK_CLASS = _CJK_SINGLE_CLASS + _KATAKANA_CLASS
-_CJK_RE = re.compile(f"[{_CJK_CLASS}]")
 # combining marks that appear glued after kana/ideographs (voiced-sound
 # marks, variation selectors, generic combining block); the full \p{M}
 # set needs the regex module
 _CJK_MARKS = "\u3099\u309a\ufe00-\ufe0f\u0300-\u036f"
-if _HAS_REGEX:
-    _CJK_SPLIT_RE = _regex.compile(
-        f"([{_KATAKANA_CLASS}](?:[\\p{{M}}\\p{{Cf}}{_KATAKANA_CLASS}])*"
-        f"|[{_CJK_SINGLE_CLASS}][\\p{{M}}\\p{{Cf}}]*)"
-    )
-else:  # pragma: no cover - regex is in the container
-    _CJK_SPLIT_RE = re.compile(
-        f"([{_KATAKANA_CLASS}](?:[{_CJK_MARKS}{_KATAKANA_CLASS}])*"
-        f"|[{_CJK_SINGLE_CLASS}][{_CJK_MARKS}]*)"
-    )
-
 # ---------------------------------------------------------------------------
 # HTML strip (charfilter/HTMLStripCharFilter.java semantics, subset)
 # ---------------------------------------------------------------------------
@@ -292,19 +280,6 @@ def html_strip_series(html_bytes: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
-def _expand_cjk(tokens: list[str]) -> list[str]:
-    """Split CJK runs inside matched tokens into per-character tokens."""
-    out: list[str] = []
-    for t in tokens:
-        if _CJK_RE.search(t):
-            for piece in _CJK_SPLIT_RE.split(t):
-                if piece:
-                    out.append(piece)
-        else:
-            out.append(t)
-    return out
-
-
 # CJKAnalyzer chain (cjk/CJKAnalyzer.java:87-94): StandardTokenizer ->
 # CJKWidthFilter -> LowerCase -> CJKBigramFilter(HAN|HIRAGANA|KATAKANA|
 # HANGUL, outputUnigrams=false) -> Stop. The r5 rewrite runs the REAL
@@ -324,7 +299,6 @@ def _expand_cjk(tokens: list[str]) -> list[str]:
 _HANGUL_CLASS = (
     "ᄀ-ᇿ㄰-㆏ꥠ-꥿가-퟿ﾠ-ￜ"
 )
-_HAS_BIGRAMMABLE_RE = re.compile(f"[{_CJK_CLASS}{_HANGUL_CLASS}]")
 
 # CJKWidthFilter.KANA_NORM (cjk/CJKWidthFilter.java:47): FF65..FF9F
 _KANA_NORM = [
@@ -987,19 +961,22 @@ def tokenize_series(texts: pd.Series, analyzer: str = "standard") -> pd.DataFram
             mask = pa.array(has_mark)
             texts = pc.replace_with_mask(texts, mask, fixed)
 
-    if analyzer != "turkish":
-        # Character.toLowerCase('İ') is the single char 'i'; Python's
-        # str.lower() expands U+0130 to 'i' + combining dot (the ONLY
-        # BMP char with a multi-char lowercase), so terms would diverge
-        # from the reference for every analyzer. Pre-map it (turkish
-        # has its own İ/I mapping below). Gated: the replace only runs
-        # when a batch actually contains the char.
+    # Character.toLowerCase is per-char and context-free; Python's
+    # str.lower() is not, in exactly two ways that change terms:
+    # U+0130 İ expands to 'i'+combining-dot (the only multi-char
+    # lowercase in the BMP) and U+03A3 Σ lowers to FINAL sigma ς at
+    # word end (Java always gives σ; Greek's own chain folds ς->σ
+    # later, so the pre-map is safe for greek too). Pre-map both so
+    # every chain and both gate paths agree with the reference.
+    # Gated: the replaces only run when a batch contains the chars
+    # (turkish re-maps İ/I below; İ->i here is the same mapping).
+    for _src_c, _dst_c in (("İ", "i"), ("Σ", "σ")):
         if isinstance(texts, (pa.Array, pa.ChunkedArray)):
-            if pc.any(pc.match_substring(texts, "İ")).as_py():
-                texts = pc.replace_substring(texts, "İ", "i")
+            if pc.any(pc.match_substring(texts, _src_c)).as_py():
+                texts = pc.replace_substring(texts, _src_c, _dst_c)
         else:
-            if texts.str.contains("İ", regex=False).any():
-                texts = texts.str.replace("İ", "i", regex=False)
+            if texts.str.contains(_src_c, regex=False).any():
+                texts = texts.str.replace(_src_c, _dst_c, regex=False)
 
     if analyzer == "turkish":
         # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java): map

@@ -35,6 +35,10 @@ reference deployment's stored signature fields.
 from __future__ import annotations
 
 import hashlib
+import math
+import unicodedata
+
+from ..analysis.hunspell import _java_char_lower
 
 _M32 = 0xFFFFFFFF
 
@@ -76,10 +80,6 @@ def text_profile(content: str, quant_rate: float = 0.01,
     # a lone surrogate is false, so surrogates always flush tokens —
     # matching charAt semantics for astral chars. Java isLetterOrDigit
     # = letter categories + Nd ONLY (Python isalnum also takes Nl/No).
-    import unicodedata
-
-    from ..analysis.hunspell import _java_char_lower
-
     units = content.encode("utf-16-be", "surrogatepass")
     for k in range(0, len(units), 2):
         c = chr((units[k] << 8) | units[k + 1])
@@ -104,8 +104,6 @@ def text_profile(content: str, quant_rate: float = 0.01,
             max_freq = v
 
     # Math.round(float) = floor(x + 0.5)
-    import math
-
     quant = math.floor(max_freq * quant_rate + 0.5)
     if quant < 2:
         quant = 2 if max_freq > 1 else 1

@@ -2935,7 +2935,7 @@ FROM documents ORDER BY doc_id""",
     R["md5_signature_dedup"] = (
         lambda spark, sf: SIG.dedup_by_signature(
             _docs(spark, sf), method="md5").orderBy("signature"),
-        """SELECT md5(text) AS signature,
+        """SELECT md5(COALESCE(text, '')) AS signature,
        CAST(min(doc_id) AS BIGINT) AS keep_id,
        CAST(count(*) AS BIGINT) AS copies
 FROM documents GROUP BY 1 ORDER BY signature""",

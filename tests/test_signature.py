@@ -31,8 +31,6 @@ def test_java_string_hashcode():
     assert java_string_hashcode("abc") == 96354
     assert java_string_hashcode("hello") == 99162322
     # negative wraps like Java
-    assert java_string_hashcode("aaaaaaaaaaaaaaaaaaaa") < 0 or True
-    assert isinstance(java_string_hashcode("polygenelubricants"), int)
     assert java_string_hashcode("polygenelubricants") == -2147483648
 
 
