@@ -131,6 +131,7 @@ def _lazy_maps():
         italian_stem,
         turkish_stem,
     )
+    from .kstem import kstem
     from .stem import _strip_possessive, minimal_english_stem, porter_stem
 
     return {
@@ -139,6 +140,10 @@ def _lazy_maps():
         # old post-stop possessive kept such tokens alive)
         "english": (_strip_possessive, porter_stem),
         "english_minimal": (_strip_possessive, minimal_english_stem),
+        # KStemFilter option (Solr text_en shape: possessive -> stop ->
+        # KStem); kstem is differentially byte-identical to the
+        # compiled reference KStemmer (tools/fuzz_kstem.py)
+        "english_kstem": (_strip_possessive, kstem),
         "french": (_ELIDE_FR, french_stem),
         "french_light": (_ELIDE_FR, french_light_stem),
         "french_minimal": (_ELIDE_FR, french_minimal_stem),
@@ -157,7 +162,7 @@ def _lazy_maps():
 
 
 LATE_STOP_ANALYZERS = frozenset((
-    "english", "english_minimal",
+    "english", "english_minimal", "english_kstem",
     "french", "french_light", "french_minimal",
     "italian", "italian_light",
     "catalan", "irish", "turkish",

@@ -834,7 +834,12 @@ LIGHT_ANALYZERS = ("arabic", "persian", "czech", "bulgarian", "hindi",
 #              stemmer recursion is differentially verified against the
 #              compiled reference Dictionary/Stemmer (tools/
 #              fuzz_hunspell.py, 6k+ comparisons across all fixtures).
+#   english_kstem — KStemFilter chain (en/KStemFilter.java; the Solr
+#              text_en shape: possessive -> stop -> KStem; kstem.py is
+#              byte-identical to the compiled reference KStemmer,
+#              tools/fuzz_kstem.py)
 ANALYZERS = ("standard", "english", "folding", "english_minimal",
+             "english_kstem",
              "url_email", "cjk", "cjk_ja", "german_decompound", "thai",
              "hunspell") \
     + SNOWBALL_ANALYZERS + LIGHT_ANALYZERS + GRAPH_ANALYZERS

@@ -2982,6 +2982,30 @@ SELECT suffix, CAST(count(*) AS BIGINT) AS docs
 FROM suf GROUP BY suffix ORDER BY docs DESC, suffix LIMIT 15""",
     )
 
+    # r5 KStem (en/KStemmer.java, 27,495-word lexicon): expected stems
+    # produced by the COMPILED reference KStemmer (tools/fuzz_kstem.py
+    # KStemMain — the 15k-word campaign is byte-identical; 'running'
+    # stays because it IS a lexicon headword, exactly like the
+    # reference)
+    _KSTEM_VECTORS = [
+        ("english_kstem", "calories", "calorie"),
+        ("english_kstem", "policies", "policy"),
+        ("english_kstem", "defined", "define"),
+        ("english_kstem", "running", "running"),
+        ("english_kstem", "consultations", "consultation"),
+        ("english_kstem", "amplification", "amplify"),
+        ("english_kstem", "injunctive", "injunction"),
+        ("english_kstem", "bibliographical", "bibliography"),
+        ("english_kstem", "compensable", "compensate"),
+        ("english_kstem", "generosity", "generous"),
+        ("english_kstem", "italians", "italy"),
+        ("english_kstem", "flies", "flies"),
+    ]
+    R["kstem_values"] = (
+        _make_stem_vector_gate(_KSTEM_VECTORS),
+        _stem_vector_oracle(_KSTEM_VECTORS),
+    )
+
     # the changed-word mapping is closed: a word the demo stemmer
     # changes must be root+append or append+root over the 13-entry dic,
     # so enumerating those candidates covers every changed token
@@ -3740,7 +3764,7 @@ _PRIORITY = [
     "host_stats_topk", "url_canonical_dedup", "split_counts",
     "stratified_sample_rows", "pack_sequence_bins", "redact_pii_values",
     "signature_values", "md5_signature_dedup", "path_hierarchy_topk",
-    "host_hierarchy_topk",
+    "host_hierarchy_topk", "kstem_values",
     # then the round-5 window rotation (VERDICT r4 "What's wrong" #4):
     # the 62 registry entries without r4 driver rows, so the driver's
     # 50-row window refreshes as many of them as it reaches. Everything
